@@ -1,0 +1,61 @@
+"""Test-table catalog: load the driver-generated TPC-H-ish parquet tables
+and register them as temp views so both the DataFrame builders and
+``spark.sql`` queries can address them by name.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the Spark
+        # parquet reader rejects outright. Read nanos as long (runtime conf so
+        # it applies in any caller's session) and truncate to microseconds —
+        # the same nanos→micros truncation DuckDB applies, keeping the oracle
+        # comparison exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer DIV, not `/` — float division loses exactness at 1e18 nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after itself; returns the
+    DataFrames. Re-registration is cheap (metadata only) and idempotent."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

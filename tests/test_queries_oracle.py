@@ -1,0 +1,41 @@
+"""Every registry query vs its DuckDB oracle at sf0.001 — the local mirror
+of the driver's CORRECTNESS gate (same three checks: rows, columns, values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dibimbing_case_study_etl_spark.queries import load_all
+from dibimbing_case_study_etl_spark.testing import compare_frames, run_oracle
+
+REGISTRY = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.build(spark, sf_dir)
+    spark_pdf = df.toPandas()
+    if spec.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check, mirrors driver behavior
+        return
+    oracle_pdf = run_oracle(spec.oracle, sf_dir)
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
