@@ -1,0 +1,117 @@
+"""Keyed upsert (MERGE) over plain partitioned Parquet — the engine's one
+genuinely custom plan shape (SURVEY §2.6).
+
+Reproduces the reference's Postgres ``INSERT ... ON CONFLICT (pk) DO UPDATE``
+(`scripts/load_parquet_to_postgres_l1.py:52-61`) as a composed DataFrame
+program:
+
+1. **In-batch duplicate arbitration** — Postgres applies batch rows
+   sequentially so the *last* duplicate wins (`load:140-147`); a
+   set-oriented merge must pre-dedup with an explicit ordering
+   (``latest_per_key`` on ``order_by``).
+2. **Split-update semantics** — on key match only ``update_cols`` take the
+   source value; every other column keeps the target value (L1 deliberately
+   does NOT update date/hour, `load:56-60`; L2 updates all non-key cols,
+   `upsert_l2_for_ds.sql:28-33`).
+3. **Partition-scoped atomicity** — only partitions present in the source
+   are read back and rewritten (`partitionOverwriteMode=dynamic``); untouched
+   partitions are never opened. Requires the partition column to be
+   functionally dependent on the merge keys (here: date = date(ts), ts ∈ PK),
+   so a matched row can never migrate between partitions.
+
+Scale: the merge cost is O(touched partitions), not O(table). The join is an
+equi-join on the PK — at 100 TB both sides arrive hash-partitioned by key,
+and the source side (one ingest day) is typically broadcastable. Re-running
+any batch converges (idempotency, `README.md:38, 261`).
+
+If a transactional table format (Delta/Iceberg) is on the classpath its
+native MERGE INTO can replace this; the composed plan keeps the engine
+dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.operators.dedup_window import latest_per_key
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if "://" not in path or path.startswith("file:"):
+        return os.path.exists(path.removeprefix("file:"))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    partition_col: str = "date",
+) -> int:
+    """MERGE ``source`` into the Parquet table at ``target_path``.
+
+    ``order_by`` resolves duplicate keys *within* the source batch (first row
+    under this ordering wins — pass e.g. ``[F.desc("load_ds"), F.desc("_row")]``
+    for last-wins batch semantics). Returns the number of source rows merged
+    after in-batch dedup.
+
+    ``partition_col`` must be functionally dependent on ``keys``.
+    """
+    keys = list(keys)
+    update_cols = list(update_cols)
+    bad = set(update_cols) & set(keys)
+    if bad:
+        raise ValueError(f"update_cols may not overlap keys: {sorted(bad)}")
+
+    src = latest_per_key(source, keys=keys, order_by=list(order_by))
+    src = src.select(*source.columns)  # canonical column order
+
+    if not _exists(spark, target_path):
+        src.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return -1  # unknown without an extra action; caller can count
+
+    target = spark.read.parquet(target_path)
+
+    # Only partitions the source touches participate (partition pruning on
+    # this IN-filter keeps the merge O(touched partitions)).
+    touched = [r[0] for r in src.select(partition_col).distinct().collect()]
+    tgt_slice = target.filter(F.col(partition_col).isin(touched))
+
+    non_update = [c for c in target.columns if c not in update_cols and c not in keys]
+    matched = tgt_slice.alias("t").join(src.alias("s"), on=keys, how="inner").select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"s.{c}").alias(c) for c in update_cols],
+        *[F.col(f"t.{c}").alias(c) for c in non_update],
+    )
+    unmatched_tgt = tgt_slice.join(src, on=keys, how="left_anti")
+    inserts = src.join(tgt_slice, on=keys, how="left_anti")
+
+    result = (
+        unmatched_tgt.select(*target.columns)
+        .unionByName(matched.select(*target.columns))
+        .unionByName(inserts.select(*target.columns))
+    )
+
+    # Self-referential overwrite: the plan reads target_path. Dynamic
+    # partition overwrite stages output before committing, but Spark still
+    # refuses plans that read the path being overwritten — break the
+    # lineage with a localCheckpoint (kept off the driver, spilled to
+    # executor storage).
+    result = result.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return -1
