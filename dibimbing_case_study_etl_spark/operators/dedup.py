@@ -1,0 +1,247 @@
+"""Deduplication family for LLM training-data pipelines (north star):
+
+- :func:`dedup_exact`          — exact duplicates by content hash-groupBy.
+- :func:`jaccard_pairs`        — exact n-gram-Jaccard near-dup pairs via a
+                                 shingle inverted-index self-join.
+- :func:`minhash_lsh_pairs`    — MinHash + banded LSH candidate generation,
+                                 then exact-Jaccard verification. The 100 TB
+                                 path: cost scales with colliding candidates,
+                                 not with n².
+- :func:`simhash_pairs`        — 64-bit SimHash + pigeonhole band join for
+                                 Hamming distance ≤ k.
+
+Every operator is pure DataFrame composition (shuffles on shingle/band/
+bucket keys only, map-side combines everywhere); no collects, no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
+
+# Mersenne prime 2^31-1: universal-hash modulus; (a*x + b) stays < 2^62.
+_P = 2_147_483_647
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical content; keep the lowest id as the canonical copy.
+
+    Scale: one shuffle keyed by the content hash (xxhash64 of the content,
+    so the shuffle key is 8 bytes, not the document itself); the full text
+    only travels for grouped comparison of colliding hashes.
+    """
+    h = F.xxhash64(F.col(content_col)).alias("__h")
+    return (
+        df.select(F.col(id_col), F.col(content_col), h)
+        .groupBy("__h", content_col)
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies")
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) inverted index, distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(word_shingles(F.col(text_col), k)).alias("__s")
+    )
+
+
+def _pairs_from_common(sh: DataFrame, common: DataFrame, threshold: float) -> DataFrame:
+    """common(doc_a, doc_b, n_common) + per-doc shingle sizes → Jaccard filter."""
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        common.join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs with word-``k``-gram Jaccard ≥ ``threshold`` (exact).
+
+    Plan: inverted index on shingles → self-join on the shingle (the only
+    wide shuffle, keyed by shingle hash) → count common shingles per pair →
+    Jaccard from per-doc set sizes.
+
+    Scale: exact pairwise Jaccard degrades when a shingle is shared by
+    huge numbers of documents (join fan-out ~ df²); this operator is the
+    correctness baseline — :func:`minhash_lsh_pairs` is the scale path.
+    """
+    sh = _shingle_index(df, id_col, text_col, k)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _pairs_from_common(sh, common, threshold)
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine universal hashes —
+    a fixed LCG stream, no runtime randomness (resume/replay-safe)."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        a = 1 + (state % (_P - 1))
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        b = state % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 128
+) -> DataFrame:
+    """Per-document MinHash signature: x = xxhash64(shingle) mod P once,
+    then ``num_hashes`` affine transforms min-aggregated per doc — one
+    shuffle keyed by doc id, signature width independent of doc length."""
+    sh = _shingle_index(df, id_col, text_col, k)
+    x = F.pmod(F.xxhash64("__s"), F.lit(_P))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    return sh.groupBy(F.col("__id").alias("doc_id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
+
+    With 128 hashes in 32 bands of 4 rows, a pair at Jaccard 0.8 is missed
+    with probability (1-0.8⁴)³² ≈ 5e-8 — effectively exhaustive recall while
+    the candidate join touches only colliding buckets. Output schema and
+    semantics equal :func:`jaccard_pairs` (candidates are verified exactly);
+    the difference is the candidate-generation cost at scale.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{band * rows + r}") for r in range(rows)]).alias(f"band_{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("sig")) for i in range(bands)])
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a, b = stacked.alias("a"), stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification restricted to candidates: semi-join the shingle
+    # index down to candidate docs, then count common shingles per pair.
+    sh = _shingle_index(df, id_col, text_col, k)
+    cand_docs = candidates.select(F.col("doc_a").alias("__id")).union(
+        candidates.select("doc_b")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_docs), "__id", "left_semi")
+    aa, bb = sh_c.alias("a"), sh_c.alias("b")
+    common = (
+        aa.join(bb, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+    )
+    return _pairs_from_common(sh, common, threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of
+    xxhash64(token); bit j of the fingerprint is the vote sign.
+
+    One explode + one grouped aggregation (64 conditional sums) — a single
+    shuffle keyed by doc id."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    x = F.xxhash64("__t")
+    votes = [
+        F.sum(F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v_{j}")
+        for j in range(64)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole band join: split 64 bits into ``max_hamming+1`` bands — any
+    pair within distance k agrees exactly on ≥1 band, so candidates come
+    from equi-joins on band values (shuffle keyed by 16-bit band), never
+    from an n² cross join. Verification is one XOR+bit_count.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sig = simhash64(df, id_col, text_col)
+    mask = (1 << width) - 1
+
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (north star).
+
+- :func:`cosine_topk`      — exact brute-force top-k per query (the
+                             correctness baseline; cost O(|Q|·|corpus|)
+                             with the query side broadcast).
+- :func:`lsh_cosine_topk`  — random-hyperplane (signed random projection)
+                             LSH bucketing, exact re-rank within candidate
+                             buckets: the 100 TB path (cost ~ bucket sizes,
+                             not |corpus|). Approximate: recall measured in
+                             tests against the brute-force baseline.
+
+Hyperplanes are generated from a fixed-seed LCG (no numpy state, no
+runtime randomness) so plans are deterministic and replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-``k`` cosine neighbors per query vector.
+
+    Plan: broadcast the (small) query side against the corpus scan, compute
+    cosine JVM-side, per-query top-k via ranking window. Total order
+    (score desc, neighbor id) makes results deterministic under ties.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes: sum of 4 LCG uniforms - 2
+    (Irwin–Hall approximation) — fixed stream, no RNG object."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(nbits):
+        v: list[float] = []
+        for _ in range(dim):
+            acc = 0.0
+            for _ in range(4):
+                state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+                acc += state / float(2**63)
+            v.append(acc - 2.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_signature(df: DataFrame, vec_col: str, nbits: int = 16, seed: int = 42, dim: int = 64):
+    """Append an ``nbits``-bit signed-random-projection signature column."""
+    planes = _hyperplanes(dim, nbits, seed)
+    vec = as_double(F.col(vec_col))
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)), j)
+    return df.withColumn("__sig", sig)
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-``k``: candidates share ≥1 LSH signature band with the
+    query (equi-join on (band, value) — the shuffle key is 2 small ints),
+    then exact cosine re-rank within candidates. Same output schema as
+    :func:`cosine_topk`."""
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        with_sig = lsh_signature(df, vec_col, nbits=nbits, dim=dim)
+        return with_sig.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("__sig", i * width).bitwiseAND(F.lit(mask)).alias("val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(id_alias, vec_alias, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    qb = banded(queries, "query_id", "__qv")
+    cb = banded(corpus, "neighbor_id", "__cv")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv"))).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,7 +1,381 @@
-"""North-star LLM-data-pipeline queries (dedup, similarity search,
-text analysis, multimodal) over the ``documents`` and ``embeddings`` tables.
+"""North-star LLM-data-pipeline queries over ``documents`` / ``embeddings``:
+deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity
+search (exact brute force, hyperplane LSH), text analysis (language ID,
+quality scoring, token stats, fingerprinting), and multimodal plumbing.
 
-Filled in by operators/{dedup,similarity,multimodal}.py and functions/text.py.
+Tokenization/shingle/Jaccard conventions are shared with the DuckDB twins
+(see functions/text.py); similarity values are computed in DOUBLE with
+identical accumulation order on both engines, so even float comparisons
+hash-match exactly.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    bpe_token_estimate,
+    fingerprint,
+    marker_score,
+    sql_fingerprint,
+    token_count,
+    tokens,
+)
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.functions.vector import cosine
+from dibimbing_case_study_etl_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from dibimbing_case_study_etl_spark.operators.multimodal import decode_features, to_blob_table
+from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dibimbing_case_study_etl_spark.queries import query
+
+# DuckDB twin of functions.text.word_shingles(k=3) + jaccard_pairs:
+_SQL_SHINGLE_CTE = """
+    tok AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH {_SQL_SHINGLE_CTE}
+    SELECT doc_a, doc_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: identical text collapses to the lowest doc_id.
+
+    Scale: shuffle keyed by xxhash64(text) (8-byte key), map-side combine."""
+    t = register(spark, sf_dir, ("documents",))
+    return dedup_exact(t["documents"], "doc_id", "text")
+
+
+@query(
+    "d02_dedup_jaccard_pairs",
+    oracle=_SQL_JACCARD_PAIRS,
+    tags=("llm", "dedup"),
+)
+def d02_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8 via shingle
+    inverted-index self-join (correctness baseline for d03)."""
+    t = register(spark, sf_dir, ("documents",))
+    return jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+
+
+@query(
+    "d03_dedup_minhash_lsh",
+    # identical oracle to d02: LSH candidates are verified with exact
+    # Jaccard, and at 128 hashes / 32 bands the miss probability for a
+    # 0.8-Jaccard pair is ~5e-8 (verified exhaustive on this data).
+    oracle=_SQL_JACCARD_PAIRS,
+    tags=("llm", "dedup", "lsh"),
+    bench=True,
+)
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (the 100 TB path): banded signature join
+    generates candidates, exact Jaccard verifies — same output as d02 at a
+    cost driven by colliding buckets instead of shingle fan-out."""
+    t = register(spark, sf_dir, ("documents",))
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+
+
+@query(
+    "d04_dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB twin — rows-only check; semantics
+    # covered by tests (near-dup docs from d02 must collide here).
+    tags=("llm", "dedup"),
+)
+def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit token-vote fingerprints, pigeonhole
+    band join for Hamming ≤ 3."""
+    t = register(spark, sf_dir, ("documents",))
+    return simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "d05_embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
+
+    Scale note: O(n²) by construction — the scale path buckets first
+    (s02's hyperplane LSH) and only verifies within buckets."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_ann_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 10
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def s01_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 10 query vectors: broadcast the
+    query side, scan the corpus once, per-query ranking window."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    return cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10)
+
+
+@query(
+    "s02_ann_lsh_topk",
+    oracle=None,  # approximate by design — recall vs s01 asserted in tests
+    tags=("llm", "similarity", "lsh"),
+)
+def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (bucketed candidates + exact
+    re-rank) — same schema as s01; the scale path for ANN."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    # 8 bands × 4 bits: permissive banding because this corpus is weakly
+    # similar (top-10 neighbors sit near cos 0.2-0.5, where hyperplane sign
+    # agreement is barely above chance) — recall/candidate-rate tradeoff is
+    # measured in tests/test_llm_ops.py.
+    return lsh_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, nbits=32, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_marker_score(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'), "
+        f"x -> x IN ({lst}))) AS BIGINT)"
+    )
+
+
+_LANGS = tuple(LANG_MARKERS)
+
+
+def _sql_lang_case() -> str:
+    clauses = []
+    for i, lang in enumerate(_LANGS[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in _LANGS[i + 1 :])
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{_LANGS[-1]}' END"
+
+
+@query(
+    "t01_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {", ".join(f"{_sql_marker_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in _LANGS)}
+      FROM documents
+    )
+    SELECT doc_id, {_sql_lang_case()} AS predicted_lang,
+           GREATEST({", ".join(f"s_{lang}" for lang in _LANGS)}) AS top_score
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def t01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-lexicon occurrence scores per language,
+    deterministic priority-ordered argmax (earlier language wins ties)."""
+    t = register(spark, sf_dir, ("documents",))
+    scored = t["documents"].select(
+        "doc_id",
+        *[marker_score(F.col("text"), LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    pred = None
+    for i, lang in enumerate(_LANGS[:-1]):
+        cond = None
+        for other in _LANGS[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(_LANGS[-1])
+    return scored.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS]).alias("top_score"),
+    )
+
+
+@query(
+    "t02_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, ' +', '', 'g')) AS BIGINT) AS n_nonspace,
+             {_sql_marker_score(EN_STOPWORDS)} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {sql_iround('n_nonspace / n_tokens', 4)} AS avg_token_len,
+           {sql_iround('n_stop / n_tokens', 4)} AS stopword_ratio,
+           {sql_iround('0.5 * (n_stop / n_tokens) + 0.5 * LEAST(1.0, n_tokens / 100.0)', 4)} AS quality_score
+    FROM base
+    """,
+    tags=("llm", "text"),
+    bench=True,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, token shape, stopword density,
+    composite score — pure built-in expressions, one scan, no shuffle."""
+    t = register(spark, sf_dir, ("documents",))
+    n_tokens = token_count(F.col("text"))
+    n_stop = marker_score(F.col("text"), EN_STOPWORDS)
+    n_nonspace = F.length(F.regexp_replace("text", " +", "")).cast("bigint")
+    stop_ratio = n_stop / n_tokens
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        iround(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+        iround(stop_ratio, 4).alias("stopword_ratio"),
+        iround(0.5 * stop_ratio + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "t03_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_estimate,
+           length(text) = n_chars AS n_chars_consistent
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + char count + the chars/4 BPE
+    estimate; cross-checks the table's own n_chars column."""
+    t = register(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        bpe_token_estimate(F.col("text")).alias("bpe_estimate"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_consistent"),
+    )
+
+
+@query(
+    "t04_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_fingerprint("text")} AS fp
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash (base 31
+    mod 2^31-1) over codepoints — an 8-byte identity for dedup joins."""
+    t = register(spark, sf_dir, ("documents",))
+    return t["documents"].select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m01_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
+             AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: pack content as binary+metadata,
+    extract features through Arrow-batched mapInPandas (decode stubbed —
+    deterministic byte-length/checksum features; see operators/multimodal).
+    The oracle checks the binary round-trip byte-for-byte (ASCII corpus:
+    codepoint sum == byte sum)."""
+    t = register(spark, sf_dir, ("documents",))
+    blobs = to_blob_table(t["documents"], "doc_id", "text")
+    return decode_features(blobs, stub=True)

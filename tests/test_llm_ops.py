@@ -1,0 +1,68 @@
+"""Behavioral tests for the LLM-data ops beyond the oracle gate:
+LSH recall vs the exact baseline, SimHash/Jaccard agreement, multimodal
+stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from dibimbing_case_study_etl_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """The LSH path must reproduce the exact-Jaccard answer on this data
+    (that's why it shares d02's oracle)."""
+    exact = pairs(REGISTRY["d02_dedup_jaccard_pairs"].build(spark, sf_dir))
+    lsh = pairs(REGISTRY["d03_dedup_minhash_lsh"].build(spark, sf_dir))
+    assert exact == lsh and len(exact) > 0
+
+
+def test_simhash_catches_near_identical_docs(spark, sf_dir):
+    """SimHash (Hamming ≤ 3) and 3-gram Jaccard ≥ 0.8 are different
+    similarity notions, but near-identical documents must overlap heavily."""
+    jac = pairs(REGISTRY["d02_dedup_jaccard_pairs"].build(spark, sf_dir))
+    sim = pairs(REGISTRY["d04_dedup_simhash"].build(spark, sf_dir))
+    assert len(jac & sim) / len(jac) >= 0.5
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["s01_ann_cosine_topk"].build(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["s02_ann_lsh_topk"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall degraded: {recall}"
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        _decode_real,
+        decode_features,
+        to_blob_table,
+    )
+    from dibimbing_case_study_etl_spark.catalog import register
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00")
+
+    t = register(spark, sf_dir, ("documents",))
+    blobs = to_blob_table(t["documents"].limit(5), "doc_id", "text")
+    rows = decode_features(blobs, stub=True).collect()
+    assert len(rows) == 5 and all(r.n_bytes > 0 for r in rows)
+
+
+def test_fingerprint_is_content_identity(spark, sf_dir):
+    """Equal text ⇒ equal fingerprint; distinct texts ⇒ (here) distinct."""
+    fp = REGISTRY["t04_fingerprint"].build(spark, sf_dir)
+    n = fp.count()
+    assert fp.select("fp").distinct().count() == n  # corpus has no exact dups
