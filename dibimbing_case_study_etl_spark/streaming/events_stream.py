@@ -1,0 +1,74 @@
+"""Event-stream analytics: watermarked tumbling-window aggregation and
+session windows over the ``events`` table schema.
+
+The batch twins live in the query registry (q26_events_hourly,
+q27_events_sessionize); these streaming forms handle unbounded input with
+bounded state — the watermark ages out window state once event time passes
+window_end + delay, which is what makes the operator viable on an
+unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with late-data tolerance
+    ``watermark`` (streaming twin of q26)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap (streaming
+    twin of q27's gaps-and-islands; ``session_window`` keeps state only for
+    open sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming aggregation over all available input synchronously
+    into an in-memory table (test/smoke harness)."""
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,59 @@
+"""Physical-plan audits: the optimizations the 100 TB posture depends on
+must actually appear in the plans — filter/projection pushdown into the
+parquet scan, broadcast joins for dims, window-group-limit for top-N,
+whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+from dibimbing_case_study_etl_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def explain_str(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q05_broadcasts_dimensions(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q05_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q06_pushes_all_predicates(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q06_revenue_filter")
+    assert "PushedFilters" in plan and "l_discount" in plan and "l_quantity" in plan
+
+
+def test_q20_uses_window_group_limit(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q20_window_topn_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q02_topk_avoids_global_sort(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q02_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = REGISTRY["q01_pricing_summary"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
