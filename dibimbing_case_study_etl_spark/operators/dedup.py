@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
 
@@ -45,9 +46,30 @@ def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread rows across the session's full parallelism before a
+    CPU-heavy per-row stage. A small table often arrives as one parquet
+    split (locally: a single file; at scale: a skewed layout) and would
+    otherwise run shingle/hash extraction on one core — the narrow-row
+    shuffle is orders of magnitude cheaper than the per-row work it
+    parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist and force an intermediate that the downstream DAG references
+    more than once (self-joins, verify-after-candidates). Without this,
+    every reference re-executes the full upstream — shingle explode +
+    hashing ran 3-4× in the LSH pipeline. At cluster scale the same
+    pattern holds: materialize once, reuse across consumers."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) inverted index, distinct shingles per doc."""
-    return df.select(
+    return _spread(df, id_col).select(
         F.col(id_col).alias("__id"), F.explode(word_shingles(F.col(text_col), k)).alias("__s")
     )
 
@@ -77,7 +99,7 @@ def jaccard_pairs(
     huge numbers of documents (join fan-out ~ df²); this operator is the
     correctness baseline — :func:`minhash_lsh_pairs` is the scale path.
     """
-    sh = _shingle_index(df, id_col, text_col, k)
+    sh = _materialize(_shingle_index(df, id_col, text_col, k))  # used 3× below
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -134,7 +156,18 @@ def minhash_lsh_pairs(
     the difference is the candidate-generation cost at scale.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # the shingle index feeds both signature generation and the final exact
+    # verification; the signature table feeds every band — materialize both.
+    sh = _materialize(_shingle_index(df, id_col, text_col, k))
+    x = F.pmod(F.xxhash64("__s"), F.lit(_P))
+    sig = _materialize(
+        sh.groupBy(F.col("__id").alias("doc_id")).agg(
+            *[
+                F.min((F.lit(a) * x + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+            ]
+        )
+    )
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{band * rows + r}") for r in range(rows)]).alias(f"band_{band}")
@@ -149,7 +182,7 @@ def minhash_lsh_pairs(
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
     a, b = stacked.alias("a"), stacked.alias("b")
-    candidates = (
+    candidates = _materialize(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -162,7 +195,6 @@ def minhash_lsh_pairs(
 
     # exact verification restricted to candidates: semi-join the shingle
     # index down to candidate docs, then count common shingles per pair.
-    sh = _shingle_index(df, id_col, text_col, k)
     cand_docs = candidates.select(F.col("doc_a").alias("__id")).union(
         candidates.select("doc_b")
     ).distinct()
@@ -183,7 +215,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One explode + one grouped aggregation (64 conditional sums) — a single
     shuffle keyed by doc id."""
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    tok = _spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     x = F.xxhash64("__t")
     votes = [
         F.sum(F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v_{j}")
@@ -210,7 +244,7 @@ def simhash_pairs(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = simhash64(df, id_col, text_col)
+    sig = _materialize(simhash64(df, id_col, text_col))  # self-joined below
     mask = (1 << width) - 1
 
     stacked = sig.select(

@@ -51,6 +51,9 @@ def decode_features(blobs: DataFrame, stub: bool = True) -> DataFrame:
     emits deterministic features (byte length + additive checksum) so the
     full distributed path is exercised and oracle-checkable.
     """
+    # spread across cores first: a single-file input would otherwise run the
+    # (expensive, real-decode) Python stage on one worker
+    blobs = blobs.repartition(blobs.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine, dot, norm
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread before CPU-heavy per-row vector math (see dedup._spread)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
 def cosine_topk(
@@ -31,15 +36,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-``k`` cosine neighbors per query vector.
 
-    Plan: broadcast the (small) query side against the corpus scan, compute
-    cosine JVM-side, per-query top-k via ranking window. Total order
-    (score desc, neighbor id) makes results deterministic under ties.
+    Plan: broadcast the (small) query side against the corpus scan (spread
+    across all cores), norms precomputed once per vector instead of per
+    pair, dot product JVM-side, per-query top-k via ranking window. Total
+    order (score desc, neighbor id) makes results deterministic under ties.
+    The cosine arithmetic (sequential double accumulation, sqrt per side)
+    is unchanged by the precompute, so values stay oracle-bitwise-equal.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -47,6 +61,32 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All vector pairs (a < b) with cosine ≥ ``threshold`` — exact all-pairs
+    baseline (O(n²) by construction; the LSH path buckets first). Norms are
+    computed once per vector; the pair join spreads across all cores."""
+    e = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("vec_a"),
+            F.col("b.__id").alias("vec_b"),
+            (dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

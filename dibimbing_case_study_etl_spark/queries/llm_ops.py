@@ -26,7 +26,6 @@ from dibimbing_case_study_etl_spark.functions.text import (
     tokens,
 )
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
-from dibimbing_case_study_etl_spark.functions.vector import cosine
 from dibimbing_case_study_etl_spark.operators.dedup import (
     dedup_exact,
     jaccard_pairs,
@@ -34,7 +33,11 @@ from dibimbing_case_study_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from dibimbing_case_study_etl_spark.operators.multimodal import decode_features, to_blob_table
-from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dibimbing_case_study_etl_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from dibimbing_case_study_etl_spark.queries import query
 
 # DuckDB twin of functions.text.word_shingles(k=3) + jaccard_pairs:
@@ -148,17 +151,7 @@ def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: O(n²) by construction — the scale path buckets first
     (s02's hyperplane LSH) and only verifies within buckets."""
     t = register(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"].select("vec_id", "embedding")
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.45)
-    )
+    return cosine_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
