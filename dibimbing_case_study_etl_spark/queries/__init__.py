@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dibimbing_case_study_etl_spark.queries import (  # noqa: F401
         llm_ops,
         relational,
+        relational2,
     )
 
     return REGISTRY

@@ -41,7 +41,7 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_cell(v: Any) -> Any:
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):
