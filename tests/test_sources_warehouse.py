@@ -1,0 +1,66 @@
+"""File-format round-trips, JDBC upsert SQL generation, catalog DDL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.config import PipelineConfig, StorageConfig
+from dibimbing_case_study_etl_spark.pipeline.weather import run_pipeline
+from dibimbing_case_study_etl_spark.schemas import WEATHER_SCHEMA
+from dibimbing_case_study_etl_spark.sources.files import (
+    read_csv,
+    read_orc,
+    read_parquet,
+    write_table,
+)
+from dibimbing_case_study_etl_spark.sources.jdbc import upsert_sql
+from dibimbing_case_study_etl_spark.warehouse import register_warehouse
+from tests.test_weather_pipeline import payload
+
+
+def _l2_df(spark, tmp_path):
+    cfg = PipelineConfig(storage=StorageConfig(base_dir=str(tmp_path)))
+    run_pipeline(spark, cfg, ds="2025-10-16", payload=payload(24))
+    return cfg, spark.read.parquet(cfg.storage.l2_path).select(*[f.name for f in WEATHER_SCHEMA.fields])
+
+
+def test_format_round_trips(spark, tmp_path):
+    _, df = _l2_df(spark, tmp_path)
+    rows = {r.ts for r in df.collect()}
+
+    orc_path = str(tmp_path / "as_orc")
+    write_table(df, orc_path, fmt="orc")
+    assert {r.ts for r in read_orc(spark, orc_path).collect()} == rows
+
+    csv_path = str(tmp_path / "as_csv")
+    write_table(df, csv_path, fmt="csv", compression="none")
+    back = read_csv(spark, csv_path, WEATHER_SCHEMA, header=False)
+    assert {r.ts for r in back.collect()} == rows
+
+    pq_path = str(tmp_path / "as_parquet")
+    write_table(df, pq_path, fmt="parquet", partition_by=("date",))
+    assert read_parquet(spark, pq_path).count() == len(rows)
+
+
+def test_upsert_sql_reference_parity():
+    sql = upsert_sql(
+        "weather.l1_weather_hourly",
+        ["ts", "date", "hour", "latitude", "longitude", "timezone", "temperature_c", "load_ds", "source"],
+        keys=["ts", "latitude", "longitude", "source"],
+        update_cols=["temperature_c", "timezone", "load_ds"],
+    )
+    assert "ON CONFLICT (ts, latitude, longitude, source) DO UPDATE SET" in sql
+    assert "temperature_c = EXCLUDED.temperature_c" in sql
+    assert "date = EXCLUDED.date" not in sql  # L1 never updates date/hour
+
+
+def test_warehouse_catalog_tables(spark, tmp_path):
+    cfg, _ = _l2_df(spark, tmp_path)
+    register_warehouse(spark, cfg)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n FROM l2_weather_hourly WHERE date = DATE'2025-10-16'"
+    ).first()
+    assert out.n == 24
+    assert spark.table("l1_weather_hourly").count() == 24
+    spark.sql("DROP TABLE l1_weather_hourly")
+    spark.sql("DROP TABLE l2_weather_hourly")
