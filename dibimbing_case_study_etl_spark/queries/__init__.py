@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops,
         relational,
         relational2,
+        relational3,
     )
 
     return REGISTRY

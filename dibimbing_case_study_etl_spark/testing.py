@@ -49,8 +49,10 @@ def _canon_cell(v: Any) -> Any:
         return v
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_cell(x) for x in v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return _canon_cell(v.item())
     return v
 
 
