@@ -65,7 +65,13 @@ def merge_upsert(
     for last-wins batch semantics). Returns the number of source rows merged
     after in-batch dedup.
 
-    ``partition_col`` must be functionally dependent on ``keys``.
+    CONTRACT: ``partition_col`` must be functionally dependent on ``keys``
+    (here: date = date(ts), ts ∈ PK). If a key could appear under two
+    partition values, a source row in a partition the target stores that
+    key elsewhere in would insert a duplicate instead of updating —
+    partition-scoped merging cannot see across partitions by design
+    (that's what keeps it O(touched partitions)). The property suite
+    demonstrates the violation mode (tests/test_property.py).
     """
     keys = list(keys)
     update_cols = list(update_cols)

@@ -32,7 +32,12 @@ from dibimbing_case_study_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from dibimbing_case_study_etl_spark.operators.multimodal import decode_features, to_blob_table
+from dibimbing_case_study_etl_spark.operators.multimodal import (
+    decode_features,
+    resize_images,
+    synth_image_table,
+    to_blob_table,
+)
 from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -372,3 +377,30 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     blobs = to_blob_table(t["documents"], "doc_id", "text")
     return decode_features(blobs, stub=True)
+
+
+@query(
+    "m02_image_resize_pipeline",
+    oracle="""
+    SELECT doc_id,
+           16 + doc_id % 64                        AS orig_w,
+           16 + (doc_id * 7) % 64                  AS orig_h,
+           GREATEST(1, (16 + doc_id % 64) // 2)        AS new_w,
+           GREATEST(1, (16 + (doc_id * 7) % 64) // 2)  AS new_h,
+           GREATEST(1, (16 + doc_id % 64) // 2)
+             * GREATEST(1, (16 + (doc_id * 7) % 64) // 2) AS n_pixels,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
+             AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def m02_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-shaped multimodal pipeline: binary content + typed
+    struct<format, width, height> metadata → Arrow-batched resize pass
+    (halve dimensions, min 1) → features. Decode/resample is the stubbed
+    step; schema, metadata math, batch shape, and partitioning are real
+    and oracle-checked end-to-end."""
+    t = register(spark, sf_dir, ("documents",))
+    return resize_images(synth_image_table(t["documents"], "doc_id", "text"), stub=True)
