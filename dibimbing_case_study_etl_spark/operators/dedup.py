@@ -209,6 +209,63 @@ def minhash_lsh_pairs(
     return _pairs_from_common(sh, common, threshold)
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected-component clustering of near-dup pairs: every document
+    gets the minimum doc id reachable through the pair graph as its
+    ``cluster_id`` (singletons cluster with themselves). The standard
+    "keep one per duplicate cluster" step after candidate-pair generation.
+
+    Algorithm: distributed min-label propagation — each iteration joins
+    labels across (symmetrized) edges and keeps the per-node min; iterate
+    until a fixpoint (checked with a single count of changed labels, the
+    only driver-side value). Converges in O(diameter) iterations; each is
+    one shuffle keyed by node. Near-dup graphs have tiny diameters, so
+    this terminates in 2-3 iterations in practice.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    edges = _materialize(edges)
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).cast("bigint").alias("label"))
+    labels = _materialize(labels)
+
+    for _ in range(max_iterations):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = _materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on every bit of
     xxhash64(token); bit j of the fingerprint is the vote sign.

@@ -27,6 +27,7 @@ from dibimbing_case_study_etl_spark.functions.text import (
 )
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -136,6 +137,44 @@ def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join for Hamming ≤ 3."""
     t = register(spark, sf_dir, ("documents",))
     return simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "d06_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clustering: each document labeled with the
+    minimum doc id reachable through the near-dup pair graph (iterative
+    min-label propagation — the one genuinely iterative algorithm in the
+    engine; the DuckDB twin is a recursive-CTE transitive closure)."""
+    t = register(spark, sf_dir, ("documents",))
+    prs = jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+    return dedup_clusters(t["documents"], prs, "doc_id")
 
 
 @query(
