@@ -53,6 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Register each table as a temp view named after itself; returns the
     DataFrames. Re-registration is cheap (metadata only) and idempotent."""
+    # timestamp semantics (hour/date_trunc/year...) must match the UTC-naive
+    # parquet data and the DuckDB oracle regardless of the caller's session
+    # defaults — pin the session timezone here, where every query passes.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in tables:
         df = load_table(spark, sf_dir, name)

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
     )
 
     return REGISTRY

@@ -178,6 +178,59 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d07_dedup_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT cluster_id,
+           -(MAX(struct_pack(len := length(text), negid := -doc_id))).negid AS keeper_id,
+           COUNT(*) AS n_members
+    FROM clusters JOIN documents USING (doc_id)
+    GROUP BY cluster_id
+    """,
+    tags=("llm", "dedup", "resolution"),
+)
+def d07_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: cluster near-dups (d06), then pick one
+    canonical keeper per cluster — longest document, ties to the lowest
+    doc id (a deterministic argmax via max-of-struct, never arg_max whose
+    tie behavior is engine-defined). The output is exactly what a training
+    -data pipeline feeds the filter stage: keep keeper_id, drop the rest."""
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    joined = clusters.join(docs.select("doc_id", "text"), "doc_id")
+    best = F.max(F.struct(F.length("text").alias("len"), (-F.col("doc_id")).alias("negid")))
+    return joined.groupBy("cluster_id").agg(
+        (-best.getField("negid")).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@query(
     "d05_embedding_neardup_pairs",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
