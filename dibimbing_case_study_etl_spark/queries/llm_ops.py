@@ -443,6 +443,46 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select("doc_id", fingerprint("text").alias("fp"))
 
 
+@query(
+    "t05_hash_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {sql_fingerprint("text")} % 100 AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM fp GROUP BY split
+    """,
+    tags=("llm", "text", "sampling"),
+)
+def t05_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10): the
+    assignment depends only on document content, so it is stable across
+    runs, re-partitions, and engine versions — the property random
+    `sample()` cannot give a reproducible training pipeline. Built on the
+    cross-engine fingerprint, so even the split assignment is
+    oracle-checked."""
+    t = register(spark, sf_dir, ("documents",))
+    bucket = fingerprint("text") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
