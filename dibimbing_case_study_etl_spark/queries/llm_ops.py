@@ -42,6 +42,7 @@ from dibimbing_case_study_etl_spark.operators.multimodal import (
 from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
+    cosine_topk_blas,
     lsh_cosine_topk,
 )
 from dibimbing_case_study_etl_spark.queries import query
@@ -300,6 +301,80 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agreement is barely above chance) — recall/candidate-rate tradeoff is
     # measured in tests/test_llm_ops.py.
     return lsh_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, nbits=32, bands=8)
+
+
+@query(
+    "s03_ann_topk_blas",
+    oracle=None,  # BLAS reorders accumulation → not bitwise vs the oracle;
+    # ranking agreement with s01 asserted in tests
+    tags=("llm", "similarity", "blas"),
+)
+def s03_ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 via Arrow-batched numpy GEMM — the serving-
+    throughput variant of s01 (one BLAS matmul per corpus batch instead of
+    per-pair JVM lambdas)."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    return cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=10)
+
+
+@query(
+    "s04_embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      -- parallel unnests zip in DuckDB: (position, value) pairs per element
+      SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    SELECT dim,
+           SUM(CAST(ROUND(v * 1000000) AS BIGINT)) / 1000000.0 / COUNT(v) AS mean_v,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v
+    FROM dims GROUP BY dim
+    """,
+    tags=("llm", "embedding", "array"),
+)
+def s04_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the profiling step before
+    normalization/whitening in a training pipeline): posexplode the vector
+    into (dim, value) rows, aggregate per dimension. One narrow shuffle
+    keyed by the 64-value dim column."""
+    t = register(spark, sf_dir, ("embeddings",))
+    dims = t["embeddings"].select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return dims.groupBy("dim").agg(
+        (F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")) / 1_000_000.0 / F.count("v")).alias(
+            "mean_v"
+        ),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@query(
+    "s05_embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(
+             CAST(embedding AS DOUBLE[]),
+             x -> CAST(ROUND(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))) * 1000000) AS BIGINT) / 1000000.0
+           ) AS unit_vec
+    FROM embeddings
+    """,
+    tags=("llm", "embedding", "transform"),
+)
+def s05_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding to a unit vector (elementwise array
+    transform, no shuffle at all — a pure map stage that would run
+    scan-speed over 100 TB). Elements are rounded at 1e-6 on both engines
+    for a comparable representation."""
+    t = register(spark, sf_dir, ("embeddings",))
+    vec = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(vec, lambda x: F.round(x / nrm * 1_000_000).cast("bigint") / 1_000_000.0)
+    return t["embeddings"].select("vec_id", unit.alias("unit_vec"))
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,21 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall degraded: {recall}"
 
 
+def test_blas_topk_matches_jvm_baseline(spark, sf_dir):
+    """The BLAS serving path must produce the same neighbor sets and ranks
+    as the oracle-checked JVM baseline (values differ only in float dust)."""
+    base = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in REGISTRY["s01_ann_cosine_topk"].build(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in REGISTRY["s03_ann_topk_blas"].build(spark, sf_dir).collect()
+    }
+    agree = sum(1 for k, v in base.items() if blas.get(k) == v)
+    assert agree / len(base) >= 0.98  # float-dust rank swaps only
+
+
 def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
     from dibimbing_case_study_etl_spark.operators.multimodal import (
         _decode_real,
