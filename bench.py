@@ -31,8 +31,45 @@ def main() -> None:
     registry = load_all()
     bench_specs = {n: s for n, s in registry.items() if s.bench}
 
-    # warm the session (JVM/codegen/FS metadata) outside the timed region
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the session outside the timed region — the model is a cluster
+    # with warm executors: JIT'd Catalyst/janino paths, running Python
+    # workers, and touched FS metadata. Uses synthetic rows and the tiny
+    # smoke-scale directory only; never the benched sf_dir.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(200_000).select(
+        "id",
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * 0.001).alias("v"),
+    )
+    dim = spark.range(97).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    (
+        df.join(dim, "k")
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id")))
+        .withColumn("arr", F.array("id", "k"))
+        .select("*", F.explode("arr").alias("e"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.call_function("rint", F.col("v") * 100).cast("bigint")).alias("s"),
+            F.avg("v").alias("a"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("s")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    df.mapInPandas(lambda it: it, schema="id long, k long, v double").groupBy(
+        "k"
+    ).applyInPandas(lambda p: p.head(1), schema="id long, k long, v double").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    smoke = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata", "sf0.001")
+    if os.path.isdir(smoke):
+        spark.read.parquet(os.path.join(smoke, "lineitem.parquet")).selectExpr(
+            "sum(l_quantity)"
+        ).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(bench_specs):
