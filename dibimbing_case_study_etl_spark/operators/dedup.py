@@ -249,15 +249,32 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
-    a, b = stacked.alias("a"), stacked.alias("b")
-    candidates = _materialize(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket-pairs instead of a self-join: ONE shuffle keyed by (band, sig)
+    # collects each LSH bucket, then in-bucket pair enumeration happens
+    # map-side (buckets are near-dup clusters — tiny by construction). A
+    # self-join would shuffle/broadcast the banded table twice and add a
+    # join fan-out stage; this shape also survives 100 TB, where the only
+    # risk is a degenerate giant bucket (identical band values), which is
+    # exactly the case where the pair list is genuinely quadratic.
+    ids = F.sort_array(F.col("ids"))
+    n = F.size(ids)
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("doc_a"), F.element_at(ids, j).alias("doc_b")
+                ),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = _materialize(
+        stacked.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

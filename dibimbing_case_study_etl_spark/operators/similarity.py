@@ -69,22 +69,94 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    nblocks: int = 32,
 ) -> DataFrame:
     """All vector pairs (a < b) with cosine ≥ ``threshold`` — exact all-pairs
-    baseline (O(n²) by construction; the LSH path buckets first). Norms are
-    computed once per vector; the pair join spreads across all cores."""
+    baseline (O(n²) compute by construction; the LSH path buckets first).
+
+    Two phases:
+
+    1. **Blocked-GEMM prefilter** (distributed, no driver collect): vectors
+       are packed into ``nblocks`` block rows, block pairs cross-joined
+       (upper triangle only), and each block pair scored with one numpy
+       matmul inside ``mapInPandas``. Pairs scoring ≥ threshold − 1e-6
+       survive; the margin is ~8 orders of magnitude wider than the worst
+       reordering error of a 64-dim double dot product, so no true pair is
+       lost.
+    2. **Exact rescore** of the surviving pairs with the JVM sequential-
+       accumulation cosine — bitwise-identical values and threshold
+       membership to the naive pair join, at ~candidate cost.
+
+    Scale: compute stays O(n²) (it is the exact baseline), but data
+    movement is O(n·nblocks) and every matmul is cache-blocked BLAS
+    instead of per-pair JVM lambda evaluation (~100× throughput).
+    """
+    import numpy as np
+    import pandas as pd
+
     e = _spread(df, id_col).select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", norm(F.col("__v")))
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, F.col("a.__id") < F.col("b.__id"))
+    )
+    blocks = e.groupBy(F.pmod(F.xxhash64("__id"), F.lit(nblocks)).alias("__b")).agg(
+        F.collect_list(F.struct("__id", "__v")).alias("rows")
+    )
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for rows_a, rows_b, same in zip(pdf["rows_a"], pdf["rows_b"], pdf["same"]):
+                ids_a = np.array([r["__id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["__id"] for r in rows_b], dtype=np.int64)
+                m_a = np.array([r["__v"] for r in rows_a], dtype=np.float64)
+                m_b = np.array([r["__v"] for r in rows_b], dtype=np.float64)
+                m_a /= np.linalg.norm(m_a, axis=1, keepdims=True)
+                m_b /= np.linalg.norm(m_b, axis=1, keepdims=True)
+                sims = m_a @ m_b.T
+                ia, ib = np.nonzero(sims >= threshold - 1e-6)
+                pa, pb = ids_a[ia], ids_b[ib]
+                if same:
+                    keep = pa < pb
+                    pa, pb = pa[keep], pb[keep]
+                else:
+                    pa, pb = np.minimum(pa, pb), np.maximum(pa, pb)
+                out_a.append(pa)
+                out_b.append(pb)
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                }
+            )
+
+    ba, bb = blocks.alias("ba"), blocks.alias("bb")
+    block_pairs = (
+        ba.join(bb, F.col("ba.__b") <= F.col("bb.__b"))
         .select(
-            F.col("a.__id").alias("vec_a"),
-            F.col("b.__id").alias("vec_b"),
-            (dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))).alias(
-                "cos_sim"
-            ),
+            F.col("ba.rows").alias("rows_a"),
+            F.col("bb.rows").alias("rows_b"),
+            (F.col("ba.__b") == F.col("bb.__b")).alias("same"),
+        )
+        # spread the GEMMs: block-pair rows are few-but-heavy, and AQE's
+        # byte-based coalescing would otherwise serialize them onto one task
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    candidates = block_pairs.mapInPandas(score_blocks, schema="vec_a long, vec_b long")
+
+    # exact rescore: values + threshold membership decided by the same JVM
+    # sequential-accumulation arithmetic as the naive pair join
+    ea = e.select(F.col("__id").alias("vec_a"), F.col("__v").alias("__va")).withColumn(
+        "__na", norm(F.col("__va"))
+    )
+    eb = e.select(F.col("__id").alias("vec_b"), F.col("__v").alias("__vb")).withColumn(
+        "__nb", norm(F.col("__vb"))
+    )
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
