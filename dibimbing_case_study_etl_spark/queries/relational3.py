@@ -304,8 +304,9 @@ def q45_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_grouped_pandas_udf",
     oracle=f"""
     WITH stats AS (
+      -- round_even matches pandas Series.round (numpy rint, half-even)
       SELECT event_type,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(value) AS mean_v
+             SUM(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0 / COUNT(value) AS mean_v
       FROM events GROUP BY event_type
     )
     SELECT event_id, e.event_type,

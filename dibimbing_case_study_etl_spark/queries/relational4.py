@@ -135,3 +135,94 @@ def q50_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("total"),
         )
     )
+
+
+@query(
+    "q51_python_udtf_sentences",
+    oracle="""
+    WITH exploded AS (
+      SELECT doc_id, i,
+             TRIM(string_split(text, '.')[i], ' ') AS sentence
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, len(string_split(text, '.')))) AS i)
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS pos,
+           sentence
+    FROM exploded
+    WHERE sentence <> ''
+    """,
+    tags=("udtf", "lateral", "text"),
+)
+def q51_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) splitting documents into positioned
+    sentences, consumed through a SQL LATERAL join — the user-defined
+    *table* half of the UDF surface (q45/q46 cover scalar + grouped).
+
+    The UDTF itself is Arrow-batched per partition; since a table function
+    can't be expressed as a scalar expression, this is the idiomatic Spark
+    shape for "one row in, N typed rows out" transformations."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            pos = 0
+            for part in (text or "").split("."):
+                stripped = part.strip(" ")
+                if stripped:
+                    pos += 1
+                    yield doc_id, pos, stripped
+
+    register(spark, sf_dir, ("documents",))
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.sentence "
+        "FROM documents d, LATERAL split_sentences(d.doc_id, d.text) s"
+    )
+
+
+@query(
+    "q52_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("stateful", "streaming-twin", "pandas"),
+)
+def q52_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` operator (streaming/stateful.py)
+    driven over the events table as an availableNow stream into a memory
+    sink: the final cumulative emission per user must equal the plain
+    grouped aggregate. The oracle proves the custom stateful operator's
+    end-to-end arithmetic; the streaming test additionally proves state
+    carry-over across micro-batches."""
+    import tempfile
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.streaming.events_stream import EVENTS_SCHEMA
+    from dibimbing_case_study_etl_spark.streaming.stateful import user_running_totals
+
+    tmp = tempfile.mkdtemp(prefix="q52_stateful_")
+    src = f"{tmp}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q52_running_totals")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # cumulative emissions: the max-n_events row per user is the final one
+    got = spark.table("q52_running_totals")
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )

@@ -86,3 +86,56 @@ def test_user_sessions_stream(spark, sf_dir, tmp_path):
         (F.col("session_end") < F.col("session_start")) | (F.col("n_events") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    streaming the events in two chunks must converge to the same totals as
+    one batch-mode pass (exact scaled-integer sums make this deterministic
+    under any batch slicing)."""
+    from dibimbing_case_study_etl_spark.streaming.stateful import user_running_totals
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value", "props")
+    first, second = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+    src = str(tmp_path / "src")
+    first.write.mode("overwrite").parquet(src)
+
+    from dibimbing_case_study_etl_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*.parquet")
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: even event_ids
+        second.write.mode("append").parquet(src)
+        q.processAllAvailable()  # micro-batch 2: odd event_ids update state
+    finally:
+        q.stop()
+
+    got = spark.table("running_totals")
+    # cumulative emissions: the row with the max n_events per user is final
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.call_function("rint", F.col("value") * 100).cast("bigint")) / 100.0
+        ).alias("total_value"),
+    )
+    diff = final.join(expected, "user_id", "full").filter(
+        (final["n_events"] != expected["n_events"])
+        | (final["total_value"] != expected["total_value"])
+    )
+    assert final.count() == expected.count()
+    assert diff.count() == 0
