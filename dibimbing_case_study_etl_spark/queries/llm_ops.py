@@ -43,6 +43,7 @@ from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     cosine_topk_blas,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from dibimbing_case_study_etl_spark.queries import query
@@ -316,6 +317,20 @@ def s03_ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("embeddings",))
     e = t["embeddings"].select("vec_id", "embedding")
     return cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=10)
+
+
+@query(
+    "s06_ann_ivf_topk",
+    oracle=None,  # approximate by design — recall vs s01 pinned in tests
+    tags=("llm", "similarity", "ivf"),
+)
+def s06_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via an IVF coarse quantizer (the second
+    scale path next to s02's hyperplane LSH): Lloyd-refined centroid cells,
+    nprobe-limited exact scoring within probed cells."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    return ivf_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, ncells=16, nprobe=8)
 
 
 @query(

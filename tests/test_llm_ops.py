@@ -81,3 +81,18 @@ def test_fingerprint_is_content_identity(spark, sf_dir):
     fp = REGISTRY["t04_fingerprint"].build(spark, sf_dir)
     n = fp.count()
     assert fp.select("fp").distinct().count() == n  # corpus has no exact dups
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=8 of 16 cells must recover most of the exact top-10
+    (approximate path: accuracy contract instead of a SQL oracle)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["s01_ann_cosine_topk"].build(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["s06_ann_ivf_topk"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall degraded: {recall}"
