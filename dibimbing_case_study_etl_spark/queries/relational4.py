@@ -226,3 +226,34 @@ def q52_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
         .select("user_id", "s.n_events", "s.total_value")
     )
+
+
+_Q53_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1992-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1998-12-01 00:00:00'
+    ),
+    monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS cnt
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT m AS month_start, COALESCE(cnt, 0) AS n_orders
+    FROM months LEFT JOIN monthly ON mo = m
+"""
+
+
+@query(
+    "q53_recursive_month_spine",
+    oracle=_Q53_SQL,
+    tags=("recursive-cte", "spine", "sql"),
+)
+def q53_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) building a month spine and
+    gap-filling monthly order counts — the standard calendar-completion
+    pattern; the recursion is driver-light (84 spine rows), the monthly
+    aggregate is one shuffled groupBy, and the spine side broadcasts. The
+    SQL text is engine-portable: the oracle runs the identical query."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(_Q53_SQL)

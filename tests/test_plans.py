@@ -57,3 +57,24 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_d03_candidates_have_no_self_join(spark, sf_dir):
+    """MinHash LSH candidate generation must be the bucket-pass shape
+    (single grouped aggregation over banded signatures), not a shuffled
+    self-join of the banded table; the only joins in the plan belong to
+    the candidate-restricted exact verification."""
+    plan = explain_str(spark, sf_dir, "d03_dedup_minhash_lsh")
+    assert "SortMergeJoin" not in plan
+
+
+def test_s06_ivf_broadcasts_probe_side(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "s06_ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q53_spine_join_is_broadcast(spark, sf_dir):
+    """The 84-row recursive spine must broadcast against the monthly
+    aggregate, never shuffle the fact side for it."""
+    plan = explain_str(spark, sf_dir, "q53_recursive_month_spine")
+    assert "BroadcastHashJoin" in plan
