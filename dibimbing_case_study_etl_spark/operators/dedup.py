@@ -278,26 +278,46 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates: the JVM shingle index
-    # (same `word_shingles` definition as jaccard_pairs) is built for the
-    # candidate docs ONLY — at a 0.8 threshold that is a tiny fraction of
-    # the corpus, so the expensive explode+self-join touches ~nothing.
-    cand_docs = candidates.select(F.col("doc_a").alias(id_col)).union(
-        candidates.select(F.col("doc_b").alias(id_col))
-    ).distinct()
-    sh_c = _materialize(
-        _shingle_index(df.join(F.broadcast(cand_docs), id_col, "left_semi"), id_col, text_col, k)
+    # exact verification restricted to candidates: broadcast the (tiny)
+    # candidate list against two scans of the corpus to attach both texts,
+    # then verify each pair with exact shingle-set intersection in one
+    # Arrow-batched pass. The arithmetic is engine-neutral: integer set
+    # sizes and one double division — bit-identical to the inverted-index
+    # verification (jaccard_pairs) and to the SQL oracle, which all divide
+    # the same integers. The shingling is the literal-space tokenization
+    # `functions.text.word_shingles` defines (split on ' +' after
+    # trimming spaces, distinct space-joined k-grams).
+    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a"))
+    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__text_b"))
+    with_texts = (
+        ta.join(F.broadcast(candidates), "doc_a")
+        .join(F.broadcast(tb.join(F.broadcast(candidates), "doc_b", "left_semi")), "doc_b")
     )
-    aa, bb = sh_c.alias("a"), sh_c.alias("b")
-    common = (
-        aa.join(bb, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-    )
-    # per-doc shingle-set sizes from the restricted index are identical to
-    # the full-corpus values (sizes are per-document quantities)
-    return _pairs_from_common(sh_c, common, threshold)
+
+    def _grams(text: str) -> set:
+        words = split_re.split(text.strip(" ")) if text is not None else []
+        if len(words) < k:
+            return set()
+        return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+    def verify_batches(batches):
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for doc_a, doc_b, text_a, text_b in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["__text_a"], pdf["__text_b"]
+            ):
+                ga, gb = _grams(text_a), _grams(text_b)
+                if not ga or not gb:
+                    continue
+                n_common = len(ga & gb)
+                jac = n_common / (len(ga) + len(gb) - n_common)
+                if jac >= threshold:
+                    out_a.append(doc_a)
+                    out_b.append(doc_b)
+                    out_j.append(jac)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return with_texts.mapInPandas(verify_batches, schema="doc_a long, doc_b long, jaccard double")
 
 
 def dedup_clusters(
