@@ -124,3 +124,106 @@ def resize_images(images: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return images.mapInPandas(resize, schema=IMAGE_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, checksum bigint"
+
+
+def synth_video_table(
+    df: DataFrame, id_col: str, text_col: str, frame_bytes: int = 8, fps: int = 24
+) -> DataFrame:
+    """Deterministic fake-video table: the payload is the document's bytes
+    interpreted as a sequence of fixed-size 'frames'; the metadata struct
+    carries frame geometry (n_frames = payload // frame_bytes, trailing
+    partial frame dropped) — the real video layout (binary + typed
+    metadata) without codec libraries."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake-video").alias("format"),
+            (F.octet_length(content) / frame_bytes).cast("bigint").alias("n_frames"),
+            F.lit(frame_bytes).cast("bigint").alias("frame_bytes"),
+            F.lit(fps).cast("bigint").alias("fps"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(videos: DataFrame, step: int = 4, stub: bool = True) -> DataFrame:
+    """Frame sampling over the video table: every ``step``-th frame is
+    sliced out of the payload byte-exactly and fingerprinted (byte sum) —
+    one Arrow-batched pass, partition-spread first. The frame *decode* is
+    the stubbed deployment step (`_decode_real`); the byte slicing,
+    per-frame fan-out (one row in → n_frames/step rows out), schema, and
+    batch shape are the real pipeline."""
+    videos = videos.repartition(videos.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not stub:  # pragma: no cover - deployment path
+                [_decode_real(b) for b in pdf["content"]]
+            ids, idxs, sums = [], [], []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                fb = int(meta["frame_bytes"])
+                for f in range(0, int(meta["n_frames"]), step):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sums.append(sum(blob[f * fb : (f + 1) * fb]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "checksum": sums})
+
+    return videos.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id bigint, sr_in bigint, sr_out bigint, n_in bigint, n_out bigint, checksum bigint"
+)
+
+
+def synth_audio_table(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic fake-audio table: the payload is the document's bytes
+    interpreted as 8-bit PCM samples; the metadata struct carries the codec
+    facts a real audio pipeline needs (sample rate, sample count, bit
+    depth) — the real audio layout (binary + typed metadata) without
+    torchaudio/ffmpeg."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake-pcm8").alias("format"),
+            F.lit(sample_rate).cast("bigint").alias("sample_rate"),
+            F.octet_length(content).cast("bigint").alias("n_samples"),
+            F.lit(8).cast("bigint").alias("bit_depth"),
+        ).alias("meta"),
+    )
+
+
+def resample_audio(audio: DataFrame, factor: int = 4, stub: bool = True) -> DataFrame:
+    """Decimation resample over the audio table: keep every ``factor``-th
+    sample (sr_out = sr_in / factor) and fingerprint the decimated signal
+    (byte sum). One Arrow-batched ``mapInPandas`` pass, partition-spread
+    first. The anti-alias filter + interpolation of a production resampler
+    is the stubbed step (`_decode_real`); the byte-exact decimation,
+    metadata arithmetic, schema, and batch shape are the real pipeline."""
+    audio = audio.repartition(audio.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not stub:  # pragma: no cover - deployment path
+                [_decode_real(b) for b in pdf["content"]]
+            rows = {"doc_id": [], "sr_in": [], "sr_out": [], "n_in": [], "n_out": [], "checksum": []}
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                sr = int(meta["sample_rate"])
+                decimated = blob[::factor]
+                rows["doc_id"].append(doc_id)
+                rows["sr_in"].append(sr)
+                rows["sr_out"].append(sr // factor)
+                rows["n_in"].append(len(blob))
+                rows["n_out"].append(len(decimated))
+                rows["checksum"].append(sum(decimated))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(resample, schema=AUDIO_RESAMPLE_SCHEMA)

@@ -34,6 +34,10 @@ from dibimbing_case_study_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from dibimbing_case_study_etl_spark.operators.multimodal import (
+    resample_audio,
+    sample_frames,
+    synth_audio_table,
+    synth_video_table,
     decode_features,
     resize_images,
     synth_image_table,
@@ -626,3 +630,61 @@ def m02_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and oracle-checked end-to-end."""
     t = register(spark, sf_dir, ("documents",))
     return resize_images(synth_image_table(t["documents"], "doc_id", "text"), stub=True)
+
+
+@query(
+    "m03_video_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, CAST(length(text) // 8 AS BIGINT) - 1, 4)) AS frame_idx
+      FROM documents
+      WHERE length(text) >= 8
+    )
+    SELECT f.doc_id, f.frame_idx,
+           CAST(list_sum(list_transform(
+             generate_series(1, 8),
+             i -> unicode(substring(d.text, CAST(f.frame_idx * 8 + i AS INTEGER), 1))
+           )) AS BIGINT) AS checksum
+    FROM frames f JOIN documents d USING (doc_id)
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal pipeline: pack documents as fake videos
+    (binary payload = fixed 8-byte frames + typed metadata), then sample
+    every 4th frame byte-exactly with a per-frame fingerprint. The oracle
+    recomputes the same slicing arithmetic from the synthetic construction
+    (ASCII text ⇒ byte sum == codepoint sum), so the full binary fan-out
+    path is value-checked, with only the codec decode stubbed."""
+    t = register(spark, sf_dir, ("documents",))
+    videos = synth_video_table(t["documents"], "doc_id", "text", frame_bytes=8, fps=24)
+    return sample_frames(videos, step=4)
+
+
+@query(
+    "m04_audio_resample",
+    oracle="""
+    SELECT doc_id,
+           16000 AS sr_in,
+           4000 AS sr_out,
+           CAST(length(text) AS BIGINT) AS n_in,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS n_out,
+           CAST(COALESCE(list_sum(list_transform(
+             generate_series(1, CAST(length(text) AS BIGINT), 4),
+             i -> unicode(substring(text, CAST(i AS INTEGER), 1))
+           )), 0) AS BIGINT) AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal pipeline: pack documents as fake 8-bit PCM
+    (binary payload + typed codec metadata), then decimation-resample 4:1
+    with a fingerprint of the decimated signal. The oracle recomputes the
+    same stride arithmetic from the synthetic construction (ASCII text ⇒
+    byte == codepoint), so the byte-exact decimation path is value-checked,
+    with only the production anti-alias filter stubbed."""
+    t = register(spark, sf_dir, ("documents",))
+    audio = synth_audio_table(t["documents"], "doc_id", "text", sample_rate=16000)
+    return resample_audio(audio, factor=4)

@@ -66,6 +66,47 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes", watermark: str = "
     )
 
 
+def view_purchase_attribution(
+    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's views in the preceding ``horizon``.
+
+    Both inputs are watermarked and the join carries an event-time range
+    condition — that pair is what bounds the state store: Spark can drop a
+    buffered view once the watermark passes view.ts + horizon, so state
+    stays O(events in the horizon window) regardless of total stream
+    length. Without the time bound a stream-stream join would buffer both
+    streams forever.
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "view_ts", "purchase_id", "purchase_ts", "amount"
+    )
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over all available input synchronously
     into an in-memory table (test/smoke harness)."""

@@ -43,3 +43,32 @@ def register_warehouse(spark: SparkSession, cfg: PipelineConfig) -> None:
 
 def table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def create_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed table hash-bucketed (and optionally sorted) on the
+    join/aggregation keys — the 100 TB co-location primitive.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    with NO shuffle on either side (Catalyst reuses the on-disk hash
+    partitioning), and groupBy on the bucket keys skips its exchange too.
+    At cluster scale this turns the biggest repeated cost of a fact-fact
+    join (re-shuffling 100 TB per query) into a one-time write-side cost.
+    Pair with ``sort_cols`` = bucket keys so sort-merge join also skips
+    its per-query sort.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

@@ -96,3 +96,48 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.6, f"IVF recall degraded: {recall}"
+
+
+def test_video_frame_sample_fanout(spark, sf_dir):
+    """Frame sampling fans one video row out to ceil(n_frames/4) frame rows
+    with byte-exact checksums (spot-checked against Python slicing)."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        sample_frames,
+        synth_video_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    vids = synth_video_table(docs, "doc_id", "text", frame_bytes=8)
+    got = {
+        (r.doc_id, r.frame_idx): r.checksum
+        for r in sample_frames(vids, step=4).collect()
+    }
+    for row in docs.collect():
+        blob = row.text.encode()
+        n_frames = len(blob) // 8
+        expect = {
+            (row.doc_id, f): sum(blob[f * 8 : (f + 1) * 8]) for f in range(0, n_frames, 4)
+        }
+        for key, val in expect.items():
+            assert got[key] == val
+
+
+def test_audio_resample_decimation(spark, sf_dir):
+    """4:1 decimation keeps every 4th byte; counts and checksum match a
+    direct Python slice of the same payload."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        resample_audio,
+        synth_audio_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    audio = synth_audio_table(docs, "doc_id", "text", sample_rate=16000)
+    got = {r.doc_id: r for r in resample_audio(audio, factor=4).collect()}
+    for row in docs.collect():
+        blob = row.text.encode()
+        r = got[row.doc_id]
+        assert (r.sr_in, r.sr_out) == (16000, 4000)
+        assert (r.n_in, r.n_out) == (len(blob), len(blob[::4]))
+        assert r.checksum == sum(blob[::4])

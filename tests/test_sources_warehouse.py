@@ -64,3 +64,53 @@ def test_warehouse_catalog_tables(spark, tmp_path):
     assert spark.table("l1_weather_hourly").count() == 24
     spark.sql("DROP TABLE l1_weather_hourly")
     spark.sql("DROP TABLE l2_weather_hourly")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Fact-fact join on co-bucketed tables: neither side shuffles (no
+    Exchange in the join subtree) and neither side re-sorts, and the result
+    is identical to the plain shuffled join."""
+    import contextlib
+    import io
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.warehouse import create_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    create_bucketed_table(
+        orders, "bkt_orders", ("o_orderkey",), num_buckets=8, sort_cols=("o_orderkey",)
+    )
+    create_bucketed_table(
+        lineitem, "bkt_lineitem", ("l_orderkey",), num_buckets=8, sort_cols=("l_orderkey",)
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast; disable so the plan shows the
+        # co-located sort-merge join a fact-fact join would use at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_lineitem"),
+                spark.table("bkt_orders").o_orderkey
+                == spark.table("bkt_lineitem").l_orderkey,
+            )
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+
+        plain = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

@@ -139,3 +139,44 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     )
     assert final.count() == expected.count()
     assert diff.count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (view→purchase attribution)
+    emits exactly the rows the equivalent batch join produces."""
+    from dibimbing_case_study_etl_spark.streaming.events_stream import (
+        view_purchase_attribution,
+    )
+
+    src = _events_dir(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, src)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    run_to_memory(
+        view_purchase_attribution(views, purchases), "attrib_out", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.view_id, r.purchase_id) for r in spark.table("attrib_out").collect()
+    }
+
+    batch = spark.read.parquet(src)
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    expect = {
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in bv.join(
+            bp,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 30 minutes"
+            ),
+        ).collect()
+    }
+    assert len(expect) > 0
+    # with availableNow-style full drain the final watermark passes every
+    # buffered row, so the emitted set must be the complete batch answer
+    assert got == expect
