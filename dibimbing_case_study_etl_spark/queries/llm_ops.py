@@ -688,3 +688,35 @@ def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     audio = synth_audio_table(t["documents"], "doc_id", "text", sample_rate=16000)
     return resample_audio(audio, factor=4)
+
+
+@query(
+    "t06_vocab_topk",
+    oracle="""
+    SELECT term, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+      FROM documents
+    ) WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 100
+    """,
+    tags=("llm", "text"),
+)
+def t06_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by frequency. The explode + groupBy
+    shape is the canonical high-fan-out text aggregation: partial (map-side)
+    counts collapse each partition's term space before the shuffle, and the
+    final top-k is TakeOrderedAndProject — no global sort, driver receives
+    only k rows. (term, n) is unique per term so the DESC/term tiebreak is
+    fully deterministic."""
+    t = register(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(100)
+    )

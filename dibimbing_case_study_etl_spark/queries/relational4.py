@@ -159,12 +159,13 @@ def q51_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences, consumed through a SQL LATERAL join — the user-defined
     *table* half of the UDF surface (q45/q46 cover scalar + grouped).
 
-    The UDTF itself is Arrow-batched per partition; since a table function
-    can't be expressed as a scalar expression, this is the idiomatic Spark
-    shape for "one row in, N typed rows out" transformations."""
+    ``useArrow=True`` moves the row transfer onto Arrow record batches
+    (the pickle row loop is the default); since a table function can't be
+    expressed as a scalar expression, this is the idiomatic Spark shape for
+    "one row in, N typed rows out" transformations."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, pos bigint, sentence string")
+    @udtf(returnType="doc_id bigint, pos bigint, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, doc_id, text):
             pos = 0

@@ -78,3 +78,31 @@ def test_q53_spine_join_is_broadcast(spark, sf_dir):
     aggregate, never shuffle the fact side for it."""
     plan = explain_str(spark, sf_dir, "q53_recursive_month_spine")
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout turns a date predicate into partition
+    pruning: the scan's PartitionFilters carries the predicate and only the
+    matching directory is read — the mechanism that makes a 100 TB
+    date-partitioned table answer single-day queries in O(day), not
+    O(table)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    path = str(tmp_path / "events_by_date")
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    events.write.mode("overwrite").partitionBy("date").parquet(path)
+
+    one_day = spark.read.parquet(path).filter(F.col("date") == "2024-01-03")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # the pruned read must agree with the unpartitioned filter
+    expect = events.filter(F.col("date") == "2024-01-03").count()
+    assert one_day.count() == expect and expect > 0
