@@ -258,3 +258,95 @@ def q53_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL text is engine-portable: the oracle runs the identical query."""
     register(spark, sf_dir, ("orders",))
     return spark.sql(_Q53_SQL)
+
+
+_Q54_SPARK_SQL = """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           SUM(CAST(rint(value * 100) AS BIGINT)) OVER w / CAST(100 AS DOUBLE) AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "q54_window_interval_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           SUM(CAST(round_even(value * 100, 0) AS BIGINT)) OVER w / 100.0 AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "sql-entry"),
+)
+def q54_window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, how many events (and how much
+    value) landed in the trailing hour of *event time* — a frame defined by
+    a time interval, not a row count, so it is insensitive to row density
+    and includes ties (RANGE peers) identically on both engines. One
+    shuffle on user_id; the frame scan is a single ordered pass per
+    partition. Trailing sums use the scaled-integer rint/round_even pair so
+    the doubles hash identically."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(_Q54_SPARK_SQL)
+
+
+@query(
+    "q55_cogrouped_order_reconciliation",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(l_orderkey) AS n_items,
+           CAST(COALESCE(SUM(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS lineitem_cents
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    GROUP BY o_orderkey
+    """,
+    tags=("cogroup", "pandas", "udf"),
+)
+def q55_cogrouped_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped ``applyInPandas`` — the two-table half of the pandas UDF
+    surface (q46 covers one table): orders and lineitem are each shuffled
+    once on the order key, then the Python function sees the pair of
+    aligned pandas frames per key and reconciles the order against its
+    items. ``np.rint`` is IEEE half-even on the binary double — the exact
+    twin of the oracle's ``round_even`` — so the cents totals are
+    bit-identical. The orders side carries a quarter's date slice and the
+    items side is semi-join-pruned to it before the Python stage (cogroup
+    invokes Python once per key, so unpruned item keys would each pay a
+    call just to produce an empty group); the empty-orders guard still
+    covers cogroup's either-side key semantics if the pruning is removed."""
+    import numpy as np
+    import pandas as pd
+
+    t = register(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    ).select("o_orderkey")
+    # prune the items side to the order slice BEFORE the Python stage: a
+    # broadcast semi-join costs one scan, while an unpruned cogroup pays
+    # one Python invocation per item key (measured ~30s vs ~2s at sf0.01)
+    items = t["lineitem"].select("l_orderkey", "l_extendedprice").join(
+        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
+    )
+
+    def reconcile(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(opdf):
+            return pd.DataFrame({"o_orderkey": [], "n_items": [], "lineitem_cents": []})
+        cents = (
+            int(np.rint(lpdf["l_extendedprice"].to_numpy() * 100).astype("int64").sum())
+            if len(lpdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {"o_orderkey": [key[0]], "n_items": [len(lpdf)], "lineitem_cents": [cents]}
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(items.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, schema="o_orderkey bigint, n_items bigint, lineitem_cents bigint")
+    )
