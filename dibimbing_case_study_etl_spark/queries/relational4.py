@@ -350,3 +350,36 @@ def q55_cogrouped_order_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         .cogroup(items.groupBy("l_orderkey"))
         .applyInPandas(reconcile, schema="o_orderkey bigint, n_items bigint, lineitem_cents bigint")
     )
+
+
+@query(
+    "q56_variant_semistructured",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY k_decile
+    """,
+    tags=("variant", "json", "semistructured"),
+)
+def q56_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` converts the props string to Variant's binary encoding
+    once, and ``variant_get`` does typed path extraction on the binary
+    form. At 100 TB this is the right storage shape for ragged JSON —
+    parse once at ingest, store VARIANT, and every downstream query skips
+    string re-parsing (vs q28's per-query ``get_json_object``)."""
+    t = register(spark, sf_dir, ("events",))
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t["events"]
+        .select(F.floor(k / 10).cast("bigint").alias("k_decile"), k.alias("k"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

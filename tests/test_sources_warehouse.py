@@ -114,3 +114,33 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_open_meteo_python_datasource(spark, tmp_path):
+    """Custom Python DataSource: a 3-day range reads as 3 input partitions
+    (one task per day), rows land in the raw schema with the ds column."""
+    from dibimbing_case_study_etl_spark.pipeline.weather import extract_to_raw
+    from dibimbing_case_study_etl_spark.sources.api_source import (
+        register_open_meteo_source,
+    )
+    from tests.test_weather_pipeline import payload
+
+    raw_dir = str(tmp_path / "raw")
+    days = ["2025-10-16", "2025-10-17", "2025-10-18"]
+    for i, ds in enumerate(days):
+        extract_to_raw(payload(24, start=f"{ds}T00:00", temps=[15.0 + i] * 24), raw_dir, ds)
+
+    register_open_meteo_source(spark)
+    df = (
+        spark.read.format("open_meteo")
+        .option("path", raw_dir)
+        .option("start_ds", days[0])
+        .option("end_ds", days[-1])
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.ds: r for r in df.collect()}
+    assert set(rows) == set(days)
+    assert rows["2025-10-17"].hourly.temperature_2m[0] == 16.0
+    assert rows["2025-10-16"].timezone == "Asia/Jakarta"
+    assert len(rows["2025-10-18"].hourly.time) == 24
