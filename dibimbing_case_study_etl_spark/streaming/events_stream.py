@@ -107,6 +107,20 @@ def view_purchase_attribution(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop key-duplicates arriving within the
+    watermark of each other (``dropDuplicatesWithinWatermark``). This is
+    the unbounded-input form of the north-star exact dedup (d01): plain
+    ``dropDuplicates`` on a stream would keep every key seen forever,
+    while the watermark variant ages key state out once event time passes
+    ts + delay — bounded state on an unbounded feed, correct whenever
+    duplicates (retries, at-least-once upstream delivery) arrive within
+    the watermark of the original."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over all available input synchronously
     into an in-memory table (test/smoke harness)."""

@@ -106,3 +106,38 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     # the pruned read must agree with the unpartitioned filter
     expect = events.filter(F.col("date") == "2024-01-03").count()
     assert one_day.count() == expect and expect > 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact to a filtered dimension plants a
+    dynamic-pruning subquery in the fact scan's PartitionFilters: at run
+    time only partitions matching the dim filter's dates are read — the
+    join-driven analogue of static pruning, essential when the predicate
+    arrives via a dimension instead of a literal."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    path = str(tmp_path / "events_dpp")
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    events.write.mode("overwrite").partitionBy("date").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = events.select("date").distinct().withColumn(
+        "is_audit_day", F.dayofmonth("date") == 3
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter("is_audit_day")), "date"
+    ).groupBy("date").count()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan or "dynamicpruningexpression" in plan.lower()
+
+    expect = events.filter(F.dayofmonth("date") == 3).groupBy("date").count()
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))

@@ -144,3 +144,31 @@ def test_open_meteo_python_datasource(spark, tmp_path):
     assert rows["2025-10-17"].hourly.temperature_2m[0] == 16.0
     assert rows["2025-10-16"].timezone == "Asia/Jakarta"
     assert len(rows["2025-10-18"].hourly.time) == 24
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction collapses a fragmented partitioned layout to ~1 file per
+    leaf without changing a single row, and a second run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.maintenance import compact_path
+
+    path = str(tmp_path / "fragmented")
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    # 16 files per date partition — the post-incremental-merge pathology
+    events.repartition(16).write.mode("overwrite").partitionBy("date").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    checksum = before.agg(F.sum("event_id")).first()[0]
+
+    results = compact_path(spark, path, target_file_bytes=128 << 20)
+    assert results, "fragmented leaves should have been rewritten"
+    assert all(b > a for b, a in results.values())
+    assert all(a == 1 for _b, a in results.values())  # tiny leaves -> 1 file
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("event_id")).first()[0] == checksum
+
+    assert compact_path(spark, path, target_file_bytes=128 << 20) == {}

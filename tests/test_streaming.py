@@ -180,3 +180,34 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     # with availableNow-style full drain the final watermark passes every
     # buffered row, so the emitted set must be the complete batch answer
     assert got == expect
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark collapses duplicate event_ids arriving
+    across micro-batches down to the distinct key set."""
+    from dibimbing_case_study_etl_spark.streaming.events_stream import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "dup_src")
+    # land the same events twice (two files -> duplicates straddle batches)
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)
+
+    from dibimbing_case_study_etl_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*.parquet")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_distinct = events.count()
+    got = spark.table("dedup_out")
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
