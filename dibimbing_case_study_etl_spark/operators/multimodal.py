@@ -227,3 +227,36 @@ def resample_audio(audio: DataFrame, factor: int = 4, stub: bool = True) -> Data
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(resample, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+def decode_features_arrow(blobs: DataFrame, stub: bool = True) -> DataFrame:
+    """:func:`decode_features`, but through ``mapInArrow``: the function
+    receives raw ``pyarrow.RecordBatch``es and never materializes pandas
+    objects — no block-manager allocation, no dtype coercion, zero-copy
+    buffer access for the binary column. For a wide binary column this is
+    the leanest Python hop Spark offers; semantics are identical to the
+    pandas path (same schema, same features)."""
+    blobs = blobs.repartition(blobs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def extract(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if not stub:  # pragma: no cover - deployment path
+                [_decode_real(b) for b in batch.column(1)]
+            content = batch.column(batch.schema.get_field_index("content"))
+            checksums = [
+                int(np.frombuffer(v.as_buffer(), dtype=np.uint8).sum()) % 65536
+                for v in content
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pa.compute.binary_length(content).cast(pa.int64()),
+                    pa.array(checksums, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "checksum"],
+            )
+
+    return blobs.mapInArrow(extract, schema=FEATURE_SCHEMA)

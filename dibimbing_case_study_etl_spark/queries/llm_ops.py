@@ -34,6 +34,7 @@ from dibimbing_case_study_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from dibimbing_case_study_etl_spark.operators.multimodal import (
+    decode_features_arrow,
     resample_audio,
     sample_frames,
     synth_audio_table,
@@ -688,6 +689,29 @@ def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     audio = synth_audio_table(t["documents"], "doc_id", "text", sample_rate=16000)
     return resample_audio(audio, factor=4)
+
+
+@query(
+    "m05_features_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
+             AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "arrow"),
+)
+def m05_features_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m01's feature extraction through ``mapInArrow`` instead of
+    ``mapInPandas``: raw RecordBatches in and out, no pandas
+    materialization — the leanest Python hop for binary payloads. Shares
+    m01's byte-exact oracle, so both Python bridge shapes are proven to
+    produce identical results."""
+    t = register(spark, sf_dir, ("documents",))
+    blobs = to_blob_table(t["documents"], "doc_id", "text")
+    return decode_features_arrow(blobs, stub=True)
 
 
 @query(

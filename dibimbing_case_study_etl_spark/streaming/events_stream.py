@@ -107,6 +107,16 @@ def view_purchase_attribution(
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension — no state store involved (the static side is just
+    re-scanned or broadcast per batch), so this is the cheap join shape
+    and the right one whenever the dim is slowly-changing and small
+    relative to the stream. Unlike a stream-stream join it needs no
+    watermark."""
+    return events.join(dim, on, "left")
+
+
 def dedup_stream(
     events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
 ) -> DataFrame:

@@ -211,3 +211,33 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join enriches each micro-batch against a static dim
+    and matches the batch join exactly (no watermark, no state store)."""
+    from dibimbing_case_study_etl_spark.streaming.events_stream import enrich_with_dim
+
+    src = _events_dir(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(src)
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+
+    stream = read_event_stream(spark, src)
+    q = (
+        enrich_with_dim(stream.select("event_id", "ts", "user_id"), dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.event_id, r.lifetime_events) for r in spark.table("enriched_out").collect()}
+    expect = {
+        (r.event_id, r.lifetime_events)
+        for r in batch.select("event_id", "user_id").join(dim, "user_id", "left").collect()
+    }
+    assert got == expect and len(got) > 0

@@ -139,3 +139,30 @@ def test_dst_gap_and_overlap_pinned(spark, cfg):
     )
     rows = read_l2(spark, cfg).collect()
     assert len(rows) == 2 and all(r.ts is not None for r in rows)
+
+
+def test_observed_dq_piggybacks_on_write(spark, tmp_path):
+    """Observation-based DQ: metrics ride the write action itself (no
+    second scan); a clean dataset passes, an injected violation raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.quality import (
+        DataQualityError,
+        assert_observed,
+        observe_checks,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    )
+    observed, obs = observe_checks(df, {"bucket_in_range": F.col("bucket") < 10})
+    observed.write.mode("overwrite").parquet(str(tmp_path / "ok"))
+    counts = assert_observed(obs)
+    assert counts == {"bucket_in_range": 0, "__n": 100}
+
+    observed2, obs2 = observe_checks(df, {"id_small": F.col("id") < 90})
+    observed2.write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    with _pytest.raises(DataQualityError, match="10/100"):
+        assert_observed(obs2)
