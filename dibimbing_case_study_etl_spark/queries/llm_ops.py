@@ -49,6 +49,7 @@ from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_blas,
     ivf_cosine_topk,
+    pq_cosine_topk,
     lsh_cosine_topk,
 )
 from dibimbing_case_study_etl_spark.queries import query
@@ -336,6 +337,22 @@ def s06_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("embeddings",))
     e = t["embeddings"].select("vec_id", "embedding")
     return ivf_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, ncells=16, nprobe=8)
+
+
+@query(
+    "s07_ann_pq_topk",
+    oracle=None,  # approximate by design — recall vs s01 pinned in tests
+    tags=("llm", "similarity", "pq", "compression"),
+)
+def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via product quantization with asymmetric
+    distance: corpus vectors compress 32× to 8 one-byte codes; queries
+    score against per-subspace lookup tables (no corpus floats in the
+    scan), then the shortlist re-ranks exactly. The storage-compression
+    scale path next to s02 (LSH) and s06 (IVF)."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    return pq_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, m=8, ksub=256, oversample=20)
 
 
 @query(

@@ -141,3 +141,22 @@ def test_audio_resample_decimation(spark, sf_dir):
         assert (r.sr_in, r.sr_out) == (16000, 4000)
         assert (r.n_in, r.n_out) == (len(blob), len(blob[::4]))
         assert r.checksum == sum(blob[::4])
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC top-10 must recover a solid fraction of the exact top-10
+    (32x-compressed codes lose precision by design; recall, not identity,
+    is the contract)."""
+    from dibimbing_case_study_etl_spark.queries import load_all
+
+    registry = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in registry["s01_ann_cosine_topk"].build(spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in registry["s07_ann_pq_topk"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.8, f"PQ recall degraded: {recall}"
