@@ -25,7 +25,13 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 RAW_WITH_DS_DDL = (
     "ds string, latitude double, longitude double, timezone string, "
@@ -92,6 +98,36 @@ class OpenMeteoReader(DataSourceReader):
         )
 
 
+class OpenMeteoWriter(DataSourceWriter):
+    """Writer half of the connector: lands each row back into the raw
+    ``source=open-meteo/ds={ds}/payload.json`` layout, executed task-side
+    (one commit message per task, no driver buffering). Round-trips with
+    the reader, so replay/repair jobs can rewrite a landing zone through
+    the same format."""
+
+    def __init__(self, options):
+        self.path = dict(options)["path"]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        written = 0
+        for row in iterator:
+            doc = {
+                "latitude": row.latitude,
+                "longitude": row.longitude,
+                "timezone": row.timezone,
+                "hourly": {
+                    "time": list(row.hourly.time or []),
+                    "temperature_2m": list(row.hourly.temperature_2m or []),
+                },
+            }
+            leaf = os.path.join(self.path, "source=open-meteo", f"ds={row.ds}")
+            os.makedirs(leaf, exist_ok=True)
+            with open(os.path.join(leaf, "payload.json"), "w", encoding="utf-8") as f:
+                json.dump(doc, f)
+            written += 1
+        return WriterCommitMessage()
+
+
 class OpenMeteoDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -102,6 +138,9 @@ class OpenMeteoDataSource(DataSource):
 
     def reader(self, schema) -> OpenMeteoReader:
         return OpenMeteoReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> OpenMeteoWriter:
+        return OpenMeteoWriter(self.options)
 
 
 def register_open_meteo_source(spark) -> None:

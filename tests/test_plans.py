@@ -141,3 +141,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
 
     expect = events.filter(F.dayofmonth("date") == 3).groupBy("date").count()
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_t06_partial_agg_before_shuffle_and_topk(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "t06_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_q55_cogroup_plan_shape(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "q55_cogrouped_order_reconciliation")
+    assert "FlatMapCoGroupsInPandas" in plan

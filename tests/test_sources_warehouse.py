@@ -172,3 +172,40 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert after.agg(F.sum("event_id")).first()[0] == checksum
 
     assert compact_path(spark, path, target_file_bytes=128 << 20) == {}
+
+
+def test_open_meteo_datasource_write_read_roundtrip(spark, tmp_path):
+    """The writer half lands rows back into the raw layout; reading the
+    written zone returns the original rows."""
+    from dibimbing_case_study_etl_spark.pipeline.weather import extract_to_raw
+    from dibimbing_case_study_etl_spark.sources.api_source import (
+        register_open_meteo_source,
+    )
+    from tests.test_weather_pipeline import payload
+
+    src_dir = str(tmp_path / "src_zone")
+    days = ["2025-10-16", "2025-10-17"]
+    for ds in days:
+        extract_to_raw(payload(24, start=f"{ds}T00:00"), src_dir, ds)
+
+    register_open_meteo_source(spark)
+    df = (
+        spark.read.format("open_meteo")
+        .option("path", src_dir)
+        .option("start_ds", days[0])
+        .option("end_ds", days[-1])
+        .load()
+    )
+    dst_dir = str(tmp_path / "dst_zone")
+    df.write.format("open_meteo").option("path", dst_dir).mode("append").save()
+
+    back = (
+        spark.read.format("open_meteo")
+        .option("path", dst_dir)
+        .option("start_ds", days[0])
+        .option("end_ds", days[-1])
+        .load()
+    )
+    a = {(r.ds, tuple(r.hourly.time), tuple(r.hourly.temperature_2m)) for r in df.collect()}
+    b = {(r.ds, tuple(r.hourly.time), tuple(r.hourly.temperature_2m)) for r in back.collect()}
+    assert a == b and len(a) == 2
