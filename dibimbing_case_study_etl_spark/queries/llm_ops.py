@@ -29,6 +29,7 @@ from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iro
 from dibimbing_case_study_etl_spark.operators.dedup import (
     dedup_clusters,
     dedup_exact,
+    edit_distance_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -183,6 +184,29 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     prs = jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
     return dedup_clusters(t["documents"], prs, "doc_id")
+
+
+@query(
+    "d08_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+    FROM documents a JOIN documents b
+      ON substring(a.text, 1, 16) = substring(b.text, 1, 16)
+     AND a.doc_id < b.doc_id
+    WHERE abs(length(a.text) - length(b.text)) <= 8
+      AND levenshtein(a.text, b.text) <= 32
+    """,
+    tags=("llm", "dedup", "edit-distance"),
+)
+def d08_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: exact Levenshtein under prefix
+    blocking — the complement to shingle Jaccard (d02) for small in-place
+    edits. Both the blocking equi-join key and the length gate evaluate
+    before any O(len²) distance DP; integer distances make the SQL oracle
+    exact."""
+    t = register(spark, sf_dir, ("documents",))
+    return edit_distance_pairs(t["documents"], "doc_id", "text")
 
 
 @query(

@@ -383,3 +383,42 @@ def q56_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+_Q57_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "q57_sole_blame_suppliers",
+    oracle=_Q57_SQL,
+    tags=("correlated", "exists", "sql-entry", "tpch-q21"),
+)
+def q57_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on this schema: suppliers whose line was returned
+    in finished multi-supplier orders where NO other supplier's line was
+    returned — a correlated EXISTS and NOT EXISTS against the same fact
+    table in one query. Catalyst rewrites the pair into a left-semi and a
+    null-safe left-anti join on l_orderkey, so the fact shuffles on one
+    key three times rather than once per probed row; the SQL text is
+    engine-portable and the oracle runs it verbatim."""
+    register(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(_Q57_SQL)
