@@ -422,3 +422,36 @@ def q57_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable and the oracle runs it verbatim."""
     register(spark, sf_dir, ("supplier", "lineitem", "orders"))
     return spark.sql(_Q57_SQL)
+
+
+@query(
+    "q58_map_type_aggregation",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)    AS clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER)                     AS n_types
+    FROM events GROUP BY user_id
+    """,
+    tags=("map-type", "collection"),
+)
+def q58_map_type_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user counts collapse into a
+    ``map<event_type, count>`` (``map_from_entries`` over collected
+    structs) and downstream reads are ``element_at`` lookups +
+    ``map_keys`` cardinality. The map is the right shape when the key set
+    is ragged/open-ended — a fixed pivot would grow a column per type; the
+    oracle checks the extracted values exactly."""
+    t = register(spark, sf_dir, ("events",))
+    per_type = (
+        t["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).cast("bigint").alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).cast("bigint").alias("purchases"),
+        F.size(F.map_keys("m")).alias("n_types"),
+    )
