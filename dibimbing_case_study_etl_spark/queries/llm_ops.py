@@ -785,3 +785,113 @@ def t06_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(100)
     )
+
+
+_P01_ORACLE = f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    keepers AS (
+      SELECT -(MAX(struct_pack(len := length(text), negid := -doc_id))).negid AS keeper_id
+      FROM clusters JOIN documents USING (doc_id)
+      GROUP BY cluster_id
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.keeper_id
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             {{q_expr}} AS quality_score
+      FROM kept
+    ),
+    final AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN ({{fp}}) % 100 < 80 THEN 'train'
+                  WHEN ({{fp}}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM scored
+      WHERE n_tokens >= 30 AND quality_score >= 0.25
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM final GROUP BY split
+"""
+
+
+@query(
+    "p01_training_data_pipeline",
+    oracle=_P01_ORACLE.format(
+        q_expr=sql_iround(
+            f"0.5 * (({_sql_marker_score(EN_STOPWORDS)}) "
+            "/ CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)) "
+            "+ 0.5 * LEAST(1.0, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) / 100.0)",
+            4,
+        ),
+        fp=sql_fingerprint("text"),
+    ),
+    tags=("llm", "pipeline", "composite"),
+)
+def p01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline as ONE composed dataflow:
+    near-dup clustering (d06) → canonical keeper per cluster (d07) →
+    quality gate (t02's score) → deterministic content-hash split (t05) →
+    per-split token accounting. Every stage is an operator verified on its
+    own elsewhere in the registry; this query proves they COMPOSE — the
+    lazy plan fuses the keeper anti-join, the quality projection, and the
+    split bucketing into one job with a single wide stage per shuffle
+    boundary, which is exactly how the production pipeline would run at
+    100 TB (no materialization between stages unless asked)."""
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    joined = clusters.join(docs.select("doc_id", "text"), "doc_id")
+    best = F.max(F.struct(F.length("text").alias("len"), (-F.col("doc_id")).alias("negid")))
+    keepers = (
+        joined.groupBy("cluster_id")
+        .agg((-best.getField("negid")).alias("keeper_id"))
+        .select(F.col("keeper_id").alias("doc_id"))
+    )
+    kept = docs.join(keepers, "doc_id")
+
+    n_tokens = token_count(F.col("text"))
+    n_stop = marker_score(F.col("text"), EN_STOPWORDS)
+    quality = iround(0.5 * (n_stop / n_tokens) + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0), 4)
+    scored = kept.select("doc_id", "text", n_tokens.alias("n_tokens"), quality.alias("q"))
+
+    bucket = fingerprint("text") % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    final = scored.filter((F.col("n_tokens") >= 30) & (F.col("q") >= 0.25)).select(
+        "doc_id", "n_tokens", split.alias("split")
+    )
+    return final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

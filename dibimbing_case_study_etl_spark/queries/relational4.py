@@ -455,3 +455,32 @@ def q58_map_type_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).cast("bigint").alias("purchases"),
         F.size(F.map_keys("m")).alias("n_types"),
     )
+
+
+_Q59_BODY = """
+    WITH e AS (
+      SELECT NULLIF(event_type, 'error') AS et, value FROM events
+    ),
+    d AS (SELECT DISTINCT et FROM e)
+    SELECT d.et,
+           COUNT(*) AS n_events,
+           SUM(CAST({rnd} AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
+    FROM d JOIN e ON e.et IS NOT DISTINCT FROM d.et
+    GROUP BY d.et
+"""
+
+
+@query(
+    "q59_null_semantics",
+    oracle=_Q59_BODY.format(rnd="round_even(e.value * 100, 0)"),
+    tags=("nulls", "null-safe-join", "sql-entry"),
+)
+def q59_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: the 'error' type is nulled out, the distinct
+    dim (including the NULL member) joins back null-safely (``IS NOT
+    DISTINCT FROM`` — a plain equi-join would silently drop the NULL
+    group), and GROUP BY places all NULL keys in one group on both
+    engines. The pattern behind unknown-member dimension handling in any
+    warehouse rollup."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(_Q59_BODY.format(rnd="rint(e.value * 100)"))
