@@ -37,3 +37,75 @@ def test_salted_join_rejects_bad_args(spark, sf_dir):
     t = register(spark, sf_dir, ("customer",))
     with pytest.raises(ValueError):
         salted_join(t["customer"], t["customer"], ["c_custkey"], how="right")
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join handling: with one key holding ~half the fact rows,
+    the executed plan must mark the sort-merge join skew-handled (the
+    skewed partition splits into multiple tasks) — the runtime complement
+    to explicit salting for the keys you didn't predict."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # shrink thresholds so test-scale data can exhibit "skew"
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        # funnel half the rows onto one hot key
+        skewed = li.withColumn(
+            "k", F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+        )
+        dim = skewed.select("k").distinct()
+        joined = skewed.join(dim, "k").groupBy("k").count()
+        joined.collect()  # AQE decides skew handling at runtime
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: with half the probe rows on one hot key,
+    the executed plan must mark the sort-merge join skew-handled
+    (SortMergeJoin(skew=true): the hot partition splits into multiple
+    tasks, the build side duplicates opposite them) — the runtime
+    complement to explicit salting for keys you didn't predict."""
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        # scale the byte thresholds down so test-scale shuffles can
+        # qualify as "skewed" (defaults are 256MB/64MB)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        dim = spark.range(200_000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        joined = fact.join(dim, "k").select(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()
+        assert row.n == 200_000  # k=0 matches dim's single 0 row: row count preserved
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
