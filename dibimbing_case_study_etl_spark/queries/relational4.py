@@ -484,3 +484,41 @@ def q59_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse rollup."""
     register(spark, sf_dir, ("events",))
     return spark.sql(_Q59_BODY.format(rnd="rint(e.value * 100)"))
+
+
+@query(
+    "q60_first_last_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, NULLIF(event_type, 'error') AS et FROM events
+    )
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(et IGNORE NULLS) OVER w AS first_type,
+           LAST_VALUE(et IGNORE NULLS)  OVER w AS last_type
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "ignore-nulls", "sql-entry"),
+)
+def q60_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST_VALUE with IGNORE NULLS over an unbounded frame: each
+    user's first and last non-null event type in event-time order (nulls
+    synthesized from the 'error' type). The default frame would cut
+    LAST_VALUE at the current row — the explicit UNBOUNDED FOLLOWING
+    frame is the half of the frame-spec surface ranking windows never
+    touch. Total order (ts, event_id) makes both picks deterministic."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, ts, event_id, NULLIF(event_type, 'error') AS et FROM events
+        )
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(et) IGNORE NULLS OVER w AS first_type,
+               LAST_VALUE(et)  IGNORE NULLS OVER w AS last_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )
