@@ -209,3 +209,19 @@ def test_open_meteo_datasource_write_read_roundtrip(spark, tmp_path):
     a = {(r.ds, tuple(r.hourly.time), tuple(r.hourly.temperature_2m)) for r in df.collect()}
     b = {(r.ds, tuple(r.hourly.time), tuple(r.hourly.temperature_2m)) for r in back.collect()}
     assert a == b and len(a) == 2
+
+
+def test_compact_unpartitioned_root(spark, tmp_path):
+    """Compaction also handles a flat (unpartitioned) layout, where the
+    dataset root itself is the rewrite target."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.maintenance import compact_path
+
+    path = str(tmp_path / "flat")
+    spark.range(10_000).repartition(12).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+
+    results = compact_path(spark, path, target_file_bytes=128 << 20)
+    assert list(results) == [path] and results[path][1] == 1
+    assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == before
