@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dibimbing_case_study_etl_spark.queries import load_all
+from dibimbing_case_study_etl_spark.queries import load_all, ordered_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,10 +21,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries that most need a driver correctness row this round
+    come first (see ``queries.DRIVER_PRIORITY`` / COVERAGE.md) — the driver
+    may verify only a prefix of the registry per round.
+    """
+    return {name: spec.build for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in ordered_registry().items() if spec.oracle is not None
+    }

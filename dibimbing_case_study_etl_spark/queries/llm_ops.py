@@ -25,7 +25,12 @@ from dibimbing_case_study_etl_spark.functions.text import (
     token_count,
     tokens,
 )
-from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    davg,
+    iround,
+    sql_davg,
+    sql_iround,
+)
 from dibimbing_case_study_etl_spark.operators.dedup import (
     dedup_clusters,
     dedup_exact,
@@ -381,7 +386,7 @@ def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s04_embedding_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
       -- parallel unnests zip in DuckDB: (position, value) pairs per element
       SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS dim,
@@ -389,7 +394,7 @@ def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT dim,
-           SUM(CAST(ROUND(v * 1000000) AS BIGINT)) / 1000000.0 / COUNT(v) AS mean_v,
+           {sql_davg("v", 6)} AS mean_v,
            MIN(v) AS min_v,
            MAX(v) AS max_v
     FROM dims GROUP BY dim
@@ -400,15 +405,14 @@ def s04_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding statistics (the profiling step before
     normalization/whitening in a training pipeline): posexplode the vector
     into (dim, value) rows, aggregate per dimension. One narrow shuffle
-    keyed by the 64-value dim column."""
+    keyed by the 64-value dim column. Mean goes through the rint/round_even
+    scaled-integer helpers (order-independent, no BigDecimal per row)."""
     t = register(spark, sf_dir, ("embeddings",))
     dims = t["embeddings"].select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
     )
     return dims.groupBy("dim").agg(
-        (F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")) / 1_000_000.0 / F.count("v")).alias(
-            "mean_v"
-        ),
+        davg(F.col("v"), 6).alias("mean_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
@@ -417,12 +421,18 @@ def s04_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s05_embedding_normalize",
     oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(round_even(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))) * 1000000, 0) AS BIGINT) / 1000000.0
+             ) AS unit_vec
+      FROM embeddings
+    )
     SELECT vec_id,
-           list_transform(
-             CAST(embedding AS DOUBLE[]),
-             x -> CAST(ROUND(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))) * 1000000) AS BIGINT) / 1000000.0
-           ) AS unit_vec
-    FROM embeddings
+           CAST(unnest(generate_series(1, len(unit_vec))) - 1 AS INTEGER) AS pos,
+           unnest(unit_vec) AS value
+    FROM u
     """,
     tags=("llm", "embedding", "transform"),
 )
@@ -430,12 +440,16 @@ def s05_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize each embedding to a unit vector (elementwise array
     transform, no shuffle at all — a pure map stage that would run
     scan-speed over 100 TB). Elements are rounded at 1e-6 on both engines
-    for a comparable representation."""
+    for a comparable representation. Output is exploded to scalar
+    ``(vec_id, pos, value)`` rows (same shape as s04) so the driver's
+    canonicalizer — which sorts on every column — never sees a list cell."""
     t = register(spark, sf_dir, ("embeddings",))
     vec = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = F.transform(vec, lambda x: F.round(x / nrm * 1_000_000).cast("bigint") / 1_000_000.0)
-    return t["embeddings"].select("vec_id", unit.alias("unit_vec"))
+    unit = F.transform(vec, lambda x: iround(x / nrm, 6))
+    return t["embeddings"].select(
+        "vec_id", F.posexplode(unit.alias("unit_vec")).alias("pos", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -836,7 +850,7 @@ _P01_ORACLE = f"""
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM final GROUP BY split
