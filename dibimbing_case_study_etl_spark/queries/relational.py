@@ -194,9 +194,11 @@ def q18_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style 3-way join + aggregate + deterministic top-k.
 
-    Scale: customer (filtered on segment) broadcasts; orders⋈lineitem is the
-    one real shuffle, on orderkey. Top-k is TakeOrderedAndProject — no global
-    sort materialization. LIMIT is made deterministic with a total tiebreak.
+    Scale: customer grows with SF, so its join carries no hint — AQE
+    broadcasts the filtered segment at bench SF and shuffles past the
+    threshold. orders⋈lineitem is the one real shuffle, on orderkey. Top-k
+    is TakeOrderedAndProject — no global sort materialization. LIMIT is
+    made deterministic with a total tiebreak.
     """
     t = register(spark, sf_dir, ("customer", "orders", "lineitem"))
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -204,7 +206,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -233,9 +235,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style star join: fact table joined through three dims.
 
-    Scale: region/nation/customer are dimension tables → all broadcast; the
-    only shuffle is lineitem⋈orders on orderkey, then a narrow hash agg on
-    n_name. At 100 TB the fact side streams; dims stay in executor memory.
+    Scale: region/nation are fixed-size → hinted broadcasts; customer grows
+    with SF, so the dims join carries no hint (AQE broadcasts it at bench
+    SF, shuffles past the threshold). The only guaranteed shuffle is
+    lineitem⋈orders on orderkey, then a narrow hash agg on n_name.
     """
     t = register(spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem"))
     dims = (
@@ -258,7 +261,7 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(dsum(_rev(), 4).alias("revenue"))
     )
@@ -339,8 +342,12 @@ def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-style multi-dim profit rollup with a LIKE-filtered dim.
 
-    Scale: part (filtered), supplier, nation broadcast; lineitem⋈orders on
-    orderkey is the single shuffle. Grouping key (nation, year) is tiny.
+    Scale: only fixed-size nation carries a broadcast hint. part and
+    supplier grow with SF — at 100 TB a hard ``F.broadcast`` on them OOMs
+    executors, so AQE decides their join strategy from runtime sizes
+    (it still broadcasts them at bench SF, shuffles them past the
+    threshold). lineitem⋈orders on orderkey is the single guaranteed
+    shuffle; grouping key (nation, year) is tiny.
     """
     t = register(spark, sf_dir, ("lineitem", "supplier", "orders", "nation", "part"))
     part = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
@@ -351,8 +358,8 @@ def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -380,7 +387,13 @@ def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
 )
 def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10-style: revenue lost to returns, top-20 customers."""
+    """TPC-H Q10-style: revenue lost to returns, top-20 customers.
+
+    Scale: nation (25 rows, fixed) is broadcast; customer grows with SF so
+    its join carries NO hint — AQE broadcasts it at bench SF and falls back
+    to shuffle join at cluster scale instead of OOMing on a forced
+    multi-GB broadcast.
+    """
     t = register(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     cust = (
         t["customer"]
@@ -391,7 +404,7 @@ def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(_rev(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -481,7 +494,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_sum = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))) / 10000.0
     total_sum = F.sum(cents) / 10000.0
     return li.join(
-        F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey")
+        t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey")
     ).agg(iround(100.0 * promo_sum / total_sum, 4).alias("promo_share_pct"))
 
 
@@ -498,9 +511,10 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_theta_join_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: equi-join plus disjunctive range predicates across
-    both sides (the theta part evaluates post-join, equi key still hashes)."""
+    both sides (the theta part evaluates post-join, equi key still hashes).
+    part is SF-proportional → no broadcast hint; AQE picks the strategy."""
     t = register(spark, sf_dir, ("lineitem", "part"))
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))

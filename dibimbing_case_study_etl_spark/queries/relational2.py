@@ -163,10 +163,12 @@ def q32_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: rows below half their part's average quantity.
 
     The correlated scalar subquery decorrelates into a per-part aggregate
-    broadcast-joined back to the fact — written that way directly (what
-    Catalyst's DecorrelateInnerQuery does for the SQL form). The average
-    uses the exact-integer form so the comparison boundary is
-    engine-independent.
+    joined back to the fact — written that way directly (what Catalyst's
+    DecorrelateInnerQuery does for the SQL form). The per-part aggregate is
+    SF-proportional (one row per part), so it carries no broadcast hint:
+    AQE broadcasts it at bench SF and falls back to a shuffle join on
+    partkey at cluster scale. The average uses the exact-integer form so
+    the comparison boundary is engine-independent.
     """
     t = register(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
@@ -174,7 +176,7 @@ def q32_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * davg(F.col("l_quantity"), 0)).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             dsum(F.col("l_extendedprice"), 2).alias("total_price"),

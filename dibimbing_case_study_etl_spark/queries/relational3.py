@@ -52,8 +52,11 @@ def _rev() -> F.Column:
 def q38_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: trade volume between two nations, both directions.
 
-    Scale: both nation-filtered dim paths broadcast; lineitem⋈orders is the
-    single fact shuffle."""
+    Scale: the 25-row nation table is hint-broadcast into customer/supplier;
+    the nation-filtered customer/supplier paths themselves are
+    SF-proportional, so their fact joins carry no hint (AQE broadcasts at
+    bench SF, shuffles at cluster scale). lineitem⋈orders is the single
+    guaranteed fact shuffle."""
     t = register(spark, sf_dir, ("lineitem", "orders", "supplier", "customer", "nation"))
     nations = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     cust = t["customer"].join(
@@ -67,8 +70,8 @@ def q38_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(_rev(), 4).alias("volume"))
@@ -103,7 +106,7 @@ def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(iround(national / total, 6).alias("mkt_share"))
     )
@@ -144,7 +147,7 @@ def q40_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -208,7 +211,7 @@ def q42_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "inner")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity"), 0).alias("total_qty"))
     )

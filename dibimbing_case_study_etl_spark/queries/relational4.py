@@ -326,11 +326,13 @@ def q55_cogrouped_order_reconciliation(spark: SparkSession, sf_dir: str) -> Data
     orders = t["orders"].filter(
         F.col("o_orderdate").between("1995-01-01", "1995-03-31")
     ).select("o_orderkey")
-    # prune the items side to the order slice BEFORE the Python stage: a
-    # broadcast semi-join costs one scan, while an unpruned cogroup pays
-    # one Python invocation per item key (measured ~30s vs ~2s at sf0.01)
+    # prune the items side to the order slice BEFORE the Python stage: an
+    # unpruned cogroup pays one Python invocation per item key (measured
+    # ~30s vs ~2s at sf0.01). The quarter-of-orders side is SF-proportional
+    # so the semi-join carries no broadcast hint — AQE broadcasts it at
+    # bench SF and shuffles at cluster scale.
     items = t["lineitem"].select("l_orderkey", "l_extendedprice").join(
-        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
     )
 
     def reconcile(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:

@@ -33,6 +33,19 @@ def test_q05_broadcasts_dimensions(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q09_q10_aqe_broadcasts_unhinted_dims(spark, sf_dir):
+    """q09/q10 carry no broadcast hint on their SF-proportional sides
+    (part, supplier⋈nation, customer⋈nation) — a forced hint would OOM
+    executors at cluster scale. At bench SF those sides are small, so AQE
+    must still pick broadcast at runtime from observed sizes: the hint is
+    gone from the code, not from the executed plan."""
+    for name in ("q09_nation_year_profit", "q10_returned_revenue_topk"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_q06_pushes_all_predicates(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "q06_revenue_filter")
     assert "PushedFilters" in plan and "l_discount" in plan and "l_quantity" in plan
