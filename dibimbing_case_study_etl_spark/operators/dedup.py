@@ -183,48 +183,60 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # Candidate generation runs as ONE shuffle-free mapInPandas pass over
-    # the raw documents: shingle + hash + minhash per doc inside a numpy
-    # kernel. Candidate generation only needs *some* universal hash of each
-    # shingle (the LSH collision probabilities are hash-agnostic), so it
-    # uses blake2b Python-side instead of round-tripping through a JVM
-    # shingle explode + 260k-row shuffle. Exactness is unaffected: every
-    # candidate is verified below with the JVM shingle index — the same
-    # `word_shingles` definition as :func:`jaccard_pairs` — so the output
-    # pairs are identical to the exhaustive operator (a pair at Jaccard
-    # 0.8 escapes the 128/32-band filter with probability ~5e-8).
-    import hashlib
-    import re
-
+    # the raw documents. Candidate generation only needs *some* universal
+    # hash of each shingle (LSH collision probabilities are hash-agnostic),
+    # so the whole batch is hashed vectorized — no per-shingle Python loop:
+    #   1. pandas' Cython SipHash over the batch's flat word list (one call),
+    #   2. k-gram hashes by a rolling polynomial combine of the k
+    #      consecutive word hashes (uint64 wraparound, pure numpy),
+    #   3. the num_hashes affine transforms + per-doc min via
+    #      ``np.minimum.reduceat`` over doc offsets (GEMM-shaped kernel).
+    # Duplicate shingles need no dedup — a min is unaffected by repeats.
+    # Exactness is unaffected by any of this: every candidate is verified
+    # below with the literal shingle sets (same ``word_shingles``
+    # tokenization as :func:`jaccard_pairs`), so the output pairs are
+    # identical to the exhaustive operator (a pair at Jaccard 0.8 escapes
+    # the 128/32-band filter with probability ~5e-8). At 100 TB this stage
+    # is scan-proportional vectorized CPU with zero shuffle.
     import numpy as np
     import pandas as pd
 
     coeffs = _minhash_coeffs(num_hashes)
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
-    split_re = re.compile(" +")
+    p64 = np.uint64(_P)
+    fnv = np.uint64(1_099_511_628_211)
 
     def sig_batches(batches):
+        empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "sig": []})
         for pdf in batches:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                # mirror functions.text.word_shingles: trim spaces, split
-                # on space runs, distinct space-joined k-grams
-                words = split_re.split(text.strip(" ")) if text is not None else []
-                if len(words) < k:
-                    continue
-                grams = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-                x = np.array(
-                    [
-                        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest()) % _P
-                        for g in grams
-                    ],
-                    dtype=np.int64,
-                )
-                out_ids.append(doc_id)
-                out_sigs.append((x[:, None] * a_vec[None, :] + b_vec[None, :]) % _P)
-            yield pd.DataFrame(
-                {"doc_id": out_ids, "sig": [m.min(axis=0) for m in out_sigs]}
-            )
+            # mirror functions.text.word_shingles: trim spaces, split on
+            # space runs, space-joined k-grams (vectorized split)
+            words_lists = pdf[text_col].fillna("").str.strip(" ").str.split(" +", regex=True)
+            nw = words_lists.str.len().to_numpy(dtype=np.int64)
+            keep = nw >= k
+            if not keep.any():
+                yield empty
+                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            nw = nw[keep]
+            flat = [w for lst in words_lists[keep] for w in lst]
+            wh = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+            # rolling k-word combine over the flat array; positions that
+            # cross a doc boundary are dropped by the index arithmetic below
+            n_flat = len(flat)
+            g = np.zeros(n_flat - k + 1, dtype=np.uint64)
+            for j in range(k):
+                g = g * fnv + wh[j : j + n_flat - k + 1]
+            ngrams = nw - k + 1
+            starts = np.concatenate(([0], np.cumsum(nw)))[:-1]
+            offs = np.concatenate(([0], np.cumsum(ngrams)))[:-1]
+            idx = np.repeat(starts, ngrams) + (np.arange(ngrams.sum()) - np.repeat(offs, ngrams))
+            x = (g[idx] % p64).astype(np.int64)
+            sigs = np.empty((len(ids), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                sigs[:, i] = np.minimum.reduceat((x * a_vec[i] + b_vec[i]) % _P, offs)
+            yield pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
 
     sig = _materialize(
         _spread(df.select(id_col, text_col), id_col).mapInPandas(
@@ -278,20 +290,27 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates: broadcast the (tiny)
-    # candidate list against two scans of the corpus to attach both texts,
-    # then verify each pair with exact shingle-set intersection in one
-    # Arrow-batched pass. The arithmetic is engine-neutral: integer set
-    # sizes and one double division — bit-identical to the inverted-index
-    # verification (jaccard_pairs) and to the SQL oracle, which all divide
-    # the same integers. The shingling is the literal-space tokenization
-    # `functions.text.word_shingles` defines (split on ' +' after
-    # trimming spaces, distinct space-joined k-grams).
+    # exact verification restricted to candidates: join the candidate list
+    # against two scans of the corpus to attach both texts, then verify
+    # each pair with exact shingle-set intersection in one Arrow-batched
+    # pass. The candidate set scales with the duplicate rate, not the
+    # corpus, so the joins carry NO broadcast hint — AQE broadcasts the
+    # (tiny) list at bench SF and falls back to shuffle joins if a 100 TB
+    # run has enough near-dups to matter. The arithmetic is
+    # engine-neutral: integer set sizes and one double division —
+    # bit-identical to the inverted-index verification (jaccard_pairs) and
+    # to the SQL oracle, which all divide the same integers. The shingling
+    # is the literal-space tokenization `functions.text.word_shingles`
+    # defines (split on ' +' after trimming spaces, distinct space-joined
+    # k-grams).
+    import re
+
+    split_re = re.compile(" +")
     ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a"))
     tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__text_b"))
     with_texts = (
-        ta.join(F.broadcast(candidates), "doc_a")
-        .join(F.broadcast(tb.join(F.broadcast(candidates), "doc_b", "left_semi")), "doc_b")
+        ta.join(candidates, "doc_a")
+        .join(tb.join(candidates, "doc_b", "left_semi"), "doc_b")
     )
 
     def _grams(text: str) -> set:
