@@ -21,14 +21,48 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+_TMP_SUFFIX = "__compact_tmp"
+_OLD_SUFFIX = "__compact_old"
+
+
 def _leaf_dirs(path: str) -> list[str]:
     """Directories that directly hold parquet files (partition leaves, or
-    the root itself for unpartitioned layouts)."""
+    the root itself for unpartitioned layouts). Work dirs left by a
+    crashed compaction run (``*__compact_tmp``/``*__compact_old``) are
+    never treated as leaves — they hold duplicate/stale copies of a real
+    leaf's data."""
     leaves = []
-    for dirpath, _dirnames, filenames in os.walk(path):
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [
+            d for d in dirnames if not d.endswith((_TMP_SUFFIX, _OLD_SUFFIX))
+        ]
         if any(f.endswith(".parquet") for f in filenames):
             leaves.append(dirpath)
     return leaves
+
+
+def _recover_stale_workdirs(path: str) -> None:
+    """Clean up after a crashed compaction run, restoring the invariant
+    that every leaf exists exactly once:
+
+    - ``X__compact_old`` present and ``X`` missing → the crash hit between
+      the two renames; rename the old data back into place.
+    - otherwise stale ``X__compact_tmp``/``X__compact_old`` dirs are
+      leftovers whose live twin exists → delete them.
+    """
+    for dirpath, dirnames, _filenames in os.walk(path):
+        for d in list(dirnames):
+            if not d.endswith((_TMP_SUFFIX, _OLD_SUFFIX)):
+                continue
+            full = os.path.join(dirpath, d)
+            if d.endswith(_OLD_SUFFIX):
+                leaf = full[: -len(_OLD_SUFFIX)]
+                if not os.path.exists(leaf):
+                    os.rename(full, leaf)
+                    dirnames.remove(d)
+                    continue
+            shutil.rmtree(full)
+            dirnames.remove(d)
 
 
 def _dir_bytes(dirpath: str) -> int:
@@ -51,7 +85,14 @@ def compact_path(
     Leaves already at or under the target count are skipped, so repeated
     runs are idempotent and cheap. Returns ``{leaf: (files_before,
     files_after)}`` for the leaves rewritten.
+
+    Crash safety: a run starts by recovering any ``*__compact_tmp`` /
+    ``*__compact_old`` work dirs a previous crash left behind (restoring
+    the leaf if the crash hit between the swap renames, deleting stale
+    copies otherwise), and the layout walk never mistakes a work dir for
+    a partition leaf.
     """
+    _recover_stale_workdirs(path)
     results: dict[str, tuple[int, int]] = {}
     for leaf in _leaf_dirs(path):
         files_before = sum(
@@ -60,14 +101,14 @@ def compact_path(
         n_target = max(1, math.ceil(_dir_bytes(leaf) / target_file_bytes))
         if files_before < min_files_to_compact or files_before <= n_target:
             continue
-        tmp = leaf + "__compact_tmp"
+        tmp = leaf + _TMP_SUFFIX
         (
             spark.read.parquet(leaf)
             .repartition(n_target)
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = leaf + "__compact_old"
+        old = leaf + _OLD_SUFFIX
         os.rename(leaf, old)
         os.rename(tmp, leaf)
         shutil.rmtree(old)

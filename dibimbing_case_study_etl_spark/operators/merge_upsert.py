@@ -62,8 +62,9 @@ def merge_upsert(
 
     ``order_by`` resolves duplicate keys *within* the source batch (first row
     under this ordering wins — pass e.g. ``[F.desc("load_ds"), F.desc("_row")]``
-    for last-wins batch semantics). Returns the number of source rows merged
-    after in-batch dedup.
+    for last-wins batch semantics). Returns -1: the merged-row count is
+    unknown without an extra action over the deduped source; callers that
+    need it can count ``latest_per_key(source, ...)`` themselves.
 
     CONTRACT: ``partition_col`` must be functionally dependent on ``keys``
     (here: date = date(ts), ts ∈ PK). If a key could appear under two

@@ -27,12 +27,31 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
+# Driver-side collects of a query/sample side are only legal when that side
+# is small BY CONTRACT (it becomes broadcast model state). The contract is
+# enforced, not assumed: _collect_small raises past this bound instead of
+# silently OOMing the driver at scale.
+MAX_QUERY_ROWS = 65_536
+
+
+def _collect_small(df: DataFrame, what: str, limit: int = MAX_QUERY_ROWS) -> list:
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what} has more than {limit} rows — it is collected to the driver "
+            "and broadcast as model state, which only works for a small query/"
+            "sample side. Partition the queries (e.g. run in batches) instead."
+        )
+    return rows
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-``k`` cosine neighbors per query vector.
 
@@ -42,6 +61,11 @@ def cosine_topk(
     order (score desc, neighbor id) makes results deterministic under ties.
     The cosine arithmetic (sequential double accumulation, sqrt per side)
     is unchanged by the precompute, so values stay oracle-bitwise-equal.
+
+    ``exclude_self`` (default True) drops ``query_id == neighbor_id`` rows —
+    correct for self-search, where queries come from the corpus id space.
+    Pass False when queries and corpus are DIFFERENT tables whose ids may
+    coincide, or a legitimate neighbor is silently lost to the id collision.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -51,8 +75,9 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", norm(F.col("__cv")))
+    cond = (F.col("query_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
@@ -183,7 +208,7 @@ def cosine_topk_blas(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()  # query side: small by contract
+    q_rows = _collect_small(queries.select(id_col, vec_col), "cosine_topk_blas query side")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -531,7 +556,7 @@ def pq_cosine_topk(
     books = pq_fit_codebooks(corpus, id_col, vec_col, m=m, ksub=ksub)
     codes = pq_encode(corpus, books, id_col, vec_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_rows = _collect_small(queries.select(id_col, vec_col), "pq_cosine_topk query side")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

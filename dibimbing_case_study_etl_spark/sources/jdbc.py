@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from dibimbing_case_study_etl_spark.operators.dedup_window import latest_per_key
 
 
 def read_jdbc(
@@ -61,6 +63,26 @@ def upsert_sql(table: str, columns: Sequence[str], keys: Sequence[str], update_c
     )
 
 
+def prepare_upsert_batches(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """Shape a DataFrame for a safe concurrent ON CONFLICT upsert: one row
+    per key (first under ``order_by`` wins; defaults to non-key columns as
+    written, i.e. an arbitrary but single survivor), hash-partitioned on
+    the key (each key owned by exactly one writing transaction) and sorted
+    by key within partitions (deterministic lock order across writers)."""
+    keys = list(keys)
+    resolved_order: list[Column | str] = (
+        list(order_by)
+        if order_by is not None
+        else [c for c in df.columns if c not in keys] or keys
+    )
+    deduped = latest_per_key(df, keys=keys, order_by=resolved_order)
+    return deduped.repartition(*keys).sortWithinPartitions(*keys)
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     dsn: str,
@@ -68,10 +90,28 @@ def write_jdbc_upsert(
     keys: Sequence[str],
     update_cols: Sequence[str],
     batch_size: int = 5000,
+    order_by: Sequence[Column | str] | None = None,
 ) -> None:
     """Distributed upsert: each partition opens one connection and streams
     ``execute_values`` batches (batch size parity: `load:124`) in a single
-    transaction. Requires psycopg2 at the executors."""
+    transaction. Requires psycopg2 at the executors.
+
+    Safety shaping before the write (the reference loads sequentially from
+    one process, so it never hits either failure mode):
+
+    - **In-batch PK dedup**: duplicate keys inside one ``execute_values``
+      statement raise Postgres "cannot affect row a second time" —
+      duplicates are arbitrated first (first row under ``order_by`` wins;
+      defaults to the natural column order descending, i.e. an arbitrary
+      but single survivor — pass an explicit ordering for last-wins
+      batch semantics like :func:`~..operators.merge_upsert.merge_upsert`).
+    - **Key-partitioned, key-sorted writes**: rows are hash-partitioned on
+      the PK (each key is owned by exactly one transaction) and sorted by
+      key within partitions (deterministic lock acquisition order), so
+      concurrent partition transactions cannot deadlock on overlapping
+      keys.
+    """
+    df = prepare_upsert_batches(df, keys, order_by)
     columns = list(df.columns)
     sql = upsert_sql(table, columns, keys, update_cols).replace(
         f"VALUES ({', '.join(['%s'] * len(columns))})", "VALUES %s"

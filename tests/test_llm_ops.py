@@ -160,3 +160,31 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.8, f"PQ recall degraded: {recall}"
+
+
+def test_collect_small_guard_raises(spark):
+    """The small-by-contract query sides are enforced, not assumed: a
+    query table past the bound raises instead of OOMing the driver."""
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators import similarity
+
+    big = spark.range(300).selectExpr("id as vec_id", "array(1.0d, 2.0d) as embedding")
+    with pytest.raises(ValueError, match="more than 256 rows"):
+        similarity._collect_small(big, "test side", limit=256)
+
+
+def test_cosine_topk_exclude_self_flag(spark):
+    """exclude_self=False keeps a corpus row whose id collides with a
+    query id (queries and corpus from different id spaces)."""
+    from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.05])], "vec_id int, embedding array<double>")
+    with_self = cosine_topk(queries, corpus, k=3, exclude_self=False)
+    without = cosine_topk(queries, corpus, k=3)
+    assert {r.neighbor_id for r in with_self.collect()} == {1, 2, 3}
+    assert {r.neighbor_id for r in without.collect()} == {2, 3}

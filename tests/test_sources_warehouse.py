@@ -225,3 +225,70 @@ def test_compact_unpartitioned_root(spark, tmp_path):
     results = compact_path(spark, path, target_file_bytes=128 << 20)
     assert list(results) == [path] and results[path][1] == 1
     assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == before
+
+
+def test_compact_recovers_crashed_run(spark, tmp_path):
+    """Work dirs left by a crashed compaction (*__compact_tmp/*__compact_old)
+    are never treated as partition leaves, a leaf missing after the first
+    swap rename is restored from its __compact_old twin, and stale work
+    dirs are cleaned — so a re-run sees exactly the original rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.maintenance import compact_path
+
+    path = str(tmp_path / "crashed")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    events.repartition(8).write.mode("overwrite").partitionBy("date").parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    checksum = spark.read.parquet(path).agg(F.sum("event_id")).first()[0]
+
+    leaves = sorted(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("date=")
+    )
+    # crash mode 1: tmp written, swap never started (stale duplicate copy)
+    shutil.copytree(leaves[0], leaves[0] + "__compact_tmp")
+    # crash mode 2: crash BETWEEN the two renames — leaf is absent
+    os.rename(leaves[1], leaves[1] + "__compact_old")
+    # crash mode 3: stale old dir next to a live leaf (crash after rename 2)
+    shutil.copytree(leaves[2], leaves[2] + "__compact_old")
+
+    results = compact_path(spark, path, target_file_bytes=128 << 20)
+    assert results, "fragmented leaves should still compact after recovery"
+    assert not [
+        d for d in os.listdir(path) if "__compact_tmp" in d or "__compact_old" in d
+    ]
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("event_id")).first()[0] == checksum
+
+
+def test_prepare_upsert_batches_dedups_and_partitions(spark):
+    """ON CONFLICT batches must not contain duplicate PKs (Postgres raises
+    'cannot affect row a second time') and each key must be owned by one
+    partition (no cross-transaction deadlocks)."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.sources.jdbc import prepare_upsert_batches
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30), (2, "d", 5), (3, "e", 1)],
+        "pk int, val string, seq int",
+    )
+    shaped = prepare_upsert_batches(df, keys=["pk"], order_by=[F.desc("seq")])
+    rows = {r.pk: r for r in shaped.collect()}
+    assert len(rows) == 3  # one row per key
+    assert rows[1].val == "b" and rows[2].val == "c"  # first under order_by wins
+
+    # every key lives in exactly one partition
+    key_parts = (
+        shaped.rdd.mapPartitionsWithIndex(
+            lambda i, it: [(row.pk, i) for row in it]
+        ).groupByKey().mapValues(lambda v: len(set(v))).collect()
+    )
+    assert all(n == 1 for _k, n in key_parts)
