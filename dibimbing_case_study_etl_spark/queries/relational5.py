@@ -1,0 +1,237 @@
+"""Fifth relational batch — the remaining classic TPC-H shapes the registry
+had not yet covered:
+
+- q62: fraction-of-global-total HAVING threshold (TPC-H Q11 shape)
+- q63: per-group COUNT DISTINCT with a NOT-IN supplier blocklist (Q16 shape)
+- q64: semi-join on a nested aggregate-over-aggregate threshold (Q20 shape)
+- q65: ratio-to-report window (share of group total) + top-N per group
+
+All float aggregation goes through the rint/round_even scaled-integer
+helpers (functions/oracle_safe.py) so every comparison boundary and every
+emitted value is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    dsum,
+    iround,
+    sql_dsum,
+    sql_iround,
+)
+from dibimbing_case_study_etl_spark.queries import query
+
+
+@query(
+    "q62_important_part_values",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_partkey, {sql_dsum("l_extendedprice", 2)} AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM vals
+    WHERE part_value > 0.0005 * (SELECT SUM(part_value) FROM vals)
+    """,
+    tags=("agg", "subquery", "having"),
+)
+def q62_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value (shipped by one nation's
+    suppliers) exceeds a fraction of the global total — a grouped
+    aggregate consumed twice, once per group and once as a scalar.
+
+    Scale: nation broadcasts into supplier; the supplier path is
+    SF-proportional so its fact join carries no hint. The per-part values
+    are exact cent integers (order-independent), the global total sums
+    those exact doubles (each a multiple of 0.01 well inside 2^53 — exact
+    in any order), and the threshold multiply runs on bit-identical
+    doubles on both engines, so membership at the boundary cannot diverge.
+    """
+    t = register(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    vals = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = vals.agg(F.sum("part_value").alias("__total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0005 * F.col("__total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q63_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("agg", "distinct", "anti"),
+)
+def q63_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT-IN supplier blocklist.
+
+    The blocklist key (s_suppkey) is non-null by schema, so NOT IN plans
+    as a plain left-anti join (the null-aware variant is covered by q41).
+    Scale: part filters push to the scan; the anti join's blocklist side
+    is SF-proportional → no hint, AQE decides; COUNT DISTINCT expands to
+    a two-stage aggregate keyed by the small grouping tuple.
+    """
+    t = register(spark, sf_dir, ("part", "lineitem", "supplier"))
+    banned = t["supplier"].filter(F.col("s_name").like("%7")).select("s_suppkey")
+    pp = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
+    )
+    return (
+        t["lineitem"]
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .join(banned, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q64_heavy_widget_suppliers",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey, {sql_dsum("l_quantity", 0)} AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, qty
+    FROM supplier
+    JOIN shipped ON l_suppkey = s_suppkey
+    WHERE qty > (SELECT 0.5 * AVG(qty) FROM shipped)
+    """,
+    tags=("join", "subquery", "semi"),
+)
+def q64_heavy_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped widget quantity in a year
+    beats a threshold derived from a second aggregation over the same
+    aggregate (half the mean per-supplier quantity) — nested
+    aggregate-over-aggregate feeding a semi/inner join back to the dim.
+
+    Determinism: per-supplier quantities are exact integer-valued doubles
+    (scale-0 scaled-integer sums), their AVG sums integers inside 2^53 —
+    exact in any accumulation order — and the comparison boundary is one
+    multiply of bit-identical doubles on both engines.
+    """
+    t = register(spark, sf_dir, ("lineitem", "part", "supplier"))
+    widget = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(widget, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 0).alias("qty"))
+    )
+    thresh = shipped.agg((0.5 * F.avg("qty")).alias("__half_avg"))
+    return (
+        t["supplier"]
+        .join(shipped, F.col("l_suppkey") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("__half_avg"))
+        .select("s_suppkey", "s_name", "qty")
+    )
+
+
+@query(
+    "q65_nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name,
+             c_custkey,
+             SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_name, c_custkey
+    ),
+    shared AS (
+      SELECT n_name, c_custkey,
+             rev_c / 100.0 AS revenue,
+             {sql_iround("rev_c / CAST(SUM(rev_c) OVER (PARTITION BY n_name) AS DOUBLE)", 6)}
+               AS nation_share,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY rev_c DESC, c_custkey
+             ) AS rn
+      FROM rev
+    )
+    SELECT n_name, c_custkey, revenue, nation_share
+    FROM shared WHERE rn <= 3
+    """,
+    tags=("window", "agg", "topk"),
+)
+def q65_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their nation's revenue,
+    top-3 customers per nation — aggregate → ratio-to-group-total window →
+    per-group top-N, all over ONE partitioning (nation), so the window
+    and the rank reuse a single shuffle/sort.
+
+    Determinism: numerator and denominator are exact BIGINT cents (the
+    window SUM is integer), the share divides bit-identical values, and
+    the rank has a total tiebreak. The rn<=3 filter plans as
+    WindowGroupLimit — map-side top-3 per nation before the shuffle.
+    """
+    t = register(spark, sf_dir, ("customer", "nation", "orders"))
+    rev = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    w_total = W.partitionBy("n_name")
+    w_rank = W.partitionBy("n_name").orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+    return (
+        rev.select(
+            "n_name",
+            "c_custkey",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            iround(
+                F.col("rev_c") / F.sum("rev_c").over(w_total).cast("double"), 6
+            ).alias("nation_share"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
