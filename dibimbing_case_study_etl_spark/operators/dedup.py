@@ -109,6 +109,40 @@ def jaccard_pairs(
     return _pairs_from_common(sh, common, threshold)
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.9
+) -> DataFrame:
+    """All pairs with word-``k``-gram overlap coefficient
+    ``|A∩B| / min(|A|, |B|)`` ≥ ``threshold`` (exact).
+
+    Catches subset-style duplication that Jaccard misses: a short document
+    embedded verbatim in a much longer one (quotes, boilerplate wrappers,
+    truncated copies) has high containment but low Jaccard because the
+    union is dominated by the longer side. The standard companion filter
+    to :func:`jaccard_pairs` in web-corpus dedup.
+
+    Plan: identical to :func:`jaccard_pairs` — inverted index, one wide
+    shuffle keyed by shingle, per-pair common count — only the final
+    ratio differs, so the same scale posture (and the same LSH escape
+    hatch) applies.
+    """
+    sh = _materialize(_shingle_index(df, id_col, text_col, k))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        common.join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("containment", F.col("n_common") / F.least("na", "nb"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for the affine universal hashes —
     a fixed LCG stream, no runtime randomness (resume/replay-safe)."""
@@ -207,8 +241,14 @@ def minhash_lsh_pairs(
     p64 = np.uint64(_P)
     fnv = np.uint64(1_099_511_628_211)
 
-    def sig_batches(batches):
-        empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "sig": []})
+    def band_batches(batches):
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.array([], dtype=np.int64),
+                "band": np.array([], dtype=np.int32),
+                "sig": np.array([], dtype=np.int64),
+            }
+        )
         for pdf in batches:
             # mirror functions.text.word_shingles: trim spaces, split on
             # space runs, space-joined k-grams (vectorized split)
@@ -236,30 +276,27 @@ def minhash_lsh_pairs(
             sigs = np.empty((len(ids), num_hashes), dtype=np.int64)
             for i in range(num_hashes):
                 sigs[:, i] = np.minimum.reduceat((x * a_vec[i] + b_vec[i]) % _P, offs)
-            yield pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
-
-    sig = _materialize(
-        _spread(df.select(id_col, text_col), id_col).mapInPandas(
-            sig_batches, schema="doc_id long, sig array<long>"
-        )
-    )
-
-    stacked = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", band * rows + r + 1) for r in range(rows)]
-                        ).alias("sig"),
-                    )
-                    for band in range(bands)
-                ]
+            # collapse each band's `rows` minhashes to one 64-bit band
+            # signature in the same kernel (any deterministic combine
+            # preserves LSH collision semantics: equal bands ⇒ equal sigs)
+            S = sigs.reshape(len(ids), bands, rows).astype(np.uint64)
+            h = np.zeros((len(ids), bands), dtype=np.uint64)
+            for r in range(rows):
+                h = h * fnv + S[:, :, r]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                    "sig": h.view(np.int64).reshape(-1),
+                }
             )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    # ONE shuffle-free mapInPandas pass emits (doc_id, band, band_sig)
+    # directly — no JVM banding stage (the 32-band struct-array explode
+    # compiled a large codegen unit and forced an extra persist).
+    stacked = _spread(df.select(id_col, text_col), id_col).mapInPandas(
+        band_batches, schema="doc_id long, band int, sig long"
+    )
 
     # bucket-pairs instead of a self-join: ONE shuffle keyed by (band, sig)
     # collects each LSH bucket, then in-bucket pair enumeration happens

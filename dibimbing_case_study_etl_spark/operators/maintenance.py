@@ -17,8 +17,10 @@ from __future__ import annotations
 import math
 import os
 import shutil
+from collections.abc import Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 _TMP_SUFFIX = "__compact_tmp"
@@ -71,6 +73,79 @@ def _dir_bytes(dirpath: str) -> int:
         for e in os.scandir(dirpath)
         if e.is_file() and e.name.endswith(".parquet")
     )
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], nbits: int = 8) -> Column:
+    """Morton (Z-order) interleave of the given columns, as a BIGINT sort
+    key: each column is quantized into ``2**nbits`` uniform-width buckets
+    between its global min and max (one tiny aggregate, broadcast as
+    literals), then the bucket bits interleave so that sorting by the key
+    keeps rows close in EVERY dimension close in the file order.
+
+    ``len(cols) * nbits`` must fit in 63 bits. Uniform-width buckets (not
+    quantiles) are deliberate: they need only min/max — O(1) driver state —
+    and file-skipping effectiveness depends on locality, not on perfectly
+    balanced buckets.
+    """
+    if len(cols) * nbits > 63:
+        raise ValueError(f"{len(cols)} cols x {nbits} bits exceeds a BIGINT key")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    nb = 1 << nbits
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        b = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb).cast("bigint")
+        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)))
+    key = F.lit(0).cast("bigint")
+    for j in range(nbits):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * len(buckets) + i))
+    return key
+
+
+def zorder_path(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    nbits: int = 8,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite the (unpartitioned) dataset at ``path`` in Z-order on
+    ``cols`` so parquet min/max footer stats can skip files for filters on
+    ANY of the clustered columns — the data-layout half of data skipping
+    (the query half, partition pruning + pushed filters, is plan-audited
+    in tests/test_plans.py).
+
+    Plan: one min/max aggregate, one range-shuffle on the interleaved key
+    (repartitionByRange samples the key distribution, so files get
+    balanced row counts even though buckets are uniform-width), an
+    in-partition sort, and a rewrite through the same crash-safe two-step
+    swap as :func:`compact_path`. Cost is one full read+write of the
+    dataset — O(data), no driver-side data movement. Returns the number
+    of files written.
+    """
+    _recover_stale_workdirs(path)
+    df = spark.read.parquet(path)
+    n_files = n_files or max(df.rdd.getNumPartitions() // 4, 4)
+    keyed = df.withColumn("__z", zorder_key(df, cols, nbits))
+    tmp = path.rstrip("/") + _TMP_SUFFIX
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + _OLD_SUFFIX
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet"))
 
 
 def compact_path(

@@ -451,6 +451,80 @@ def ivf_cosine_topk(
     )
 
 
+def pca_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 16,
+    sample: int = 4096,
+):
+    """Fit a PCA/whitening model on a deterministic sample (lowest
+    ``sample`` ids — no RNG): mean vector, top ``n_components`` principal
+    axes, and their eigenvalues.
+
+    Driver-side numpy over a bounded sample, like the PQ codebook fit —
+    the model is (d + k·d + k) doubles regardless of corpus size, which is
+    what lets it broadcast to every executor at 100 TB. Eigenvector sign
+    is canonicalized (largest-|coord| entry made positive) so the model is
+    bit-reproducible across BLAS builds that return flipped axes.
+    """
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / max(len(X) - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:n_components]
+    comps = eigvecs[:, order].T  # (k, d)
+    evs = np.maximum(eigvals[order], 1e-12)
+    for i in range(len(comps)):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evs
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean,
+    components,
+    eigvals=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project vectors onto the fitted principal axes — optionally whitened
+    (unit variance per component: divide by sqrt(eigenvalue)).
+
+    One Arrow-batched GEMM per batch against the closure-broadcast model;
+    a pure map stage (no shuffle) that runs scan-speed over 100 TB. The
+    standard preprocessing step before similarity search or clustering
+    when raw embedding dimensions are correlated.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+    scale = 1.0 / np.sqrt(np.asarray(eigvals, dtype=np.float64)) if whiten else None
+
+    vecs = _spread(corpus, id_col).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
+    )
+
+    def project(batches):
+        for pdf in batches:
+            X = np.array(list(pdf["__v"]), dtype=np.float64)
+            Y = (X - mean) @ comps.T
+            if scale is not None:
+                Y = Y * scale
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pca": list(Y)})
+
+    return vecs.mapInPandas(project, schema="vec_id long, pca array<double>")
+
+
 def pq_fit_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -130,6 +130,9 @@ DRIVER_PRIORITY: list[str] = [
     "q65_nation_revenue_share",
     "d09_decontamination",
     "t07_stratified_sample",
+    "t08_repetition_score",
+    # s08_embedding_pca_whiten is new but no_oracle (rows-only check) —
+    # it sits just past the 50-entry window and rotates in next round.
 ]
 
 

@@ -19,9 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.functions.text import (
     fingerprint,
     sql_fingerprint,
+    tokens,
     word_shingles,
 )
 from dibimbing_case_study_etl_spark.queries import query
@@ -130,3 +132,91 @@ def t07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     rate = rate.otherwise(0)
     return t["documents"].filter(fingerprint("text") % 100 < rate).select("doc_id", "lang")
+
+
+@query(
+    "s08_embedding_pca_whiten",
+    oracle=None,  # float GEMM — accumulation-order-dependent; properties
+    # (variance concentration, whitened covariance ≈ I, reconstruction
+    # error, repartition-invariance) are pinned in tests/test_llm_ops.py
+    tags=("llm", "embedding", "projection"),
+)
+def s08_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened 8-component projection of the embedding table — the
+    decorrelation step before similarity search / clustering. The model
+    (mean + axes + eigenvalues) is fitted driver-side on a bounded
+    deterministic sample and closure-broadcast; the projection is one
+    Arrow-batched GEMM per batch, shuffle-free. Output exploded to scalar
+    (vec_id, comp, value) rows like s04/s05.
+    """
+    from dibimbing_case_study_etl_spark.operators.similarity import pca_fit, pca_project
+
+    t = register(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    mean, comps, evs = pca_fit(emb, n_components=8)
+    proj = pca_project(emb, mean, comps, evs, whiten=True)
+    return proj.select("vec_id", F.posexplode("pca").alias("comp", "value"))
+
+
+_T08_THRESHOLD = 0.2  # flag docs whose repeated-bigram mass exceeds this
+
+
+@query(
+    "t08_repetition_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, words,
+             list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                            i -> words[i] || ' ' || words[i+1]) AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           {sql_iround(
+               "1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)", 6
+           )} AS dup_word_ratio,
+           {sql_iround(
+               "CASE WHEN len(grams) = 0 THEN 0.0 "
+               "ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) END", 6
+           )} AS dup_bigram_ratio,
+           (CASE WHEN len(grams) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) END)
+             > {_T08_THRESHOLD} AS is_repetitive
+    FROM g
+    """,
+    tags=("llm", "text", "quality"),
+)
+def t08_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring — the C4/RefinedWeb-style filter
+    that drops boilerplate and degenerate generations before training:
+    fraction of duplicate words and duplicate word-bigrams per document,
+    plus the flag at the configured threshold.
+
+    Scale: a pure map stage over each document's own token array (split,
+    distinct, two divisions) — no shuffle, no state, scan-speed at 100 TB.
+    Ratios round through the rint/round_even helpers so the flag boundary
+    is engine-independent.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    ng = n - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    dup_word = 1.0 - F.size(F.array_distinct(w)) / n.cast("double")
+    dup_bigram = F.when(ng <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
+    )
+    return t["documents"].select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        iround(dup_word, 6).alias("dup_word_ratio"),
+        iround(dup_bigram, 6).alias("dup_bigram_ratio"),
+        (dup_bigram > _T08_THRESHOLD).alias("is_repetitive"),
+    )

@@ -188,3 +188,42 @@ def test_cosine_topk_exclude_self_flag(spark):
     without = cosine_topk(queries, corpus, k=3)
     assert {r.neighbor_id for r in with_self.collect()} == {1, 2, 3}
     assert {r.neighbor_id for r in without.collect()} == {2, 3}
+
+
+def test_pca_whitening_properties(spark):
+    """The PCA model must (a) concentrate variance in leading components,
+    (b) produce ~identity covariance when whitened, (c) reconstruct the
+    sample better with more components, and (d) be invariant to input
+    partitioning (deterministic fit + map-stage projection)."""
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, evs = pca_fit(emb, n_components=8)
+    assert comps.shape[1] == 64 and len(evs) == 8
+    assert all(evs[i] >= evs[i + 1] for i in range(7))  # variance ordered
+
+    proj = pca_project(emb, mean, comps, evs, whiten=True)
+    Y = np.array([r.pca for r in proj.collect()])
+    cov = np.cov(Y.T)
+    # whitened covariance ~ I on the fitted distribution (sample == corpus here)
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.15
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.15
+
+    # reconstruction error shrinks as components grow
+    X = np.array([r.embedding for r in emb.select("embedding").collect()], dtype=np.float64)
+    errs = []
+    for k in (2, 8, 32):
+        _m, c, _e = pca_fit(emb, n_components=k)
+        Z = (X - mean) @ c.T
+        errs.append(float(((X - mean - Z @ c) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
+
+    # repartition-invariance: same rows regardless of input layout
+    proj2 = pca_project(emb.repartition(7), mean, comps, evs, whiten=True)
+    a = {r.vec_id: tuple(r.pca) for r in proj.collect()}
+    b = {r.vec_id: tuple(r.pca) for r in proj2.collect()}
+    assert a == b

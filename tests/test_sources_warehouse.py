@@ -292,3 +292,54 @@ def test_prepare_upsert_batches_dedups_and_partitions(spark):
         ).groupByKey().mapValues(lambda v: len(set(v))).collect()
     )
     assert all(n == 1 for _k, n in key_parts)
+
+
+def test_zorder_clusters_files_for_multi_dim_skipping(spark, tmp_path):
+    """After a Z-order rewrite on (user_id, value), each file's min/max
+    footer range must cover a small slice of BOTH dimensions (so filters
+    on either column can skip most files); a hash-scattered layout covers
+    ~the full range in every file. Row content must be unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.maintenance import zorder_path
+
+    path = str(tmp_path / "zorder")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.repartition(8).write.mode("overwrite").parquet(path)  # scattered
+    n_rows = spark.read.parquet(path).count()
+    checksum = spark.read.parquet(path).agg(F.sum("event_id")).first()[0]
+
+    def avg_span(col):
+        spans, glo_min, glo_max = [], None, None
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            names = {md.schema.column(j).name: j for j in range(md.num_columns)}
+            stats = [
+                md.row_group(i).column(names[col]).statistics
+                for i in range(md.num_row_groups)
+            ]
+            mn = min(s.min for s in stats)
+            mx = max(s.max for s in stats)
+            spans.append((mn, mx))
+            glo_min = mn if glo_min is None else min(glo_min, mn)
+            glo_max = mx if glo_max is None else max(glo_max, mx)
+        width = (glo_max - glo_min) or 1
+        return sum((mx - mn) / width for mn, mx in spans) / len(spans)
+
+    before_u, before_v = avg_span("user_id"), avg_span("value")
+    n_files = zorder_path(spark, path, ["user_id", "value"], n_files=8)
+    after_u, after_v = avg_span("user_id"), avg_span("value")
+
+    assert n_files >= 4
+    assert spark.read.parquet(path).count() == n_rows
+    assert spark.read.parquet(path).agg(F.sum("event_id")).first()[0] == checksum
+    # scattered files each cover ~the full range; clustered files cover a
+    # slice of BOTH dimensions (measured ~0.41/0.35 vs 1.0/0.78 scattered)
+    assert before_u > 0.9 and before_v > 0.7
+    assert after_u < 0.6 and after_v < 0.6
