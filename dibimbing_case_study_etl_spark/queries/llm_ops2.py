@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
-from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    dsum,
+    iround,
+    sql_dsum,
+    sql_iround,
+)
 from dibimbing_case_study_etl_spark.functions.text import (
     fingerprint,
     sql_fingerprint,
@@ -219,4 +224,139 @@ def t08_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         iround(dup_word, 6).alias("dup_word_ratio"),
         iround(dup_bigram, 6).alias("dup_bigram_ratio"),
         (dup_bigram > _T08_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+@query(
+    "d10_containment_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common / least(sa.n, sb.n) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / least(sa.n, sb.n) >= 0.9
+    """,
+    tags=("llm", "dedup"),
+)
+def d10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs: word-3-gram overlap coefficient
+    |A∩B| / min(|A|, |B|) ≥ 0.9 — the companion filter to d02 that
+    catches a short document embedded verbatim inside a longer one
+    (boilerplate wrappers, truncated copies), where Jaccard stays low
+    because the union is dominated by the longer side.
+
+    The ratio n_common / min(na, nb) is an exact small-integer division —
+    IEEE-identical in both engines, no rounding needed at the threshold.
+    """
+    from dibimbing_case_study_etl_spark.operators.dedup import containment_pairs
+
+    t = register(spark, sf_dir, ("documents",))
+    return containment_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.9)
+
+
+@query(
+    "t09_source_data_card",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_iround("SUM(n_chars) / CAST(COUNT(*) AS DOUBLE)", 2)} AS avg_chars,
+           quantile_cont(n_tokens, 0.5) AS median_tokens,
+           quantile_cont(n_tokens, 0.95) AS p95_tokens
+    FROM d
+    GROUP BY source, lang
+    """,
+    tags=("llm", "text", "profiling"),
+)
+def t09_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) corpus data card — the per-slice profile
+    (doc counts, token mass, length distribution) every training-data
+    curation run publishes before mixing sources.
+
+    Scale: one shuffle keyed by the (source, lang) slice; token counts are
+    computed map-side so only small per-group state moves. Exact
+    interpolated percentiles match DuckDB's quantile_cont (integer inputs
+    → exact rational interpolation, engine-independent); avg goes through
+    the exact-integer-ratio form.
+    """
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+
+    t = register(spark, sf_dir, ("documents",))
+    n_tok = token_count(F.col("text"))
+    return (
+        t["documents"]
+        .select("source", "lang", "n_chars", n_tok.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            iround(F.sum("n_chars") / F.count(F.lit(1)).cast("double"), 2).alias("avg_chars"),
+            F.percentile("n_tokens", 0.5).alias("median_tokens"),
+            F.percentile("n_tokens", 0.95).alias("p95_tokens"),
+        )
+    )
+
+
+@query(
+    "t10_unigram_surprisal",
+    oracle=f"""
+    WITH wds AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM wds GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS tot FROM freq)
+    SELECT doc_id, COUNT(*) AS n_words,
+           {sql_iround(f"{sql_dsum('ln(tot) - ln(cnt)', 6)} / COUNT(*)", 4)}
+             AS avg_surprisal
+    FROM wds JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: corpus word frequencies define a unigram
+    model; each document scores its mean surprisal -ln p(w) = ln(total) -
+    ln(count(w)). The KenLM-style perplexity filter's structure with the
+    simplest possible model — low scores flag degenerate/boilerplate text,
+    high scores flag gibberish.
+
+    Scale: two shuffles (vocab count, then word→freq join keyed by the
+    word). The vocabulary is sublinear in corpus size (Heaps' law) so the
+    freq side stays broadcastable far beyond bench SF — but it is NOT
+    hinted; AQE decides. Per-word surprisals round to 6 dp before the
+    scaled-integer sum so accumulation order cannot flip the hash; ln()
+    runs on bit-identical doubles (exact integer counts) in both engines.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    words = t["documents"].select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("tot"))
+    surprisal = F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            iround(dsum(surprisal, 6) / F.count(F.lit(1)), 4).alias("avg_surprisal"),
+        )
     )

@@ -235,3 +235,78 @@ def q65_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "q66_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey AS p_partkey, s_name, n_name, s_acctbal,
+             MIN({sql_iround('l_extendedprice / l_quantity', 2)}) AS unit_cost
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE' AND p_size <= 25 AND p_type LIKE '%O%'
+      GROUP BY 1, 2, 3, 4
+    ),
+    best AS (SELECT p_partkey, MIN(unit_cost) AS best_cost FROM cost GROUP BY 1)
+    SELECT c.p_partkey, s_name, n_name, s_acctbal, unit_cost
+    FROM cost c
+    JOIN best b ON c.p_partkey = b.p_partkey AND c.unit_cost = b.best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, c.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "topk"),
+)
+def q66_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the last of the 22 classic shapes: for each part
+    in a size/type slice, every EUROPE supplier offering it at the minimum
+    observed unit cost (min l_extendedprice/l_quantity stands in for
+    ps_supplycost; the dataset has no partsupp table), richest suppliers
+    first. The correlated MIN subquery decorrelates into a per-part
+    aggregate joined back on (partkey, cost) equality — written that way
+    directly, which is exactly what Catalyst's RewriteCorrelatedScalarQuery
+    would produce from the SQL form.
+
+    Scale: nation/region broadcast (fixed-size dims — hints appropriate);
+    part and supplier are SF-proportional so their joins carry NO hint
+    (AQE broadcasts at bench SF, falls back to shuffle at cluster scale).
+    The per-(part, supplier) aggregate and the per-part min reuse the same
+    partkey-keyed shuffle. Unit costs round half-even to exact cent
+    doubles before MIN, so the equality join back cannot diverge between
+    engines; the final ORDER BY is a total order (s_name unique per
+    supplier, partkey breaks same-supplier ties) under
+    TakeOrderedAndProject.
+    """
+    t = register(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t["part"].filter((F.col("p_size") <= 25) & F.col("p_type").like("%O%"))
+    cost = (
+        t["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_name", "n_name", "s_acctbal")
+        .agg(
+            F.min(iround(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("bk")).agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(
+            best,
+            (F.col("p_partkey") == F.col("bk")) & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
