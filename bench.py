@@ -70,6 +70,15 @@ def main() -> None:
         spark.read.parquet(os.path.join(smoke, "lineitem.parquet")).selectExpr(
             "sum(l_quantity)"
         ).collect()
+        # Run each headline query once at smoke scale (sf0.001, ~1000×
+        # smaller than the benched data) so its specific plans are
+        # codegen-compiled and JIT'd before timing — the per-query costs
+        # below then measure steady-state execution, not one-time janino
+        # compilation. The benched sf_dir itself is never touched here.
+        for name in sorted(bench_specs):
+            bench_specs[name].build(spark, smoke).write.mode("overwrite").format(
+                "noop"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(bench_specs):
