@@ -310,3 +310,40 @@ def q66_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "q67_lateral_topk_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) t
+    """,
+    tags=("join", "lateral", "sql-entry"),
+)
+def q67_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — each
+    customer's three largest orders, through the engine's SQL entry point.
+
+    Scale: Catalyst rewrites the correlated LATERAL-LIMIT into a
+    WindowGroupLimit (partial before the shuffle, final after) joined back
+    to customer — no per-customer re-execution and no full sort: the
+    executed plan prunes every group to ≤3 rows map-side, so the custkey
+    shuffle carries at most 3 rows per customer regardless of order count.
+    The tiebreak on o_orderkey makes the limit a total order, so the row
+    set is engine-independent.
+    """
+    register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        """
+    )

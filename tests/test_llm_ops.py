@@ -227,3 +227,20 @@ def test_pca_whitening_properties(spark):
     a = {r.vec_id: tuple(r.pca) for r in proj.collect()}
     b = {r.vec_id: tuple(r.pca) for r in proj2.collect()}
     assert a == b
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: overlap
+    coefficient 1.0 (flagged) while Jaccard stays below any dedup
+    threshold (missed) — the exact gap containment_pairs exists to cover."""
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = containment_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    assert jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).count() == 0
