@@ -360,3 +360,108 @@ def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             iround(dsum(surprisal, 6) / F.count(F.lit(1)), 4).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "t11_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {sql_fingerprint('text')} AS fp,
+             len(regexp_split_to_array(trim(text), ' +')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY fp, doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST((cum_end - n) // 512 AS BIGINT) AS first_seq,
+           CAST((cum_end - 1) // 512 AS BIGINT) AS last_seq,
+           CAST((cum_end - 1) // 512 - (cum_end - n) // 512 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+    tags=("llm", "packing", "prefix-sum"),
+)
+def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents concatenate in
+    fingerprint order (a deterministic, reproducible corpus shuffle) and
+    cut every 512 tokens; each document reports the training sequences it
+    occupies.
+
+    Scale: the global running token count is a DISTRIBUTED prefix sum
+    (range shuffle → per-partition cumsum → driver-side offsets, one long
+    per partition → map-stage add) — `operators/packing.py` — not a
+    single-partition window, which is what the equivalent SQL window
+    would execute as and the one thing that cannot run at 100 TB.
+    """
+    from dibimbing_case_study_etl_spark.operators.packing import pack_sequences
+
+    t = register(spark, sf_dir, ("documents",))
+    return pack_sequences(t["documents"], "doc_id", "text", seq_len=512)
+
+
+_T12_ALPHA_SQRT = True  # mixture temperature α = 0.5 (sqrt sampling)
+_T12_BUDGET = 1_000_000  # token budget the mixture is scaled to
+
+
+@query(
+    "t12_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             SUM(len(regexp_split_to_array(trim(text), ' +'))) AS toks
+      FROM documents
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, toks,
+             {sql_iround("sqrt(toks / (SELECT CAST(SUM(toks) AS DOUBLE) FROM s))", 6)}
+               AS w_raw
+      FROM s
+    )
+    SELECT source,
+           CAST(toks AS BIGINT) AS n_tokens,
+           {sql_iround("w_raw / (SELECT SUM(w_raw) FROM w)", 6)} AS weight,
+           CAST(round_even(w_raw / (SELECT SUM(w_raw) FROM w) * {_T12_BUDGET}, 0)
+                AS BIGINT) AS budget_tokens
+    FROM w
+    """,
+    tags=("llm", "mixing"),
+)
+def t12_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (α = 0.5): each source's
+    sampling weight ∝ sqrt of its token share — the standard upweighting
+    of small high-quality sources when composing a pretraining mixture —
+    plus each source's share of a fixed token budget.
+
+    Scale: one shuffle keyed by source with map-side partial sums; the
+    per-source table is tiny by construction. sqrt is IEEE
+    correctly-rounded in both engines and runs on exact-integer ratios;
+    raw weights round to 6 dp before the (small, exact) normalizing sum so
+    no accumulation-order effect survives.
+    """
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+
+    t = register(spark, sf_dir, ("documents",))
+    s = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("toks"))
+    )
+    total = s.agg(F.sum("toks").alias("tot"))
+    w = s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "toks",
+        iround(F.sqrt(F.col("toks") / F.col("tot").cast("double")), 6).alias("w_raw"),
+    )
+    denom = w.agg(F.sum("w_raw").alias("den"))
+    return w.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        iround(F.col("w_raw") / F.col("den"), 6).alias("weight"),
+        F.call_function("rint", F.col("w_raw") / F.col("den") * _T12_BUDGET)
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )

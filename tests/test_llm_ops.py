@@ -244,3 +244,30 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     cont = containment_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()
     assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
     assert jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).count() == 0
+
+
+def test_prefix_sum_matches_window_and_is_layout_invariant(spark):
+    """The distributed prefix sum must equal the single-partition window
+    ground truth and be independent of input partitioning (the range
+    bucketing is derived from data values, not from layout)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.select("doc_id", (F.col("doc_id") * 7919 % 1000).alias("k"),
+                       F.col("n_chars").alias("v"))
+    truth = base.withColumn(
+        "cum", F.sum("v").over(W.orderBy("k", "doc_id").rowsBetween(W.unboundedPreceding, 0))
+    )
+    mine = prefix_sum(base, "v", ["k", "doc_id"], out_col="cum", num_buckets=8)
+    t = {r.doc_id: r.cum for r in truth.collect()}
+    m = {r.doc_id: r.cum for r in mine.collect()}
+    assert m == t
+    m2 = {
+        r.doc_id: r.cum
+        for r in prefix_sum(base.repartition(5), "v", ["k", "doc_id"], "cum", 8).collect()
+    }
+    assert m2 == t
