@@ -347,3 +347,51 @@ def q67_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "u01_incremental_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           (SUM(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0) AS sum_value,
+           (SUM(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0 / COUNT(*))
+             AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("rollup", "incremental", "maintenance"),
+)
+def u01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (hypertable continuous-aggregate
+    pattern): the events table arrives as THREE separate loads, each
+    merged into a persistent per-(day, event_type) aggregate table via
+    partial-aggregate algebra (`operators/rollup.py`) — and the final
+    state must equal the one-shot GROUP BY over all history, which is
+    exactly what the oracle computes. Proves count/scaled-int-sum/min/max
+    merge bit-identically regardless of how the data was batched.
+
+    Scale: each load shuffles one partial row per touched group (map-side
+    combine first), reads back only the touched day partitions, and
+    rewrites only those (dynamic partition overwrite) — O(day) per daily
+    load, never O(history).
+    """
+    import tempfile
+
+    from dibimbing_case_study_etl_spark.operators.rollup import merge_rollup, read_rollup
+
+    t = register(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    state = tempfile.mkdtemp(prefix="spark_graft_rollup_") + "/state"
+    for i in range(3):
+        merge_rollup(
+            spark,
+            state,
+            ev.filter(F.col("event_id") % 3 == i),
+            "day",
+            ["event_type"],
+            "value",
+        )
+    return read_rollup(spark, state, "day", ["event_type"])

@@ -165,3 +165,33 @@ def test_t06_partial_agg_before_shuffle_and_topk(spark, sf_dir):
 def test_q55_cogroup_plan_shape(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "q55_cogrouped_order_reconciliation")
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_q66_topk_and_no_sf_proportional_hints(spark, sf_dir):
+    """Q2 shape: final top-100 must run as TakeOrderedAndProject (no global
+    sort), fixed-size dims (nation/region) broadcast, and the plan text
+    must not carry a hint-forced broadcast of the SF-proportional part
+    table scan — part joins via whatever AQE picks at runtime."""
+    plan = explain_str(spark, sf_dir, "q66_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation/region dims
+
+
+def test_q67_lateral_compiles_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY+LIMIT must compile to
+    WindowGroupLimit (partial map-side prune to ≤3 rows per customer
+    before the shuffle), not a per-row re-execution or a global sort."""
+    plan = explain_str(spark, sf_dir, "q67_lateral_topk_orders")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Partial") >= 1
+
+
+def test_t10_freq_join_unhinted(spark, sf_dir):
+    """t10's word→frequency join side (the vocabulary) is sublinear but
+    still data-proportional — it must carry no forced broadcast hint in
+    the optimized plan; AQE decides at runtime (broadcast at bench SF)."""
+    df = REGISTRY["t10_unigram_surprisal"].build(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    # the only allowed hint is the single-row total; count hint nodes
+    assert optimized.lower().count("broadcast") <= 1

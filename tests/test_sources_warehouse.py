@@ -343,3 +343,40 @@ def test_zorder_clusters_files_for_multi_dim_skipping(spark, tmp_path):
     # slice of BOTH dimensions (measured ~0.41/0.35 vs 1.0/0.78 scattered)
     assert before_u > 0.9 and before_v > 0.7
     assert after_u < 0.6 and after_v < 0.6
+
+
+def test_rollup_merge_order_invariant_and_incremental_equals_full(spark, tmp_path):
+    """Partial-aggregate algebra: merging batches in ANY order must yield
+    bit-identical state, and N incremental merges must equal the one-shot
+    aggregate over the union."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.rollup import (
+        merge_rollup,
+        read_rollup,
+        rollup_partials,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def run(order, path):
+        for i in order:
+            merge_rollup(spark, path, batches[i], "day", ["event_type"], "value")
+        return {
+            (r.day, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+            for r in read_rollup(spark, path, "day", ["event_type"]).collect()
+        }
+
+    fwd = run([0, 1, 2], str(tmp_path / "a"))
+    rev = run([2, 0, 1], str(tmp_path / "b"))
+    assert fwd == rev
+
+    full = {
+        (r.day, r.event_type): (r.n, r.sum_c / 100.0, r.min_v, r.max_v)
+        for r in rollup_partials(ev, "day", ["event_type"], "value").collect()
+    }
+    assert fwd == full
