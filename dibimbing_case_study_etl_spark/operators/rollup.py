@@ -112,3 +112,37 @@ def read_rollup(
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
     )
+
+
+def streaming_rollup(
+    spark: SparkSession,
+    staging_glob: str,
+    schema,
+    state_path: str,
+    checkpoint_dir: str,
+    bucket_col: str,
+    keys: Sequence[str],
+    value_col: str,
+) -> None:
+    """Streaming twin of :func:`merge_rollup`: a file-source stream with
+    ``Trigger.AvailableNow`` feeds each micro-batch through the SAME
+    partial-aggregate merge the batch path uses — one state algebra, two
+    arrival modes (cf. `streaming/weather_stream.py` for the upsert twin).
+
+    Exactly-once across restarts: the checkpoint tracks consumed files and
+    the merge is deterministic per batch, so replays converge to the same
+    state."""
+    stream = spark.readStream.schema(schema).parquet(staging_glob)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_rollup(batch.sparkSession, state_path, batch, bucket_col, keys, value_col)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -241,3 +241,46 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
         for r in batch.select("event_id", "user_id").join(dim, "user_id", "left").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_rollup_equals_batch_rollup(spark, tmp_path):
+    """The streaming path (AvailableNow file source + foreachBatch) must
+    land bit-identical rollup state to the batch path over the same rows —
+    one partial-aggregate algebra, two arrival modes."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.rollup import (
+        read_rollup,
+        rollup_partials,
+        streaming_rollup,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    staging = tmp_path / "staging"
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
+            str(staging / f"load={i}")
+        )
+
+    streaming_rollup(
+        spark,
+        str(staging / "load=*"),
+        ev.schema,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        "day",
+        ["event_type"],
+        "value",
+    )
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in read_rollup(spark, str(tmp_path / "state"), "day", ["event_type"]).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n, r.sum_c / 100.0, r.min_v, r.max_v)
+        for r in rollup_partials(ev, "day", ["event_type"], "value").collect()
+    }
+    assert got == want
