@@ -395,3 +395,57 @@ def u01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     return read_rollup(spark, state, "day", ["event_type"])
+
+
+@query(
+    "q68_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("events", "window", "sessionize"),
+)
+def q68_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window`` aggregate
+    (the q27 gaps-and-islands twin): events within a 30-minute gap merge
+    into one session per user; the window's end is last-event + gap
+    (half-open, so an event landing exactly at the boundary starts a new
+    session — mirrored by the oracle's ``>=`` flag).
+
+    Scale: session_window is a first-class aggregate — one shuffle on
+    user_id, sessions merged inside the aggregation operator with no lag/
+    running-sum window pass, and the SAME operator runs in Structured
+    Streaming with watermark-based state eviction (`streaming/
+    events_stream.py`) — the batch/stream-unified path q27's manual
+    windows cannot take.
+    """
+    t = register(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
