@@ -195,3 +195,46 @@ def test_t10_freq_join_unhinted(spark, sf_dir):
     import re
     # the only allowed hint is the single-row total; count hint nodes
     assert optimized.lower().count("broadcast") <= 1
+
+
+def test_runtime_bloom_filter_injected_on_selective_fact_join(spark, sf_dir):
+    """100 TB posture: when the filtered dim side is too big to broadcast
+    (the cluster-scale case — forced here by disabling broadcast), Spark
+    must inject a runtime BLOOM FILTER on the fact scan so most fact rows
+    drop BEFORE the join shuffle. Thresholds are tuned down because the
+    test data is tiny; at real scale the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+    finally:
+        for k, v in keep.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
