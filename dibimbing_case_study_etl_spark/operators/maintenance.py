@@ -192,3 +192,33 @@ def compact_path(
         )
         results[leaf] = (files_before, files_after)
     return results
+
+
+def retention_sweep(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Data-lifecycle retention: drop every ``partition_col=<value>`` leaf
+    whose value sorts strictly below ``keep_from`` (ISO dates compare
+    lexicographically, which is why the engine's partition values are
+    zero-padded strings). Returns the dropped partition values.
+
+    Metadata-only against the file listing — cost is O(partitions), never
+    a data scan, so a daily sweep over a 100 TB table touches nothing but
+    directory entries. ``dry_run=True`` reports without deleting (the
+    audit mode a production sweep runs first)."""
+    prefix = f"{partition_col}="
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for e in sorted(os.scandir(path), key=lambda e: e.name):
+        if not e.is_dir() or not e.name.startswith(prefix):
+            continue
+        value = e.name[len(prefix):]
+        if value < keep_from:
+            dropped.append(value)
+            if not dry_run:
+                shutil.rmtree(e.path)
+    return dropped

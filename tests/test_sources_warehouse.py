@@ -380,3 +380,37 @@ def test_rollup_merge_order_invariant_and_incremental_equals_full(spark, tmp_pat
         for r in rollup_partials(ev, "day", ["event_type"], "value").collect()
     }
     assert fwd == full
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.maintenance import retention_sweep
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    days = sorted(
+        e.name.split("=")[1] for e in __import__("os").scandir(path) if e.name.startswith("day=")
+    )
+    cutoff = days[2]
+    audit = retention_sweep(path, "day", cutoff, dry_run=True)
+    assert audit == days[:2]
+    assert sorted(
+        e.name.split("=")[1] for e in __import__("os").scandir(path) if e.name.startswith("day=")
+    ) == days  # dry run deleted nothing
+    dropped = retention_sweep(path, "day", cutoff)
+    assert dropped == days[:2]
+    left = {
+        r.day
+        for r in spark.read.parquet(path)
+        .select(F.col("day").cast("string").alias("day"))
+        .distinct()
+        .collect()
+    }
+    assert left == set(days[2:])
+    n = spark.read.parquet(path).count()
+    assert n == ev.filter(F.col("day") >= cutoff).count()
