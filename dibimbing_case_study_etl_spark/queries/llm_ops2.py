@@ -465,3 +465,24 @@ def t12_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("budget_tokens"),
     )
+
+
+@query(
+    "d11_semdedup_pairs",
+    oracle=None,  # the Lloyd-fitted cluster assignment has no SQL twin —
+    # rows-only driver check; precision-exactness and recall (1.0 vs the
+    # exact d05 baseline at sf0.001, and 500/500 on constructed
+    # near-identical clones) are pinned in tests/test_llm_ops.py
+    tags=("llm", "dedup", "embedding", "clustering"),
+)
+def d11_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pairs via cluster-then-compare —
+    embeddings land in their ``nprobe`` nearest IVF cells and only
+    in-cell pairs are scored (exact JVM cosine, so every returned pair is
+    a true near-dup; only recall is approximate). The embedding-space
+    scale path that replaces d05's all-pairs O(n²) with O(Σ cell²).
+    """
+    from dibimbing_case_study_etl_spark.operators.similarity import semdedup_pairs
+
+    t = register(spark, sf_dir, ("embeddings",))
+    return semdedup_pairs(t["embeddings"], threshold=0.45, ncells=16, nprobe=4)

