@@ -449,3 +449,89 @@ def q68_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q69_sql_udf_discount",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           (SUM(CAST(round_even(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+             / 100.0) AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "sql-entry"),
+)
+def q69_sql_udf_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION … RETURN``):
+    the discount-price expression lives as a catalog UDF and the query
+    calls it like a built-in — the engine's answer to warehouse-style SQL
+    macros, with none of a Python UDF's serialization cost (the body
+    inlines into the plan and stays inside whole-stage codegen; the
+    oracle inlines the same expression by hand).
+    """
+    register(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               SUM(CAST(rint(disc_price(l_extendedprice, l_discount) * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q70_error_tolerant_parse",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_unparsed,
+           COUNT(CASE WHEN k = 5 THEN 1 END) AS n_div_zero,
+           (SUM(CASE WHEN k IS NOT NULL AND k <> 5
+                     THEN CAST(round_even(value / (k - 5) * 10000, 0) AS BIGINT)
+                END) / 10000.0) AS sum_ratio
+    FROM parsed
+    GROUP BY event_type
+    """,
+    tags=("scalar", "error-handling"),
+)
+def q70_error_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion semantics: ``try_cast`` absorbs malformed
+    values and ``try_divide`` turns division-by-zero into NULL instead of
+    a job-killing ANSI exception — the per-row failure-isolation a dirty
+    100 TB feed needs (one bad record must never fail a 1000-executor
+    stage). The oracle mirrors NULL-on-error with explicit CASE guards.
+    """
+    t = register(spark, sf_dir, ("events",))
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    ratio = F.try_divide(F.col("value"), k - F.lit(5))
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"), ratio.alias("ratio"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+            F.count(F.when(F.col("k") == 5, 1)).alias("n_div_zero"),
+            (
+                F.sum(
+                    F.call_function("rint", F.col("ratio") * 10000).cast("bigint")
+                )
+                / 10000.0
+            ).alias("sum_ratio"),
+        )
+    )
