@@ -38,15 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects outright. Read nanos as long (runtime conf so
-        # it applies in any caller's session) and truncate to microseconds —
-        # the same nanos→micros truncation DuckDB applies, keeping the oracle
-        # comparison exact.
+        # Some driver-generated events.parquet versions store ts as INT64
+        # TIMESTAMP(NANOS), which the Spark parquet reader rejects outright.
+        # Read nanos as long (runtime conf so it applies in any caller's
+        # session) and truncate to microseconds — the same nanos→micros
+        # truncation DuckDB applies, keeping the oracle comparison exact.
+        # Newer data versions store plain micros, which Spark reads natively
+        # as a timestamp — detect which case we got and convert only the
+        # long-typed one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer DIV, not `/` — float division loses exactness at 1e18 nanos
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer DIV, not `/` — float division loses exactness at 1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
