@@ -34,23 +34,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _parquet_ts_unit(path: str) -> str | None:
+    """Cheap footer probe: the time unit ('ns' | 'us' | 'ms' | 's') of the
+    ``ts`` column, or None when the probe can't tell (missing column,
+    directory layout pyarrow can't open, no pyarrow)."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field("ts")
+        return getattr(field.type, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # Some driver-generated events.parquet versions store ts as INT64
-        # TIMESTAMP(NANOS), which the Spark parquet reader rejects outright.
-        # Read nanos as long (runtime conf so it applies in any caller's
-        # session) and truncate to microseconds — the same nanos→micros
-        # truncation DuckDB applies, keeping the oracle comparison exact.
-        # Newer data versions store plain micros, which Spark reads natively
-        # as a timestamp — detect which case we got and convert only the
-        # long-typed one.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        # Driver-generated events.parquet has shipped in two physical
+        # flavors; handle both and normalize to one logical schema
+        # (ts: TimestampType, session tz pinned UTC) so every downstream
+        # query sees the same types regardless of data version:
+        #  * INT64 TIMESTAMP(NANOS) — Spark's parquet reader rejects it
+        #    outright, so read nanos as long and truncate to micros (the
+        #    same nanos→micros truncation DuckDB applies, keeping the
+        #    oracle comparison exact). The conf must stay set for the
+        #    lifetime of the plan (footers are re-read at execution), so
+        #    only set it when the footer probe shows nanos.
+        #  * INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4.x
+        #    reads it as TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ
+        #    default true); cast to session-TZ timestamp. The session tz is
+        #    pinned UTC below, so the NTZ→LTZ cast is semantics-preserving
+        #    vs the UTC-naive data and the DuckDB oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        path = table_path(sf_dir, name)
+        if _parquet_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer DIV, not `/` — float division loses exactness at 1e18 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -78,61 +78,61 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-checked (round 1 window ended at entry 50)
-    "q25_scalar_functions",
-    "q26_events_hourly",
-    "q27_events_sessionize",
-    "q28_events_json_props",
-    "q29_asof_join",
+    # never driver-checked (r1+r2 windows never reached these 13)
+    "q66_min_cost_supplier",
+    "q67_lateral_topk_orders",
+    "q68_session_window_native",
+    "q69_sql_udf_discount",
+    "q70_error_tolerant_parse",
+    "d10_containment_pairs",
+    "d11_semdedup_pairs",
+    "s08_embedding_pca_whiten",
+    "t09_source_data_card",
+    "t10_unigram_surprisal",
+    "t11_sequence_packing",
+    "t12_mixture_weights",
+    "u01_incremental_rollup",
+    # fixed this round — need a fresh green row after the r2 red
+    "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
+    "q29_asof_join",  # same NTZ fix
+    "q43_array_agg",  # array cell → '|'-joined string (driver canonicalizer crash)
+    # oracle/builder text changed this round (ROUND → rint/round_even
+    # migration) — re-verify even though values should be identical
+    "q14_promo_revenue_share",
+    "q21_window_running_total",
+    "q24_pivot_status_by_priority",
     "q30_range_join",
-    "q31_percentiles",
-    "q32_correlated_avg_subquery",
     "q33_grouping_sets",
-    "q34_string_functions",
     "q35_sql_cte_ntile",
-    "q36_scalar_subquery_anti",
-    "q37_approx_aggregates",
-    "q38_two_nation_volume",
     "q39_market_share",
-    "q40_top_supplier",
-    "q41_not_in_null_aware",
-    "q42_large_orders",
-    "q43_array_agg",
-    "q44_datetime_functions",
-    "q45_pandas_udf_scalar",
-    "q46_grouped_pandas_udf",
     "q47_unpivot_stack",
-    "q48_distribution_windows",
-    "q49_multiset_ops",
     "q50_values_inline_dim",
-    "q51_python_udtf_sentences",
-    "q52_stateful_running_totals",
-    "q53_recursive_month_spine",
-    "q54_window_interval_range_frame",
-    "q55_cogrouped_order_reconciliation",
-    "q56_variant_semistructured",
-    "q57_sole_blame_suppliers",
-    "q58_map_type_aggregation",
-    "q59_null_semantics",
-    "q60_first_last_ignore_nulls",
-    "q61_sequential_funnel",
-    # changed this round — need a fresh green row
-    "p01_training_data_pipeline",  # oracle SUM cast fixed (r1 hash fail)
-    "s05_embedding_normalize",  # output exploded to scalars (r1 harness crash)
-    "d03_dedup_minhash_lsh",  # candidate-gen vectorized
-    "q09_nation_year_profit",  # broadcast hints removed
-    "q10_returned_revenue_topk",  # broadcast hints removed
-    "s04_embedding_dim_stats",  # mean migrated to rint/round_even helpers
-    # new this round — first driver check
-    "q62_important_part_values",
-    "q63_supplier_diversity",
-    "q64_heavy_widget_suppliers",
-    "q65_nation_revenue_share",
-    "d09_decontamination",
-    "t07_stratified_sample",
-    "t08_repetition_score",
-    # s08_embedding_pca_whiten is new but no_oracle (rows-only check) —
-    # it sits just past the 50-entry window and rotates in next round.
+    # backfill: longest-unverified r1 greens (not re-checked since round 1)
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_shipping_priority",
+    "q04_priority_semi_join",
+    "q05_region_nation_revenue",
+    "q06_revenue_filter",
+    "q07_customers_without_orders",
+    "q11_group_having",
+    "q12_shipmode_case_when",
+    "q13_order_count_distribution",
+    "q15_set_ops",
+    "q16_rollup_region_nation",
+    "q17_cube_status_priority",
+    "q18_distinct_counts",
+    "q19_theta_join_ranges",
+    "q20_window_topn_per_group",
+    "q22_window_lag_lead",
+    "q23_dedup_latest_per_key",
+    "d01_dedup_exact",
+    "d02_dedup_jaccard_pairs",
+    "d05_embedding_neardup_pairs",
+    "d06_dedup_clusters",
+    "t01_lang_id",
+    "t02_quality_score",
+    "s01_ann_cosine_topk",
 ]
 
 

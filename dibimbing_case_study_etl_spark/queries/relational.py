@@ -475,8 +475,8 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle=f"""
     SELECT {sql_iround(
-        "100.0 * (SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((" + _REV + ") * 10000) AS BIGINT) ELSE 0 END) / 10000.0)"
-        " / (SUM(CAST(ROUND((" + _REV + ") * 10000) AS BIGINT)) / 10000.0)", 4)} AS promo_share_pct
+        "100.0 * (SUM(CASE WHEN p_type = 'PROMO' THEN CAST(round_even((" + _REV + ") * 10000, 0) AS BIGINT) ELSE 0 END) / 10000.0)"
+        " / (SUM(CAST(round_even((" + _REV + ") * 10000, 0) AS BIGINT)) / 10000.0)", 4)} AS promo_share_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -490,7 +490,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    cents = F.round(_rev() * 10000).cast("bigint")
+    cents = F.call_function("rint", _rev() * 10000).cast("bigint")
     promo_sum = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))) / 10000.0
     total_sum = F.sum(cents) / 10000.0
     return li.join(
@@ -625,7 +625,7 @@ def q20_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
              AS running_spend
@@ -644,7 +644,7 @@ def q21_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint")
     return (
         t["orders"]
         .filter(F.col("o_custkey") <= 50)
@@ -764,9 +764,9 @@ def q17_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) / 100.0 AS open_total,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) / 100.0 AS finished_total,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) / 100.0 AS partial_total
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) END), 0) / 100.0 AS open_total,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) END), 0) / 100.0 AS finished_total,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) END), 0) / 100.0 AS partial_total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -776,7 +776,9 @@ def q24_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT orderstatus into columns (Spark .pivot ≡ conditional aggregation),
     summing exact integer cents."""
     t = register(spark, sf_dir, ("orders",))
-    o = t["orders"].withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    o = t["orders"].withColumn(
+        "cents", F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint")
+    )
     out = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).sum("cents")
     return out.select(
         "o_orderpriority",

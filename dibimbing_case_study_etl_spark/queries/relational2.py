@@ -80,7 +80,7 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id AS error_id, e.user_id,
            COUNT(p.event_id) AS n_prior_5min,
-           COALESCE(SUM(CAST(ROUND(p.value * 100) AS BIGINT)), 0) / 100.0 AS prior_value
+           COALESCE(SUM(CAST(round_even(p.value * 100, 0) AS BIGINT)), 0) / 100.0 AS prior_value
     FROM events e
     LEFT JOIN events p
       ON p.user_id = e.user_id
@@ -116,9 +116,12 @@ def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("error_id", "user_id").agg(
         F.count("p_id").alias("n_prior_5min"),
-        (F.coalesce(F.sum(F.round(F.col("p_value") * 100).cast("bigint")), F.lit(0)) / 100.0).alias(
-            "prior_value"
-        ),
+        (
+            F.coalesce(
+                F.sum(F.call_function("rint", F.col("p_value") * 100).cast("bigint")), F.lit(0)
+            )
+            / 100.0
+        ).alias("prior_value"),
     )
 
 
@@ -209,7 +212,7 @@ def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT r_name, n_name,
                COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_acctbal,
+               SUM(CAST(rint(c_acctbal * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_acctbal,
                CAST(GROUPING(r_name) AS INT) AS g_region,
                CAST(GROUPING(n_name) AS INT) AS g_nation
         FROM region
@@ -275,7 +278,7 @@ def q35_sql_cte_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH cust_rev AS (
           SELECT o_custkey,
-                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS revenue,
+                 SUM(CAST(rint(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS revenue,
                  COUNT(*) AS n_orders
           FROM orders GROUP BY o_custkey
         )

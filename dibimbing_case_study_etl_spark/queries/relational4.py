@@ -18,9 +18,9 @@ from dibimbing_case_study_etl_spark.queries import query
     oracle="""
     WITH per_status AS (
       SELECT o_orderpriority,
-             SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0 AS open_v,
-             SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0 AS finished_v,
-             SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0 AS partial_v
+             SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS open_v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS finished_v,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round_even(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS partial_v
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, status, amount FROM (
@@ -38,7 +38,7 @@ def q47_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot to per-status columns, then melt back to (priority, status,
     amount) rows."""
     t = register(spark, sf_dir, ("orders",))
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint")
     wide = (
         t["orders"]
         .groupBy("o_orderpriority")
@@ -109,7 +109,7 @@ def q49_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('big',   200000.0, 1000000000.0)
     )
     SELECT tier, COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+           SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
     FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY tier
     """,
@@ -132,7 +132,9 @@ def q50_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("total"),
+            (
+                F.sum(F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+            ).alias("total"),
         )
     )
 

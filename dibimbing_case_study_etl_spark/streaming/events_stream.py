@@ -38,7 +38,9 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+            (F.sum(F.call_function("rint", F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("win.start").alias("hour_ts"),
