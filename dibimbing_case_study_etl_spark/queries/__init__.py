@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dibimbing_case_study_etl_spark.queries import (  # noqa: F401
         llm_ops,
         llm_ops2,
+        llm_ops3,
         relational,
         relational2,
         relational3,
@@ -92,6 +93,10 @@ DRIVER_PRIORITY: list[str] = [
     "t11_sequence_packing",
     "t12_mixture_weights",
     "u01_incremental_rollup",
+    # new in r3 — first driver check
+    "t13_pii_redaction",
+    "t14_ngram_topk",
+    "d12_dup_ngram_fraction",
     # fixed this round — need a fresh green row after the r2 red
     "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
     "q29_asof_join",  # same NTZ fix
@@ -130,9 +135,6 @@ DRIVER_PRIORITY: list[str] = [
     "d02_dedup_jaccard_pairs",
     "d05_embedding_neardup_pairs",
     "d06_dedup_clusters",
-    "t01_lang_id",
-    "t02_quality_score",
-    "s01_ann_cosine_topk",
 ]
 
 

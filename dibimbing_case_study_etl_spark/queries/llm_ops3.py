@@ -1,0 +1,175 @@
+"""Third LLM-data-pipeline batch — corpus-hygiene operators every
+large-scale training pipeline runs before the tokenizer sees a byte:
+
+- t13: PII detection + redaction (email / IPv4 / phone) — counts and a
+  scrubbed text length per document. Pure JVM regex (``regexp_count`` /
+  ``regexp_replace``), zero Python, scan-speed at 100 TB.
+- t14: corpus-level n-gram top-k — the frequency table that feeds
+  tokenizer training and repetition diagnostics. Non-distinct bigrams,
+  partial-agg combine, TakeOrderedAndProject top-k.
+- d12: cross-document duplicated-shingle fraction — per-document share of
+  its distinct word trigrams that occur in at least one other document
+  (the Gopher/RefinedWeb "dup n-gram" quality signal; complements t08's
+  *within*-document repetition score).
+
+All three are exact-oracled: the DuckDB twins build the same token/shingle
+arrays with ``string_split`` + ``list_transform`` (conventions of
+``functions/text.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.functions.text import (
+    pii_count,
+    redact_pii,
+    sql_pii_count,
+    sql_redact_pii,
+    word_ngrams,
+    word_shingles,
+)
+from dibimbing_case_study_etl_spark.queries import query
+
+
+@query(
+    "t13_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_pii_count("text", "email")} AS n_emails,
+           {sql_pii_count("text", "ipv4")} AS n_ipv4,
+           {sql_pii_count("text", "phone")} AS n_phones,
+           CAST(length({sql_redact_pii("text")}) AS BIGINT) AS redacted_len,
+           CAST(length(text) AS BIGINT) AS original_len
+    FROM documents
+    """,
+    tags=("llm", "text", "pii"),
+    bench=True,
+)
+def t13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-document match counts for each pattern class and
+    the post-redaction length (the audit columns a compliance review asks
+    for). The synthetic corpus contains no PII — every count is zero here,
+    which the oracle verifies exactly; the *semantics* on PII-bearing text
+    are pinned in ``tests/test_text_functions.py`` on crafted rows through
+    the same :func:`~..functions.text.redact_pii` helpers.
+
+    Scale: stateless per-row regex in whole-stage codegen — a pure map
+    stage, no shuffle, scan-bound at 100 TB.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        pii_count(F.col("text"), "email").alias("n_emails"),
+        pii_count(F.col("text"), "ipv4").alias("n_ipv4"),
+        pii_count(F.col("text"), "phone").alias("n_phones"),
+        F.length(redact_pii(F.col("text"))).cast("bigint").alias("redacted_len"),
+        F.length("text").cast("bigint").alias("original_len"),
+    )
+
+
+_TOPK = 20
+
+
+@query(
+    "t14_ngram_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(trim(text), ' +') AS w FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM tok
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT {_TOPK}
+    """,
+    tags=("llm", "text", "ngram", "topk"),
+    bench=True,
+)
+def t14_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-k (tokenizer-training / repetition
+    diagnostics input). Bigrams are NON-distinct — frequency is the point
+    — unlike the deduplication shingles.
+
+    Scale: explode → partial count map-side (the gram key space is much
+    smaller than the corpus, so combiners crush the shuffle) → one shuffle
+    on gram → TakeOrderedAndProject keeps only k rows per partition.
+    Deterministic tiebreak on the gram string.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(_TOPK)
+    )
+
+
+_SHINGLE_K = 3
+
+
+@query(
+    "d12_dup_ngram_fraction",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - {_SHINGLE_K - 1}, 0)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents)
+    ),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN n_docs >= 2 THEN 1 END) AS n_dup,
+           {sql_iround("COUNT(CASE WHEN n_docs >= 2 THEN 1 END) / CAST(COUNT(*) AS DOUBLE)", 6)}
+             AS dup_frac
+    FROM sh JOIN df USING (s)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+    bench=True,
+)
+def d12_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-shingle fraction: the share of a document's
+    distinct word trigrams that appear in ≥1 *other* document — the
+    cross-document repetition signal (Gopher-style dup-ngram filters) that
+    catches boilerplate, templates, and mirror pages that exact dedup
+    misses. Within-document repetition is t08; this is its corpus twin.
+
+    Scale: inverted-index shape shared with d02/d09, but with the
+    groupBy+join-back folded into ONE window — shingles are distinct per
+    document, so each (doc_id, s) row appears exactly once and
+    ``count(*) over (partition by s)`` IS the document frequency. One scan
+    of documents, one shuffle on s, one shuffle on doc_id (the
+    groupBy+join alternative scans twice and shuffles the exploded table
+    twice on s). No pairwise comparison anywhere: cost is O(total
+    shingles), not O(docs²).
+    """
+    from pyspark.sql import Window as W
+
+    t = register(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(word_shingles(F.col("text"), _SHINGLE_K)).alias("s")
+    )
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("s"))
+    return (
+        sh.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup"),
+            iround(
+                F.count(F.when(F.col("n_docs") >= 2, 1)) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -238,3 +238,29 @@ def test_runtime_bloom_filter_injected_on_selective_fact_join(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_t14_topk_avoids_global_sort_and_combines_map_side(spark, sf_dir):
+    """Corpus n-gram top-k must be TakeOrderedAndProject (k rows per
+    partition reach the driver, never a global sort) over a two-phase
+    count (partial_count before the gram shuffle crushes the volume)."""
+    plan = explain_str(spark, sf_dir, "t14_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_d12_single_scan_no_join(spark, sf_dir):
+    """The dup-shingle fraction must be the one-scan window shape: count
+    over (partition by s) replaces the groupBy-then-join-back, so the plan
+    has NO join and exactly one documents scan."""
+    plan = explain_str(spark, sf_dir, "d12_dup_ngram_fraction")
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_t13_is_pure_map_stage(spark, sf_dir):
+    """PII scrubbing is stateless per-row regex: no exchange of any kind
+    in the plan, one codegen stage over the scan."""
+    plan = explain_str(spark, sf_dir, "t13_pii_redaction")
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in plan or "Project" in plan

@@ -1,0 +1,97 @@
+"""PII scrub semantics on crafted rows (the synthetic corpus has no PII,
+so t13's registry oracle only proves the all-zero case — these pin the
+actual matching/redaction behavior and the Spark↔DuckDB twin parity)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.functions.text import (
+    pii_count,
+    redact_pii,
+    sql_pii_count,
+    sql_redact_pii,
+)
+
+ROWS = [
+    ("plain text with no pii at all",),
+    ("contact me at alice.smith+spam@example.co.uk thanks",),
+    ("two mails: a@b.cd and x_y%z@sub.domain.org!",),
+    ("server at 192.168.0.1 and backup 10.0.255.254",),
+    ("call +1 (555) 123-4567 or 020 7946 0958 now",),
+    ("mixed: bob@web.io from 8.8.8.8 dials 555-867-5309",),
+    ("",),
+]
+
+
+@pytest.fixture(scope="module")
+def scrubbed(spark):
+    df = spark.createDataFrame(ROWS, "text string")
+    return df.select(
+        "text",
+        pii_count(F.col("text"), "email").alias("n_emails"),
+        pii_count(F.col("text"), "ipv4").alias("n_ipv4"),
+        pii_count(F.col("text"), "phone").alias("n_phones"),
+        redact_pii(F.col("text")).alias("redacted"),
+    ).collect()
+
+
+def _by_text(rows):
+    return {r.text: r for r in rows}
+
+
+def test_counts(scrubbed):
+    got = _by_text(scrubbed)
+    assert (got["plain text with no pii at all"].n_emails,
+            got["plain text with no pii at all"].n_ipv4,
+            got["plain text with no pii at all"].n_phones) == (0, 0, 0)
+    assert got["contact me at alice.smith+spam@example.co.uk thanks"].n_emails == 1
+    assert got["two mails: a@b.cd and x_y%z@sub.domain.org!"].n_emails == 2
+    assert got["server at 192.168.0.1 and backup 10.0.255.254"].n_ipv4 == 2
+    assert got["call +1 (555) 123-4567 or 020 7946 0958 now"].n_phones == 2
+    mixed = got["mixed: bob@web.io from 8.8.8.8 dials 555-867-5309"]
+    assert (mixed.n_emails, mixed.n_ipv4, mixed.n_phones) == (1, 1, 1)
+    assert got[""].redacted == ""
+
+
+def test_redaction_text(scrubbed):
+    got = _by_text(scrubbed)
+    assert (
+        got["contact me at alice.smith+spam@example.co.uk thanks"].redacted
+        == "contact me at [EMAIL] thanks"
+    )
+    assert (
+        got["server at 192.168.0.1 and backup 10.0.255.254"].redacted
+        == "server at [IPV4] and backup [IPV4]"
+    )
+    assert (
+        got["mixed: bob@web.io from 8.8.8.8 dials 555-867-5309"].redacted
+        == "mixed: [EMAIL] from [IPV4] dials [PHONE]"
+    )
+
+
+def test_duckdb_twin_parity(scrubbed):
+    """The DuckDB twins must agree with Spark on every crafted row — this
+    is the same parity contract the registry oracle enforces, applied to
+    text that actually contains PII."""
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": [r[0] for r in ROWS]}))
+    oracle = con.execute(
+        f"""
+        SELECT text,
+               {sql_pii_count("text", "email")} AS n_emails,
+               {sql_pii_count("text", "ipv4")} AS n_ipv4,
+               {sql_pii_count("text", "phone")} AS n_phones,
+               {sql_redact_pii("text")} AS redacted
+        FROM t
+        """
+    ).df()
+    want = {
+        r["text"]: (r["n_emails"], r["n_ipv4"], r["n_phones"], r["redacted"])
+        for _, r in oracle.iterrows()
+    }
+    for r in scrubbed:
+        assert (r.n_emails, r.n_ipv4, r.n_phones, r.redacted) == want[r.text], r.text
