@@ -146,30 +146,43 @@ def d12_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches boilerplate, templates, and mirror pages that exact dedup
     misses. Within-document repetition is t08; this is its corpus twin.
 
-    Scale: inverted-index shape shared with d02/d09, but with the
-    groupBy+join-back folded into ONE window — shingles are distinct per
-    document, so each (doc_id, s) row appears exactly once and
-    ``count(*) over (partition by s)`` IS the document frequency. One scan
-    of documents, one shuffle on s, one shuffle on doc_id (the
-    groupBy+join alternative scans twice and shuffles the exploded table
-    twice on s). No pairwise comparison anywhere: cost is O(total
-    shingles), not O(docs²).
-    """
-    from pyspark.sql import Window as W
+    Scale (every step skew-safe — boilerplate shingles are GUARANTEED at
+    100 TB and pile millions of rows on single keys):
 
+    1. document frequency by ``groupBy(s)`` — partial aggregation combines
+       map-side, so a hot shingle costs one partial row per input
+       partition, never a hot reducer;
+    2. only the *duplicated* shingles survive (``df >= 2`` — the exact
+       count is irrelevant downstream, so the carried set is minimal);
+    3. LEFT SEMI join of the exploded shingles against that set — AQE can
+       split a skewed join partition (it cannot split a skewed WINDOW
+       partition, which is why ``count() over (partition by s)`` — one
+       scan cheaper — is the wrong shape here), or broadcasts when the
+       dup-set is small;
+    4. per-document counts join back on doc_id (well-distributed key).
+
+    ``n_shingles`` comes straight off the scan (``size(word_shingles)``),
+    so only dup-shingle rows ever cross the s-keyed join. No pairwise
+    comparison anywhere: cost is O(total shingles), not O(docs²).
+    """
     t = register(spark, sf_dir, ("documents",))
     sh = t["documents"].select(
         "doc_id", F.explode(word_shingles(F.col("text"), _SHINGLE_K)).alias("s")
     )
-    n_docs = F.count(F.lit(1)).over(W.partitionBy("s"))
-    return (
-        sh.withColumn("n_docs", n_docs)
+    dup_shingles = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    n_dup = (
+        sh.join(dup_shingles.select("s"), "s", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup"),
-            iround(
-                F.count(F.when(F.col("n_docs") >= 2, 1)) / F.count(F.lit(1)).cast("double"), 6
-            ).alias("dup_frac"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = t["documents"].select(
+        "doc_id", F.size(word_shingles(F.col("text"), _SHINGLE_K)).alias("n_shingles")
+    ).filter(F.col("n_shingles") >= 1)
+    return base.join(n_dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+        iround(
+            F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_shingles").cast("double"), 6
+        ).alias("dup_frac"),
     )

@@ -249,13 +249,15 @@ def test_t14_topk_avoids_global_sort_and_combines_map_side(spark, sf_dir):
     assert "partial_count" in plan
 
 
-def test_d12_single_scan_no_join(spark, sf_dir):
-    """The dup-shingle fraction must be the one-scan window shape: count
-    over (partition by s) replaces the groupBy-then-join-back, so the plan
-    has NO join and exactly one documents scan."""
+def test_d12_skew_safe_shape(spark, sf_dir):
+    """The dup-shingle fraction must be the skew-safe shape: document
+    frequency via partial-agg groupBy (never a window — AQE cannot split a
+    skewed WINDOW partition, and boilerplate shingles guarantee hot keys
+    at scale), dup-set membership via LEFT SEMI join."""
     plan = explain_str(spark, sf_dir, "d12_dup_ngram_fraction")
-    assert "Join" not in plan
-    assert plan.count("documents.parquet") == 1
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
 
 
 def test_t13_is_pure_map_stage(spark, sf_dir):
