@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "t13_pii_redaction",
     "t14_ngram_topk",
     "d12_dup_ngram_fraction",
+    "d13_bloom_decontamination",
     # fixed this round — need a fresh green row after the r2 red
     "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
     "q29_asof_join",  # same NTZ fix
@@ -129,7 +130,6 @@ DRIVER_PRIORITY: list[str] = [
     "q18_distinct_counts",
     "q19_theta_join_ranges",
     "q20_window_topn_per_group",
-    "q22_window_lag_lead",
     "q23_dedup_latest_per_key",
     "d01_dedup_exact",
     "d02_dedup_jaccard_pairs",

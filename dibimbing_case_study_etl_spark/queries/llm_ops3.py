@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.queries.llm_ops2 import _D09_ORACLE, _MAX_DF, _MIN_SHARED
 from dibimbing_case_study_etl_spark.functions.text import (
     pii_count,
     redact_pii,
@@ -185,4 +186,63 @@ def d12_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         iround(
             F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_shingles").cast("double"), 6
         ).alias("dup_frac"),
+    )
+
+
+@query(
+    "d13_bloom_decontamination",
+    # bloom has no false negatives and candidates are exact-verified, so
+    # the output is IDENTICAL to d09's — they share the oracle (the same
+    # candidates-then-verify contract d03 uses to share d02's oracle).
+    oracle=_D09_ORACLE,
+    tags=("llm", "dedup", "contamination", "bloom"),
+)
+def d13_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination, bloom-prefilter scale path (exact
+    output parity with d09, pinned by the shared oracle and
+    ``test_llm_ops.py``).
+
+    d09's shape shuffles BOTH sides of the inverted-index join by shingle.
+    At 100 TB the train side dominates that shuffle, yet almost none of it
+    matters: only shingles that occur in the (contract-small) held-out set
+    can contaminate. So: collect the kept test-side shingle hashes
+    (``_collect_small`` contract — raises past 64k rows rather than
+    OOMing), pack them into a ~1%-FPR broadcast bloom, and drop train
+    shingle rows in a pure MAP stage before any shuffle. The exact join
+    then runs over survivors only (true overlaps + ~1% noise), and bloom
+    false positives die in that join. One full-corpus shuffle (the
+    stop-shingle document-frequency pass, shared with d09) remains — it is
+    partial-agg and skew-free.
+    """
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.bloom import bloom_prefilter, build_bloom
+    from dibimbing_case_study_etl_spark.operators.similarity import _collect_small
+
+    t = register(spark, sf_dir, ("documents",))
+    bucket = fingerprint("text") % 100
+    sh = t["documents"].select(
+        "doc_id", bucket.alias("__b"), F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    )
+    keep = (
+        sh.groupBy("s").agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") <= _MAX_DF)
+    )
+    sh = sh.join(keep.select("s"), "s")
+    test = sh.filter(F.col("__b") >= 90).select(F.col("doc_id").alias("test_doc"), "s")
+    train = sh.filter(F.col("__b") < 90).select(F.col("doc_id").alias("train_doc"), "s")
+
+    test_hashes = [
+        r.h for r in _collect_small(
+            test.select(F.xxhash64("s").alias("h")).distinct(), "held-out shingle set"
+        )
+    ]
+    bloom = build_bloom(test_hashes)
+    candidates = bloom_prefilter(
+        train.withColumn("h", F.xxhash64("s")), "h", bloom
+    ).drop("h")
+    return (
+        candidates.join(test, "s")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
     )
