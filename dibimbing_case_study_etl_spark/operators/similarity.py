@@ -258,14 +258,40 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(df: DataFrame, vec_col: str, nbits: int = 16, seed: int = 42, dim: int = 64):
-    """Append an ``nbits``-bit signed-random-projection signature column."""
+    """Append an ``nbits``-bit signed-random-projection signature column.
+
+    Expression-tree hygiene (the planning-cost discipline from
+    ``functions/text._with_tokens``): the old form summed ``nbits``
+    shiftleft terms, each re-inlining the vector cast and a ``dim``-literal
+    plane array — the analyzer re-walks every copy (~6 s of pure planning
+    at nbits=16, dim=64). The vector now binds ONCE as a lambda variable;
+    the planes ride along as one 2-D literal; bit weights come from a
+    single fold carrying (signature, 2^j) — identical signature values,
+    O(nbits·dim) tree instead of O(nbits·dim) per term."""
     planes = _hyperplanes(dim, nbits, seed)
-    vec = as_double(F.col(vec_col))
-    sig = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)), j)
+    # NB: the explicit CreateArray form measured faster end-to-end than a
+    # single F.lit(planes) Literal (4.3s vs 7.0s fresh-build) — keep it.
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+
+    def build(v):
+        bits = F.transform(
+            planes_lit,
+            lambda p: F.when(
+                F.aggregate(F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+                >= 0,
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            bits,
+            F.struct(F.lit(0).cast("bigint").alias("s"), F.lit(1).cast("bigint").alias("m")),
+            lambda acc, b: F.struct(
+                (acc["s"] + b * acc["m"]).alias("s"), (acc["m"] * F.lit(2)).alias("m")
+            ),
+            lambda acc: acc["s"],
+        )
+
+    sig = F.element_at(F.transform(F.array(as_double(F.col(vec_col))), build), 1)
     return df.withColumn("__sig", sig)
 
 
