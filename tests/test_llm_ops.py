@@ -310,3 +310,37 @@ def test_semdedup_precision_exact_and_recall_pinned(spark):
     assert found & want == want  # every clone pair found
     for a, b in found - want:  # anything extra must still be a true near-dup
         assert (a, b) in found
+
+
+def test_d12_exact_under_boilerplate_skew(spark, tmp_path):
+    """Boilerplate-heavy corpus (one hot trigram in 60% of docs — the
+    guaranteed-at-scale skew d12's semi-join shape exists for): output must
+    still hash-match the DuckDB oracle run on the same synthetic parquet."""
+    import duckdb
+    import pandas as pd
+
+    from dibimbing_case_study_etl_spark.queries import load_all
+    from dibimbing_case_study_etl_spark.testing import compare_frames
+
+    n = 1000
+    rows = []
+    for i in range(n):
+        tail = f"tail{i} word{i} unique{i} filler{i % 7}"
+        text = ("copyright boilerplate header " + tail) if i % 5 < 3 else tail
+        rows.append({"doc_id": i, "text": text})
+    pdf = pd.DataFrame(rows)
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    spec = load_all()["d12_dup_ngram_fraction"]
+    got = spec.build(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute(spec.oracle).df()
+    con.close()
+
+    assert not compare_frames(got, want)
+    # the hot trigrams really are flagged as duplicated
+    hot = got[got.doc_id % 5 < 3]
+    assert (hot.n_dup >= 1).all()
