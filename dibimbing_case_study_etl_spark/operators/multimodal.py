@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOB_SCHEMA = "doc_id bigint, content binary, meta struct<format string, n_bytes bigint>"
@@ -260,3 +260,112 @@ def decode_features_arrow(blobs: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return blobs.mapInArrow(extract, schema=FEATURE_SCHEMA)
+
+
+# --- perceptual-hash near-duplicate detection ------------------------------
+
+
+def phash_cols(col_name: str, n_chunks: int = 64) -> Column:
+    """64-bit aHash over the content's codepoint sequence, packed as
+    ``struct<h1:bigint, h2:bigint>`` (two 32-bit halves — keeps every value
+    non-negative so Spark and an oracle engine agree without 64-bit
+    sign games).
+
+    The grayscale stand-in is the codepoint array (ASCII corpus ⇒ byte
+    values); a real deployment decodes pixels in the Arrow path and feeds
+    the same chunk-mean machinery. Bit j compares chunk j's mean against
+    the global mean in EXACT integer arithmetic —
+    ``chunk_sum * L >= total_sum * chunk_len`` — so the hash is
+    bit-identical across engines (no float means).
+
+    Expression hygiene: the codepoint array binds once as a lambda
+    variable (see ``functions/text._with_tokens``); the 64 chunk
+    aggregates reference it as a leaf.
+    """
+    cp = F.expr(
+        "transform(sequence(1, length({c})), i -> cast(ascii(substr({c}, i, 1)) as bigint))".format(
+            c=col_name
+        )
+    )
+
+    def build(w: Column) -> Column:
+        L = F.size(w).cast("bigint")
+        total = F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+        def bit(j: int) -> Column:
+            lo = F.floor(F.lit(j) * L / n_chunks).cast("int")
+            hi = F.floor(F.lit(j + 1) * L / n_chunks).cast("int")
+            n = hi - lo
+            cs = F.aggregate(F.slice(w, lo + 1, n), F.lit(0).cast("bigint"), lambda a, x: a + x)
+            return F.when(cs * L >= total * n.cast("bigint"), F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+
+        half = n_chunks // 2
+        h1 = sum(F.shiftleft(bit(j), j) for j in range(half))
+        h2 = sum(F.shiftleft(bit(half + j), j) for j in range(half))
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    return F.element_at(F.transform(F.array(cp), build), 1)
+
+
+def phash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, min_len: int = 64
+) -> DataFrame:
+    """Image-near-dup twin of SimHash (d04) for multimodal content: pairs
+    whose perceptual hashes differ in ≤ ``max_hamming`` of 64 bits.
+
+    Pigeonhole band join: 4 bands of 16 bits — any pair within Hamming
+    distance 3 agrees exactly on ≥1 band, so candidates come from
+    equi-joins keyed by a 16-bit value, never an n² cross join; one
+    XOR+bit_count verifies. Unlike d04 (xxhash64 has no oracle twin), the
+    hash here is pure integer arithmetic, so the WHOLE operator is
+    exact-oracled including the hash itself.
+    """
+    sig = df.filter(F.length(text_col) >= min_len).select(
+        F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
+    )
+    sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
+    sig.persist()
+    sig.count()
+
+    mask = (1 << 16) - 1
+    bands = [
+        F.col("h1").bitwiseAND(F.lit(mask)),
+        F.shiftright("h1", 16).bitwiseAND(F.lit(mask)),
+        F.col("h2").bitwiseAND(F.lit(mask)),
+        F.shiftright("h2", 16).bitwiseAND(F.lit(mask)),
+    ]
+    stacked = sig.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), b.cast("bigint").alias("val"))
+                    for i, b in enumerate(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a, b = stacked.alias("a"), stacked.alias("b")
+    hamming = F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1"))) + F.bit_count(
+        F.col("a.h2").bitwiseXOR(F.col("b.h2"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "t14_ngram_topk",
     "d12_dup_ngram_fraction",
     "d13_bloom_decontamination",
+    "m06_phash_neardup",
     # fixed this round — need a fresh green row after the r2 red
     "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
     "q29_asof_join",  # same NTZ fix
@@ -134,7 +135,6 @@ DRIVER_PRIORITY: list[str] = [
     "d01_dedup_exact",
     "d02_dedup_jaccard_pairs",
     "d05_embedding_neardup_pairs",
-    "d06_dedup_clusters",
 ]
 
 

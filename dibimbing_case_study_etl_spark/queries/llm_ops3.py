@@ -246,3 +246,63 @@ def d13_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _MIN_SHARED)
     )
+
+
+_M06_ORACLE = """
+    WITH cp AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text)),
+                            i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS w
+      FROM documents WHERE length(text) >= 64
+    ),
+    st AS (SELECT doc_id, w, len(w) AS L, list_sum(w) AS S FROM cp),
+    bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), j ->
+               CASE WHEN list_sum(list_slice(w, (j*L)//64 + 1, ((j+1)*L)//64)) * L
+                         >= S * (((j+1)*L)//64 - (j*L)//64)
+                    THEN 1 ELSE 0 END) AS b
+      FROM st
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+                                          j -> CAST(b[j+1] AS BIGINT) << j)) AS BIGINT) AS h1,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+                                          j -> CAST(b[j+33] AS BIGINT) << j)) AS BIGINT) AS h2
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+"""
+
+
+@query(
+    "m06_phash_neardup",
+    oracle=_M06_ORACLE,
+    tags=("llm", "multimodal", "dedup"),
+)
+def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over multimodal content — the
+    image twin of SimHash (d04): 64-bit aHash (chunk mean vs global mean,
+    EXACT integer arithmetic) + pigeonhole band join, Hamming ≤ 3.
+
+    The grayscale stand-in is the codepoint sequence (the same
+    bytes≡codepoints equivalence m01's oracle uses on the ASCII corpus); a
+    real deployment decodes pixels in the Arrow path and reuses the same
+    chunk-mean + band-join machinery. Because the hash is pure integer
+    arithmetic — no xxhash — the ENTIRE operator is exact-oracled, where
+    d04's signature cannot be (DuckDB has no xxhash64 twin); the oracle is
+    the O(n²) definition, the engine the pigeonhole band join.
+
+    Scale: candidates come from equi-joins keyed by 16-bit band values,
+    never an n² cross join; the signature table materializes once
+    (persist) for the four-band self-join; verification is one
+    XOR+bit_count per candidate.
+    """
+    from dibimbing_case_study_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    t = register(spark, sf_dir, ("documents",))
+    return phash_neardup_pairs(t["documents"], "doc_id", "text", max_hamming=3)

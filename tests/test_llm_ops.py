@@ -344,3 +344,44 @@ def test_d12_exact_under_boilerplate_skew(spark, tmp_path):
     # the hot trigrams really are flagged as duplicated
     hot = got[got.doc_id % 5 < 3]
     assert (hot.n_dup >= 1).all()
+
+
+def test_m06_phash_finds_crafted_near_duplicates(spark, tmp_path):
+    """The synthetic corpus has no near-identical byte streams (its minimum
+    pairwise phash distance is 9), so the registry row's correct answer is
+    empty — the non-degenerate semantics are pinned here: perturbed clones
+    must pair up with small Hamming distance, and the band-join output must
+    equal the O(n²) oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from dibimbing_case_study_etl_spark.queries import load_all
+
+    from dibimbing_case_study_etl_spark.testing import compare_frames
+
+    rng = __import__("random").Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "kappa", "sigma"]
+    rows = []
+    for i in range(60):
+        base = " ".join(rng.choice(words) for _ in range(40))
+        rows.append({"doc_id": i * 10, "text": base})
+        if i % 3 == 0:  # clone with a one-character perturbation
+            rows.append({"doc_id": i * 10 + 1, "text": base[:-1] + "x"})
+    pdf = pd.DataFrame(rows)
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    spec = load_all()["m06_phash_neardup"]
+    got = spec.build(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute(spec.oracle).df()
+    con.close()
+
+    assert not compare_frames(got, want)
+    assert len(got) > 0
+    # every clone pairs with its base at tiny distance
+    clone_pairs = got[(got.doc_b - got.doc_a) == 1]
+    assert len(clone_pairs) >= 15
+    assert (clone_pairs.hamming <= 3).all()
