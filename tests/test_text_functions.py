@@ -95,3 +95,58 @@ def test_duckdb_twin_parity(scrubbed):
     }
     for r in scrubbed:
         assert (r.n_emails, r.n_ipv4, r.n_phones, r.redacted) == want[r.text], r.text
+
+
+def test_tokenizer_cross_engine_parity_on_adversarial_whitespace(spark):
+    """The corpus never exercises leading/trailing/repeated spaces or
+    empty-ish strings; hypothesis-style adversarial cases pin that Spark's
+    tokens()/word_ngrams() and the DuckDB twins split identically (both
+    sides: trim then split on ' +' — literal spaces, not general
+    whitespace)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.functions.text import word_ngrams
+
+    cases = [
+        "",
+        " ",
+        "   ",
+        "one",
+        " one ",
+        "a b",
+        "a  b",
+        "  a   b  c ",
+        "a b c d e",
+        "x " * 40,
+        "tab\tinside stays one-token",
+        "newline\ninside stays one-token",
+        "trailing  ",
+        "  leading",
+    ]
+    pdf = pd.DataFrame({"i": range(len(cases)), "text": cases})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", F.array_join(word_ngrams(F.col("text"), 2), "|").alias("g"))
+        .toPandas()
+        .sort_values("i")["g"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # COALESCE: DuckDB array_to_string([]) is NULL where Spark array_join
+    # yields '' — a real cross-engine quirk, but one no registry oracle
+    # depends on (they explode/unnest, where both engines emit zero rows);
+    # the property under test here is the SPLIT parity.
+    want = con.execute(
+        """
+        SELECT COALESCE(array_to_string(
+                 list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                i -> w[i] || ' ' || w[i+1]), '|'), '') AS g
+        FROM (SELECT i, regexp_split_to_array(trim(text), ' +') AS w FROM t)
+        ORDER BY i
+        """
+    ).df()["g"].tolist()
+    con.close()
+    assert got == want, list(zip(cases, got, want))
