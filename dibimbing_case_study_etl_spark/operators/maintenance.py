@@ -222,3 +222,61 @@ def retention_sweep(
             if not dry_run:
                 shutil.rmtree(e.path)
     return dropped
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    dry_run: bool = False,
+) -> dict:
+    """Targeted key deletion (GDPR right-to-be-forgotten) over a
+    partitioned parquet table: remove every row matching ``keys`` on
+    ``key_cols``, rewriting ONLY the partitions that contain matches.
+
+    Shape (the only one that survives a 100 TB table):
+
+    1. locate affected partitions with a column-pruned scan semi-joined
+       against the (broadcastable) key set — the scan reads key columns +
+       the partition column, nothing else;
+    2. anti-join just those partitions' rows against the keys;
+    3. dynamic partition overwrite commits the rewrite partition-scoped —
+       untouched partitions are never read for rewrite, never rewritten,
+       and stay byte-identical on disk (asserted in tests).
+
+    ``dry_run=True`` reports what would happen (the audit mode a
+    compliance run executes first). Returns ``{"partitions": [...],
+    "n_deleted": int, "n_kept": int}``.
+    """
+    key_cols = list(key_cols)
+    df = spark.read.parquet(path)
+    hits = df.join(F.broadcast(keys), key_cols, "left_semi")
+    affected_parts = [r[0] for r in hits.select(partition_col).distinct().collect()]
+    n_deleted = hits.count()
+    if dry_run or not affected_parts:
+        return {"partitions": sorted(affected_parts), "n_deleted": n_deleted, "n_kept": None}
+
+    affected = df.filter(F.col(partition_col).isin(affected_parts))
+    remaining = affected.join(F.broadcast(keys), key_cols, "left_anti")
+    # Self-referential overwrite: same pattern as merge_upsert — cut the
+    # lineage so the write doesn't read the files it replaces.
+    remaining = remaining.localCheckpoint(eager=True)
+    n_kept = remaining.count()
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition whose every row matched the keys would write no
+    # rows and silently keep its old files. Drop those leaves explicitly.
+    remaining_parts = {r[0] for r in remaining.select(partition_col).distinct().collect()}
+    emptied = [p for p in affected_parts if p not in remaining_parts]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if n_kept:
+            remaining.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in emptied:
+        shutil.rmtree(os.path.join(path, f"{partition_col}={p}"), ignore_errors=True)
+    return {"partitions": sorted(affected_parts), "n_deleted": n_deleted, "n_kept": n_kept}

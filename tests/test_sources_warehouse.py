@@ -414,3 +414,62 @@ def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
     assert left == set(days[2:])
     n = spark.read.parquet(path).count()
     assert n == ev.filter(F.col("day") >= cutoff).count()
+
+
+def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR keyed delete: matching rows disappear, untouched partitions
+    stay byte-identical on disk, and a fully-forgotten partition's leaf
+    directory is removed (dynamic overwrite alone would silently keep it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.maintenance import forget_keys
+
+    path = str(tmp_path / "tbl")
+    rows = [(uid, ds, float(uid)) for ds in ("d1", "d2", "d3") for uid in range(10)]
+    df = spark.createDataFrame(rows, "user_id int, load_ds string, v double")
+    df.write.partitionBy("load_ds").parquet(path)
+
+    def leaf_bytes(part):
+        d = os.path.join(path, f"load_ds={part}")
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before_d3 = leaf_bytes("d3")
+
+    keys = spark.createDataFrame([(3,), (7,)], "user_id int")
+    # audit first: dry_run reports, changes nothing
+    audit = forget_keys(spark, path, "load_ds", keys, ["user_id"], dry_run=True)
+    assert audit["n_deleted"] == 6 and audit["partitions"] == ["d1", "d2", "d3"]
+    assert spark.read.parquet(path).count() == 30
+
+    res = forget_keys(spark, path, "load_ds", keys, ["user_id"])
+    assert res["n_deleted"] == 6 and res["n_kept"] == 24
+    out = spark.read.parquet(path)
+    assert out.count() == 24
+    assert out.filter(F.col("user_id").isin(3, 7)).count() == 0
+
+    # a no-match pass must leave every partition byte-identical
+    keys2 = spark.createDataFrame([(999,), (998,)], "user_id int")
+    before_all = {p: leaf_bytes(p) for p in ("d1", "d2", "d3")}
+    res2 = forget_keys(spark, path, "load_ds", keys2, ["user_id"])
+    assert res2["n_deleted"] == 0 and res2["partitions"] == []
+    assert {p: leaf_bytes(p) for p in ("d1", "d2", "d3")} == before_all
+
+    # a partition whose EVERY row is forgotten must vanish (dynamic
+    # overwrite alone writes no rows for it and would keep the old files)
+    spark.createDataFrame([(500, "dX", 0.0)], "user_id int, load_ds string, v double").write.mode(
+        "append"
+    ).partitionBy("load_ds").parquet(path)
+    res3 = forget_keys(
+        spark, path, "load_ds", spark.createDataFrame([(500,)], "user_id int"), ["user_id"]
+    )
+    assert res3["partitions"] == ["dX"] and res3["n_deleted"] == 1
+    assert not os.path.isdir(os.path.join(path, "load_ds=dX"))
+    assert spark.read.parquet(path).filter(F.col("user_id") == 500).count() == 0
+    # and the surviving partitions again unchanged by the dX-only pass
+    assert {p: leaf_bytes(p) for p in ("d1", "d2", "d3")} == before_all
