@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "d12_dup_ngram_fraction",
     "d13_bloom_decontamination",
     "m06_phash_neardup",
+    "t15_tokenize_ids",
     # fixed this round — need a fresh green row after the r2 red
     "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
     "q29_asof_join",  # same NTZ fix
@@ -123,7 +124,6 @@ DRIVER_PRIORITY: list[str] = [
     "q06_revenue_filter",
     "q07_customers_without_orders",
     "q11_group_having",
-    "q12_shipmode_case_when",
     "q13_order_count_distribution",
     "q15_set_ops",
     "q16_rollup_region_nation",

@@ -20,6 +20,7 @@ arrays with ``string_split`` + ``list_transform`` (conventions of
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
@@ -30,6 +31,7 @@ from dibimbing_case_study_etl_spark.functions.text import (
     redact_pii,
     sql_pii_count,
     sql_redact_pii,
+    tokens,
     word_ngrams,
     word_shingles,
 )
@@ -306,3 +308,70 @@ def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("documents",))
     return phash_neardup_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
+_VOCAB_SIZE = 256  # ids 1..255; 0 = UNK
+
+
+@query(
+    "t15_tokenize_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), ' +') AS w
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS pos,
+             w[i] AS term
+      FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i)
+      WHERE w[i] <> ''
+    ),
+    vocab AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS id
+      FROM (SELECT term, COUNT(*) AS n FROM flat GROUP BY term
+            ORDER BY n DESC, term LIMIT {_VOCAB_SIZE - 1})
+    )
+    SELECT f.doc_id, f.pos, COALESCE(v.id, 0) AS token_id
+    FROM flat f LEFT JOIN vocab v USING (term)
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def t15_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-id encoding — the step between t06 (vocab construction)
+    and t11 (sequence packing): every token becomes an integer id from the
+    frequency-ranked top-``{V-1}`` vocabulary, everything else the UNK id 0.
+    Output is exploded ``(doc_id, pos, token_id)`` scalar rows (driver
+    canonicalizer contract; downstream packing re-assembles by pos).
+
+    Scale: the vocab is a BOUNDED model table (256 rows) built with the
+    same partial-agg top-k shape as t06 — the rank window runs over 255
+    rows, not the corpus — and joins back as a broadcast hash lookup, so
+    the encode pass is scan-speed with no corpus-sized shuffle: one
+    explode, one broadcast join. Ties rank deterministically
+    (count desc, term) in both engines.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos0", "term")
+    ).filter(F.col("term") != "").select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "term"
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(_VOCAB_SIZE - 1)
+        .select(
+            "term",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("term")))
+            .cast("bigint")
+            .alias("id"),
+        )
+    )
+    return toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0).cast("bigint")).alias("token_id")
+    )
