@@ -284,3 +284,35 @@ def test_streaming_rollup_equals_batch_rollup(spark, tmp_path):
         for r in rollup_partials(ev, "day", ["event_type"], "value").collect()
     }
     assert got == want
+
+
+def test_document_hygiene_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus ingest with inline hygiene: the per-source data
+    card accumulated over micro-batches must equal the batch computation
+    over the same files (hygiene is stateless, the aggregate is the only
+    state — bounded by the number of sources)."""
+    from dibimbing_case_study_etl_spark.streaming.documents_stream import (
+        hygiene_pass,
+        read_document_stream,
+        source_data_card,
+    )
+
+    src = str(tmp_path / "docs_stream_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # two files so the stream sees >1 input split
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream_card = source_data_card(hygiene_pass(read_document_stream(spark, src)))
+    run_to_memory(stream_card, "doc_card_out", output_mode="complete")
+    got = {r.source: r for r in spark.table("doc_card_out").collect()}
+
+    batch = source_data_card(hygiene_pass(spark.read.parquet(src)))
+    want = {r.source: r for r in batch.collect()}
+
+    assert set(got) == set(want) and len(got) > 0
+    for s in want:
+        assert (
+            got[s].n_docs, got[s].n_kept, got[s].n_redactions, got[s].total_tokens
+        ) == (
+            want[s].n_docs, want[s].n_kept, want[s].n_redactions, want[s].total_tokens
+        ), s
