@@ -202,3 +202,40 @@ def run_pipeline(
 
 def read_l2(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     return spark.read.parquet(cfg.storage.l2_path)
+
+
+def read_l2_asof(spark: SparkSession, cfg: PipelineConfig, as_of_ds: str) -> DataFrame:
+    """Reproduce L2 exactly as it stood after the ``as_of_ds`` run — the
+    snapshot/time-travel read a lakehouse needs for reproducible training
+    runs, without a transactional table format.
+
+    L1/L2 rewrite rows in place, so they cannot answer "as of last
+    Tuesday"; the per-``ds`` staging layer is the append-only history that
+    can. The reconstruction replays the upsert semantics over all staged
+    batches with ``load_ds <= as_of_ds``:
+
+    * ``temperature_c``/``timezone``/``load_ds`` come from the NEWEST
+      batch that touched the PK (L1's update-column subset, last-wins);
+    * ``date``/``hour`` come from the insert — the winner of the EARLIEST
+      batch (they are never updated in L1, and L2 copies them from L1);
+    * within one batch the highest array position wins (the reference's
+      sequential execute_values order), same as ``load_staging_to_l1``.
+
+    Cost is one scan of the staged history ≤ the cutoff + two windows over
+    the same (PK) partitioning — no replay of per-day merges.
+    """
+    hist = spark.read.parquet(
+        os.path.join(cfg.storage.staging_dir, f"source={SOURCE_NAME}", "ds=*")
+    ).filter(F.col("load_ds") <= F.lit(as_of_ds).cast("date"))
+    newest = latest_per_key(
+        hist, keys=list(WEATHER_PK), order_by=[F.desc("load_ds"), F.desc("pos")]
+    )
+    oldest = latest_per_key(
+        hist, keys=list(WEATHER_PK), order_by=[F.asc("load_ds"), F.desc("pos")]
+    )
+    inserted = oldest.select(*WEATHER_PK, "date", "hour")
+    return (
+        newest.drop("date", "hour", "pos")
+        .join(inserted, list(WEATHER_PK))
+        .select(*WEATHER_COLUMNS)
+    )

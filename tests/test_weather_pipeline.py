@@ -166,3 +166,34 @@ def test_observed_dq_piggybacks_on_write(spark, tmp_path):
     observed2.write.mode("overwrite").parquet(str(tmp_path / "bad"))
     with _pytest.raises(DataQualityError, match="10/100"):
         assert_observed(obs2)
+
+
+def test_read_l2_asof_reproduces_historical_snapshot(spark, cfg):
+    """Time-travel read: after three ingest days that re-load the same
+    hours with drifting temperatures, read_l2_asof(day2) must equal the
+    L2 table captured right after day 2's run — byte-for-byte row
+    equality — and as-of the final day must equal the live table."""
+    from dibimbing_case_study_etl_spark.pipeline.weather import read_l2_asof
+
+    def day(ds, base):
+        return payload(n_hours=6, start="2025-10-16T00:00", temps=[base + i for i in range(6)])
+
+    def snap(df):
+        from dibimbing_case_study_etl_spark.schemas import WEATHER_COLUMNS
+
+        # partitioned parquet reads append the partition column last;
+        # normalize to the canonical column order before comparing
+        return sorted(tuple(r) for r in df.select(*WEATHER_COLUMNS).collect())
+
+    run_pipeline(spark, cfg, ds="2025-10-16", payload=day("2025-10-16", 10.0))
+    run_pipeline(spark, cfg, ds="2025-10-17", payload=day("2025-10-17", 20.0))
+    snapshot_d2 = snap(read_l2(spark, cfg))
+    run_pipeline(spark, cfg, ds="2025-10-18", payload=day("2025-10-18", 30.0))
+
+    # live table moved on (temps now 30-range)...
+    live = snap(read_l2(spark, cfg))
+    assert live != snapshot_d2
+    # ...but the as-of read reconstructs day 2 exactly
+    assert snap(read_l2_asof(spark, cfg, "2025-10-17")) == snapshot_d2
+    # and as-of the newest day equals the live table
+    assert snap(read_l2_asof(spark, cfg, "2025-10-18")) == live
