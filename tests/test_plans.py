@@ -266,3 +266,16 @@ def test_t13_is_pure_map_stage(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "t13_pii_redaction")
     assert "Exchange" not in plan
     assert "WholeStageCodegen" in plan or "Project" in plan
+
+
+def test_t15_rank_window_is_bounded_and_encode_broadcasts(spark, sf_dir):
+    """Tokenization must keep the global rank window on the BOUNDED model
+    table (TakeOrderedAndProject reduces the corpus to vocab size before
+    the window) and encode via a broadcast join — never a corpus-sized
+    shuffle on the term key."""
+    plan = explain_str(spark, sf_dir, "t15_tokenize_ids")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE hash shuffle (the vocab partial-count); the encode path
+    # itself must not shuffle the exploded corpus
+    assert plan.count("hashpartitioning") == 1
