@@ -100,6 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "d13_bloom_decontamination",
     "m06_phash_neardup",
     "t15_tokenize_ids",
+    "s09_knn_graph",
     # fixed this round — need a fresh green row after the r2 red
     "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
     "q29_asof_join",  # same NTZ fix
@@ -126,7 +127,6 @@ DRIVER_PRIORITY: list[str] = [
     "q11_group_having",
     "q13_order_count_distribution",
     "q15_set_ops",
-    "q16_rollup_region_nation",
     "q17_cube_status_priority",
     "q18_distinct_counts",
     "q19_theta_join_ranges",

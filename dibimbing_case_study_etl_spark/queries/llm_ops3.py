@@ -375,3 +375,30 @@ def t15_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.join(F.broadcast(vocab), "term", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0).cast("bigint")).alias("token_id")
     )
+
+
+@query(
+    "s09_knn_graph",
+    oracle=None,  # BLAS accumulation reorder (same class as s03) — exact
+    # rank agreement vs the JVM cosine_topk baseline pinned in tests
+    tags=("llm", "similarity", "graph"),
+)
+def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph over the whole embeddings corpus — the
+    input structure for graph-based embedding dedup and clustering
+    (SemDeDup-style pipelines consume exactly this).
+
+    Scale: block-pair GEMM (``operators/similarity.knn_graph``) — vectors
+    hash into packed block matrices, every block pair is one
+    embarrassingly-parallel numpy matmul emitting its local top-k, and a
+    final per-vector window keeps the global top-k. Shuffled volume is
+    O(N·k·blocks), never O(N²) rows; nothing is broadcast or collected,
+    unlike s01/s03 whose query side is contract-bounded. Values carry
+    BLAS accumulation order (not bitwise-JVM), so the driver check is
+    rows-only; rank agreement vs the exact JVM baseline is pinned in
+    ``tests/test_llm_ops.py``.
+    """
+    from dibimbing_case_study_etl_spark.operators.similarity import knn_graph
+
+    t = register(spark, sf_dir, ("embeddings",))
+    return knn_graph(t["embeddings"].select("vec_id", "embedding"), k=5, num_blocks=8)

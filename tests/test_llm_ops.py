@@ -385,3 +385,25 @@ def test_m06_phash_finds_crafted_near_duplicates(spark, tmp_path):
     clone_pairs = got[(got.doc_b - got.doc_a) == 1]
     assert len(clone_pairs) >= 15
     assert (clone_pairs.hamming <= 3).all()
+
+
+def test_s09_knn_graph_agrees_with_exact_baseline(spark, sf_dir):
+    """The block-pair GEMM graph must produce the same neighbor sets and
+    ranks as the exact JVM cosine_topk baseline run with the whole corpus
+    as the query side (legal here — the corpus is under the broadcast
+    contract bound at test SF; the GEMM path exists because at 100 TB it
+    is not)."""
+    from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk, knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    got = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_graph(e, k=5, num_blocks=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(e, e, k=5).collect()
+    }
+    assert set(got) == set(want)
+    disagreements = [k for k in want if got[k] != want[k]]
+    assert not disagreements, disagreements[:5]
