@@ -279,3 +279,30 @@ def test_t15_rank_window_is_bounded_and_encode_broadcasts(spark, sf_dir):
     # exactly ONE hash shuffle (the vocab partial-count); the encode path
     # itself must not shuffle the exploded corpus
     assert plan.count("hashpartitioning") == 1
+
+
+def test_m06_band_join_never_cross_joins(spark, sf_dir):
+    """Perceptual-hash near-dup candidates must come from the banded
+    equi-join (join keys include band/val), never a cartesian product of
+    the signature table."""
+    plan = explain_str(spark, sf_dir, "m06_phash_neardup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d13_bloom_prefilter_runs_before_the_join(spark, sf_dir):
+    """The bloom membership probe must be a Python map stage feeding the
+    exact verification join — MapInPandas appears on the train side of
+    the final join, so non-candidate rows die before any shuffle of the
+    train-side shingles toward the join."""
+    plan = explain_str(spark, sf_dir, "d13_bloom_decontamination")
+    assert "MapInPandas" in plan
+
+
+def test_s09_blocks_pack_in_python_and_topk_is_windowed(spark, sf_dir):
+    """The k-NN graph must pack blocks via grouped pandas (one matrix per
+    block), score block pairs in MapInPandas, and take the global top-k
+    with a per-vector window — no corpus-sized broadcast anywhere."""
+    plan = explain_str(spark, sf_dir, "s09_knn_graph")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "Window" in plan
