@@ -68,9 +68,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #    vs the UTC-naive data and the DuckDB oracle.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         path = table_path(sf_dir, name)
-        if _parquet_ts_unit(path) == "ns":
+        unit = _parquet_ts_unit(path)
+        if unit == "ns":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+        elif unit is not None:
+            df = spark.read.parquet(path)
+        else:
+            # Probe couldn't tell (no pyarrow / multi-file dir): try the
+            # plain read, and on Spark's TIMESTAMP(NANOS) rejection retry
+            # with the legacy conf — same behavior the probe would have
+            # picked, just discovered the expensive way.
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # integer DIV, not `/` — float division loses exactness at 1e18 ns

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 from collections.abc import Sequence
 
@@ -25,6 +26,19 @@ from pyspark.sql import functions as F
 
 _TMP_SUFFIX = "__compact_tmp"
 _OLD_SUFFIX = "__compact_old"
+
+_HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_hive_partition(name: str) -> str | None:
+    """Invert Hive's partition-directory escaping: ``%XX`` hex escapes back
+    to their characters, and the NULL sentinel back to None. Matching on
+    the *decoded* value (instead of re-formatting a path from the raw
+    value) is what keeps deletion correct for values Spark escapes on
+    disk — colons, newlines, ``%`` itself — and for NULL."""
+    if name == _HIVE_NULL_PARTITION:
+        return None
+    return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name)
 
 
 def _leaf_dirs(path: str) -> list[str]:
@@ -277,6 +291,27 @@ def forget_keys(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for p in emptied:
-        shutil.rmtree(os.path.join(path, f"{partition_col}={p}"), ignore_errors=True)
+        else:
+            # restoring "unset" matters: leaving 'dynamic' behind silently
+            # changes later mode('overwrite').partitionBy(...) writes in the
+            # same session from truncate-table to per-partition semantics.
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    # Locate emptied leaves by *decoding* the on-disk directory names rather
+    # than formatting a path from the raw value — Hive-escaped values
+    # (specials → %XX) and NULL (__HIVE_DEFAULT_PARTITION__) don't round-trip
+    # through naive f-string formatting, and a missed leaf here is residual
+    # data in a right-to-be-forgotten operator.
+    emptied_values = {None if p is None else str(p) for p in emptied}
+    prefix = f"{partition_col}="
+    if emptied_values:
+        for e in os.scandir(path):
+            if not e.is_dir() or not e.name.startswith(prefix):
+                continue
+            decoded = _unescape_hive_partition(e.name[len(prefix):])
+            if (None if decoded is None else str(decoded)) in emptied_values:
+                shutil.rmtree(e.path)
+                if os.path.exists(e.path):
+                    raise RuntimeError(
+                        f"forget_keys failed to remove emptied partition leaf {e.path!r}"
+                    )
     return {"partitions": sorted(affected_parts), "n_deleted": n_deleted, "n_kept": n_kept}

@@ -326,8 +326,11 @@ def phash_neardup_pairs(
         F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
     )
     sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
-    sig.persist()
-    sig.count()
+    # Materialize once so the 64-bit hash isn't recomputed on both join
+    # sides. localCheckpoint (not persist): the blocks are released when the
+    # DataFrame goes out of scope, so repeated builds in a long-lived
+    # session don't accumulate pinned cache entries.
+    sig = sig.localCheckpoint(eager=True)
 
     mask = (1 << 16) - 1
     bands = [

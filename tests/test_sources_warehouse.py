@@ -473,3 +473,29 @@ def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert spark.read.parquet(path).filter(F.col("user_id") == 500).count() == 0
     # and the surviving partitions again unchanged by the dX-only pass
     assert {p: leaf_bytes(p) for p in ("d1", "d2", "d3")} == before_all
+
+
+def test_forget_keys_removes_hive_escaped_emptied_leaves(spark, tmp_path):
+    """A fully-forgotten partition whose value Spark Hive-escapes on disk
+    (colon → %3A) must still have its leaf removed — matching must go
+    through directory-name decoding, not naive path formatting."""
+    import os
+
+    from dibimbing_case_study_etl_spark.operators.maintenance import forget_keys
+
+    path = str(tmp_path / "tbl")
+    rows = [(1, "2024:01", 1.0), (2, "2024:01", 2.0), (3, "plain", 3.0)]
+    spark.createDataFrame(rows, "user_id int, load_ds string, v double").write.partitionBy(
+        "load_ds"
+    ).parquet(path)
+    # precondition: the escaped leaf is what's actually on disk
+    assert os.path.isdir(os.path.join(path, "load_ds=2024%3A01"))
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    keys = spark.createDataFrame([(1,), (2,)], "user_id int")
+    res = forget_keys(spark, path, "load_ds", keys, ["user_id"])
+    assert res["n_deleted"] == 2 and res["partitions"] == ["2024:01"]
+    assert not os.path.isdir(os.path.join(path, "load_ds=2024%3A01"))
+    assert spark.read.parquet(path).count() == 1
+    # session conf restored exactly — including back to "unset"
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", None) == prev_mode
