@@ -152,42 +152,50 @@ def d12_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (every step skew-safe — boilerplate shingles are GUARANTEED at
     100 TB and pile millions of rows on single keys):
 
-    1. document frequency by ``groupBy(s)`` — partial aggregation combines
+    1. the corpus is scanned, tokenized, and exploded to distinct
+       ``(doc_id, s)`` pairs exactly ONCE, then materialized with
+       ``localCheckpoint`` — tokenize+explode is the CPU-expensive step
+       and both downstream consumers read the materialized pairs instead
+       of re-scanning (r3 shipped a two-explode shape whose exchange reuse
+       was never guaranteed: the aggregate arm's exchange child carries a
+       partial-agg, the join arm's doesn't, so ReuseExchange can't fire);
+    2. document frequency by ``groupBy(s)`` — partial aggregation combines
        map-side, so a hot shingle costs one partial row per input
-       partition, never a hot reducer;
-    2. only the *duplicated* shingles survive (``df >= 2`` — the exact
-       count is irrelevant downstream, so the carried set is minimal);
-    3. LEFT SEMI join of the exploded shingles against that set — AQE can
-       split a skewed join partition (it cannot split a skewed WINDOW
-       partition, which is why ``count() over (partition by s)`` — one
-       scan cheaper — is the wrong shape here), or broadcasts when the
-       dup-set is small;
-    4. per-document counts join back on doc_id (well-distributed key).
+       partition, never a hot reducer; only a boolean ``df >= 2`` flag is
+       carried forward;
+    3. INNER join pairs⋈flags on ``s`` — the flag side is unique-per-key,
+       so AQE's skew-join split can cut a hot shingle's partition freely
+       (it cannot split a skewed WINDOW partition, which is why
+       ``count() over (partition by s)`` — one shuffle cheaper — is the
+       wrong shape here);
+    4. one aggregation by doc_id (well-distributed key) yields BOTH
+       ``n_shingles`` (row count) and ``n_dup`` (flag sum) — no
+       third-scan ``size()`` pass, no join-back.
 
-    ``n_shingles`` comes straight off the scan (``size(word_shingles)``),
-    so only dup-shingle rows ever cross the s-keyed join. No pairwise
-    comparison anywhere: cost is O(total shingles), not O(docs²).
+    No pairwise comparison anywhere: cost is O(total shingles), not
+    O(docs²). The checkpoint trades one write+read of the pair set
+    (comparable to the s-shuffle it feeds anyway) for the second
+    scan+tokenize of the corpus.
     """
     t = register(spark, sf_dir, ("documents",))
     sh = t["documents"].select(
         "doc_id", F.explode(word_shingles(F.col("text"), _SHINGLE_K)).alias("s")
     )
-    dup_shingles = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
-    n_dup = (
-        sh.join(dup_shingles.select("s"), "s", "left_semi")
+    sh = sh.localCheckpoint(eager=True)
+    flags = sh.groupBy("s").agg((F.count(F.lit(1)) >= 2).alias("dup"))
+    return (
+        sh.join(flags, "s")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    base = t["documents"].select(
-        "doc_id", F.size(word_shingles(F.col("text"), _SHINGLE_K)).alias("n_shingles")
-    ).filter(F.col("n_shingles") >= 1)
-    return base.join(n_dup, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_shingles").cast("bigint").alias("n_shingles"),
-        F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
-        iround(
-            F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_shingles").cast("double"), 6
-        ).alias("dup_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("dup").cast("bigint")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            iround(F.col("n_dup") / F.col("n_shingles").cast("double"), 6).alias("dup_frac"),
+        )
     )
 
 

@@ -250,14 +250,22 @@ def test_t14_topk_avoids_global_sort_and_combines_map_side(spark, sf_dir):
 
 
 def test_d12_skew_safe_shape(spark, sf_dir):
-    """The dup-shingle fraction must be the skew-safe shape: document
-    frequency via partial-agg groupBy (never a window — AQE cannot split a
-    skewed WINDOW partition, and boilerplate shingles guarantee hot keys
-    at scale), dup-set membership via LEFT SEMI join."""
+    """The dup-shingle fraction must be the single-scan skew-safe shape:
+    the corpus is tokenized+exploded exactly once (materialized via
+    localCheckpoint — the final plan reads the checkpoint, never the
+    parquet), document frequency via partial-agg groupBy (never a window —
+    AQE cannot split a skewed WINDOW partition, and boilerplate shingles
+    guarantee hot keys at scale), and a sort-merge/shuffle join whose flag
+    side is unique-per-key so AQE skew-split applies."""
     plan = explain_str(spark, sf_dir, "d12_dup_ngram_fraction")
     assert "Window" not in plan
-    assert "LeftSemi" in plan
     assert "partial_count" in plan
+    # single materialized pair set: the r3 two-explode shape re-scanned the
+    # corpus (ReuseExchange can't fire across the partial-agg asymmetry);
+    # the final plan must contain NO parquet scan and NO explode at all —
+    # both consumers read the checkpointed pairs.
+    assert "Scan parquet" not in plan
+    assert "Generate explode" not in plan
 
 
 def test_t13_is_pure_map_stage(spark, sf_dir):
