@@ -310,18 +310,35 @@ def phash_cols(col_name: str, n_chunks: int = 64) -> Column:
 
 
 def phash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, min_len: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    min_len: int = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Image-near-dup twin of SimHash (d04) for multimodal content: pairs
     whose perceptual hashes differ in ≤ ``max_hamming`` of 64 bits.
 
-    Pigeonhole band join: 4 bands of 16 bits — any pair within Hamming
-    distance 3 agrees exactly on ≥1 band, so candidates come from
-    equi-joins keyed by a 16-bit value, never an n² cross join; one
-    XOR+bit_count verifies. Unlike d04 (xxhash64 has no oracle twin), the
-    hash here is pure integer arithmetic, so the WHOLE operator is
-    exact-oracled including the hash itself.
+    Pigeonhole band join: ``n_bands`` equal slices of the 64-bit hash —
+    any pair within Hamming distance ``n_bands - 1`` agrees exactly on ≥1
+    band, so candidates come from equi-joins keyed by a ``64/n_bands``-bit
+    value, never an n² cross join; one XOR+bit_count verifies. Narrower
+    bands buy a looser verified threshold at the cost of bigger candidate
+    buckets (key space 2^(64/n_bands)) — the 4×16-bit default is the scale
+    posture; 16×4-bit is the loose-threshold diagnostic setting. Unlike
+    d04 (xxhash64 has no oracle twin), the hash here is pure integer
+    arithmetic, so the WHOLE operator is exact-oracled including the hash
+    itself.
     """
+    if n_bands not in (4, 8, 16, 32):
+        raise ValueError(f"n_bands must divide both 32-bit halves evenly, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}): a pair can differ in one bit "
+            f"per band and never share one"
+        )
     sig = df.filter(F.length(text_col) >= min_len).select(
         F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
     )
@@ -332,12 +349,12 @@ def phash_neardup_pairs(
     # session don't accumulate pinned cache entries.
     sig = sig.localCheckpoint(eager=True)
 
-    mask = (1 << 16) - 1
+    width = 64 // n_bands  # bits per band, drawn evenly from both halves
+    mask = (1 << width) - 1
     bands = [
-        F.col("h1").bitwiseAND(F.lit(mask)),
-        F.shiftright("h1", 16).bitwiseAND(F.lit(mask)),
-        F.col("h2").bitwiseAND(F.lit(mask)),
-        F.shiftright("h2", 16).bitwiseAND(F.lit(mask)),
+        F.shiftright(half, i * width).bitwiseAND(F.lit(mask))
+        for half in (F.col("h1"), F.col("h2"))
+        for i in range(n_bands // 2)
     ]
     stacked = sig.select(
         "doc_id",

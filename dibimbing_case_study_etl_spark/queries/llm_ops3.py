@@ -258,7 +258,9 @@ def d13_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_M06_ORACLE = """
+_M06_HAMMING = 11  # sf0.01 min pairwise distance is 9 — ≤3 was vacuous at the gate SF
+
+_M06_ORACLE = f"""
     WITH cp AS (
       SELECT doc_id,
              list_transform(generate_series(1, length(text)),
@@ -285,7 +287,7 @@ _M06_ORACLE = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= {_M06_HAMMING}
 """
 
 
@@ -297,7 +299,10 @@ _M06_ORACLE = """
 def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over multimodal content — the
     image twin of SimHash (d04): 64-bit aHash (chunk mean vs global mean,
-    EXACT integer arithmetic) + pigeonhole band join, Hamming ≤ 3.
+    EXACT integer arithmetic) + pigeonhole band join, Hamming ≤ 11 via
+    16×4-bit bands (the loose diagnostic setting — synthetic driver docs
+    have no pairs under the production ≤3 threshold, which made the r3
+    driver row vacuous; the operator default remains 4×16/≤3).
 
     The grayscale stand-in is the codepoint sequence (the same
     bytes≡codepoints equivalence m01's oracle uses on the ASCII corpus); a
@@ -315,7 +320,9 @@ def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dibimbing_case_study_etl_spark.operators.multimodal import phash_neardup_pairs
 
     t = register(spark, sf_dir, ("documents",))
-    return phash_neardup_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+    return phash_neardup_pairs(
+        t["documents"], "doc_id", "text", max_hamming=_M06_HAMMING, n_bands=16
+    )
 
 
 _VOCAB_SIZE = 256  # ids 1..255; 0 = UNK

@@ -348,9 +348,10 @@ def test_d12_exact_under_boilerplate_skew(spark, tmp_path):
 
 def test_m06_phash_finds_crafted_near_duplicates(spark, tmp_path):
     """The synthetic corpus has no near-identical byte streams (its minimum
-    pairwise phash distance is 9), so the registry row's correct answer is
-    empty — the non-degenerate semantics are pinned here: perturbed clones
-    must pair up with small Hamming distance, and the band-join output must
+    pairwise phash distance at sf0.01 is 9 — the registry row runs the
+    16-band/≤11 diagnostic setting so the driver check is non-vacuous) —
+    the non-degenerate semantics are pinned here: perturbed clones must
+    pair up with small Hamming distance, and the band-join output must
     equal the O(n²) oracle on the same parquet."""
     import duckdb
     import pandas as pd
@@ -385,6 +386,20 @@ def test_m06_phash_finds_crafted_near_duplicates(spark, tmp_path):
     clone_pairs = got[(got.doc_b - got.doc_a) == 1]
     assert len(clone_pairs) >= 15
     assert (clone_pairs.hamming <= 3).all()
+
+
+def test_phash_band_params_enforce_pigeonhole_guarantee(spark):
+    """max_hamming >= n_bands would silently lose recall (a pair can
+    differ one bit per band and share none) — the operator must refuse."""
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "x" * 80)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup_pairs(df, "doc_id", "text", max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="n_bands"):
+        phash_neardup_pairs(df, "doc_id", "text", max_hamming=2, n_bands=5)
 
 
 def test_s09_knn_graph_agrees_with_exact_baseline(spark, sf_dir):
