@@ -46,14 +46,36 @@ def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+_SPREAD_TARGET_BYTES = 64 << 20  # ~one HDFS/cloud-object block per partition
+_SPREAD_MAX_PARTS = 200_000  # sanity cap: catalyst size stats can overestimate
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-spread rows across the session's full parallelism before a
-    CPU-heavy per-row stage. A small table often arrives as one parquet
-    split (locally: a single file; at scale: a skewed layout) and would
-    otherwise run shingle/hash extraction on one core — the narrow-row
-    shuffle is orders of magnitude cheaper than the per-row work it
-    parallelizes."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Hash-spread rows before a CPU-heavy per-row stage. A small table
+    often arrives as one parquet split (locally: a single file; at scale:
+    a skewed layout) and would otherwise run shingle/hash extraction on
+    one core — the narrow-row shuffle is orders of magnitude cheaper than
+    the per-row work it parallelizes.
+
+    The partition count is data-proportional: catalyst's optimized-plan
+    size estimate (file sizes for scans — no job runs) divided by a
+    ~64 MB target, floored at the session's core count. A fixed
+    ``defaultParallelism`` (the r1–r3 shape) is right on local[32] but at
+    100 TB would pack arbitrarily much data into a fixed number of
+    partitions; proportional sizing keeps per-partition work bounded at
+    any scale while still fanning small inputs across every core."""
+    return df.repartition(_spread_partitions(df), key)
+
+
+def _spread_partitions(df: DataFrame) -> int:
+    """Data-proportional partition count for :func:`_spread` (plan-time
+    only — no job runs)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    return max(sc.defaultParallelism, min(est // _SPREAD_TARGET_BYTES, _SPREAD_MAX_PARTS))
 
 
 def _materialize(df: DataFrame) -> DataFrame:

@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine, dot, norm
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-spread before CPU-heavy per-row vector math (see dedup._spread)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+from dibimbing_case_study_etl_spark.operators.dedup import _spread  # noqa: E402
+# (data-proportional hash-spread before CPU-heavy per-row vector math —
+#  one shared implementation; see dedup._spread for the sizing rationale)
 
 
 # Driver-side collects of a query/sample side are only legal when that side

@@ -314,3 +314,27 @@ def test_s09_blocks_pack_in_python_and_topk_is_windowed(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "MapInPandas" in plan
     assert "Window" in plan
+
+
+def test_spread_partition_count_is_data_proportional(spark):
+    """_spread must floor at the session's core count for small inputs
+    (fan tiny tables across every core) but grow with catalyst's size
+    estimate — a fixed cores-count partitioning would pack arbitrarily
+    large data into arbitrarily large partitions at scale."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        _SPREAD_MAX_PARTS,
+        _spread_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    small = spark.range(100).select(F.col("id").alias("k"))
+    assert _spread_partitions(small) == cores
+    # ~4e9 rows by catalyst's estimate (plan-time stats — never executed)
+    # → tens of GB → the proportional branch must win over the cores floor
+    big = spark.range(1_000_000).crossJoin(
+        spark.range(4096).select(F.col("id").alias("j"))
+    ).select(F.col("id").alias("k"))
+    n = _spread_partitions(big)
+    assert cores < n <= _SPREAD_MAX_PARTS
