@@ -78,63 +78,62 @@ def load_all() -> dict[str, QuerySpec]:
 # whose implementation or oracle changed since their last green row.
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
+#
+# r4 window: the two r4-changed queries (d12 single-scan restructure, m06
+# 16-band non-vacuous params) first, then all 23 queries whose latest green
+# is still r1, then the stalest r2 greens — front-loading the _spread
+# consumers (d03, p01, s04/s05) whose partition sizing changed this round.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-checked (r1+r2 windows never reached these 13)
-    "q66_min_cost_supplier",
-    "q67_lateral_topk_orders",
-    "q68_session_window_native",
-    "q69_sql_udf_discount",
-    "q70_error_tolerant_parse",
-    "d10_containment_pairs",
-    "d11_semdedup_pairs",
-    "s08_embedding_pca_whiten",
-    "t09_source_data_card",
-    "t10_unigram_surprisal",
-    "t11_sequence_packing",
-    "t12_mixture_weights",
-    "u01_incremental_rollup",
-    # new in r3 — first driver check
-    "t13_pii_redaction",
-    "t14_ngram_topk",
     "d12_dup_ngram_fraction",
-    "d13_bloom_decontamination",
     "m06_phash_neardup",
-    "t15_tokenize_ids",
-    "s09_knn_graph",
-    # fixed this round — need a fresh green row after the r2 red
-    "q27_events_sessionize",  # TIMESTAMP_NTZ regression fixed in catalog.load_table
-    "q29_asof_join",  # same NTZ fix
-    "q43_array_agg",  # array cell → '|'-joined string (driver canonicalizer crash)
-    # oracle/builder text changed this round (ROUND → rint/round_even
-    # migration) — re-verify even though values should be identical
-    "q14_promo_revenue_share",
-    "q21_window_running_total",
-    "q24_pivot_status_by_priority",
-    "q30_range_join",
-    "q33_grouping_sets",
-    "q35_sql_cte_ntile",
-    "q39_market_share",
-    "q47_unpivot_stack",
-    "q50_values_inline_dim",
-    # backfill: longest-unverified r1 greens (not re-checked since round 1)
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_shipping_priority",
-    "q04_priority_semi_join",
-    "q05_region_nation_revenue",
-    "q06_revenue_filter",
-    "q07_customers_without_orders",
-    "q11_group_having",
-    "q13_order_count_distribution",
-    "q15_set_ops",
-    "q17_cube_status_priority",
-    "q18_distinct_counts",
-    "q19_theta_join_ranges",
-    "q20_window_topn_per_group",
-    "q23_dedup_latest_per_key",
-    "d01_dedup_exact",
-    "d02_dedup_jaccard_pairs",
-    "d05_embedding_neardup_pairs",
+    "d04_dedup_simhash",
+    "d06_dedup_clusters",
+    "d07_dedup_resolution",
+    "d08_edit_distance_pairs",
+    "m01_multimodal_features",
+    "m02_image_resize_pipeline",
+    "m03_video_frame_sample",
+    "m04_audio_resample",
+    "m05_features_map_in_arrow",
+    "q12_shipmode_case_when",
+    "q16_rollup_region_nation",
+    "q22_window_lag_lead",
+    "s01_ann_cosine_topk",
+    "s02_ann_lsh_topk",
+    "s03_ann_topk_blas",
+    "s06_ann_ivf_topk",
+    "s07_ann_pq_topk",
+    "t01_lang_id",
+    "t02_quality_score",
+    "t03_token_stats",
+    "t04_fingerprint",
+    "t05_hash_split",
+    "t06_vocab_topk",
+    "d03_dedup_minhash_lsh",
+    "d09_decontamination",
+    "p01_training_data_pipeline",
+    "s04_embedding_dim_stats",
+    "s05_embedding_normalize",
+    "q25_scalar_functions",
+    "q26_events_hourly",
+    "q28_events_json_props",
+    "q31_percentiles",
+    "q32_correlated_avg_subquery",
+    "q34_string_functions",
+    "q36_scalar_subquery_anti",
+    "q37_approx_aggregates",
+    "q38_two_nation_volume",
+    "q40_top_supplier",
+    "q41_not_in_null_aware",
+    "q42_large_orders",
+    "q44_datetime_functions",
+    "q45_pandas_udf_scalar",
+    "q46_grouped_pandas_udf",
+    "q48_distribution_windows",
+    "q49_multiset_ops",
+    "q51_python_udtf_sentences",
+    "q52_stateful_running_totals",
+    "q53_recursive_month_spine",
 ]
 
 
