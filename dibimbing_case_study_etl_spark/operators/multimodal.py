@@ -2,11 +2,13 @@
 ``binary`` columns plus a typed metadata struct, processed with
 Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED in this build — the container has no
-image/audio libraries — but everything Spark-side is real and tested:
-schema, batching, partitioning, and the UDF signature. A deployment drops
-a real decoder into :func:`decode_features`' ``_decode_real`` and nothing
-else changes.
+Image decode is REAL: ``_decode_real`` uses Pillow when importable and
+falls back to the dependency-free subset PNG codec
+(``functions/imaging.py``) otherwise, so :func:`decode_image_features`
+runs end-to-end in this container against :func:`synth_png_table`'s
+spec-valid PNGs. Audio/video codecs remain stubbed (``stub=True`` paths
+emit deterministic byte-level features) — a deployment with
+torchaudio/ffmpeg extends ``_decode_real`` the same way.
 """
 
 from __future__ import annotations
@@ -41,10 +43,25 @@ def to_blob_table(df: DataFrame, id_col: str, text_col: str, fmt: str = "txt") -
 
 
 def _decode_real(blob: bytes) -> dict:
-    raise NotImplementedError(
-        "real image/audio decode requires libraries not present in this "
-        "container; deploy with Pillow/torchaudio and implement here"
-    )
+    """Real image decode: Pillow when importable, else the dependency-free
+    subset PNG decoder (``functions/imaging.py``). Raises ValueError on
+    byte streams neither can read (e.g. the text stand-in blobs the stub
+    paths use) — decode errors must be loud, never fake features."""
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.imaging import decode_image
+
+    arr = decode_image(blob)
+    h, w = arr.shape[:2]
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(-1).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(channels),
+        "px_sum": int(flat.sum()),
+        "px_mean": float(flat.mean()) if flat.size else 0.0,
+    }
 
 
 def decode_features(blobs: DataFrame, stub: bool = True) -> DataFrame:
@@ -70,9 +87,17 @@ def decode_features(blobs: DataFrame, stub: bool = True) -> DataFrame:
                         "checksum": content.map(lambda b: sum(b) % 65536).astype("int64"),
                     }
                 )
-            else:  # pragma: no cover - deployment path
-                rows = [_decode_real(b) for b in pdf["content"]]
-                yield pd.DataFrame(rows)
+            else:
+                # real decode: n_bytes from the container, checksum over
+                # decoded PIXELS (decode errors raise — see _decode_real)
+                feats = [_decode_real(b) for b in pdf["content"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["content"].map(len).astype("int64"),
+                        "checksum": [f["px_sum"] % 65536 for f in feats],
+                    }
+                )
 
     return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
@@ -389,3 +414,82 @@ def phash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+PNG_DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, channels bigint, "
+    "px_sum bigint, px_mean double"
+)
+
+
+def synth_png_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-PNG table: each document's bytes become the
+    pixels of a small greyscale image (dimensions derived from the id,
+    pixels from the UTF-8 bytes tiled to fill), zlib-compressed into a
+    spec-valid PNG by the dependency-free encoder. Unlike the fake-rgb
+    stand-ins, these blobs decode with any PNG reader — this is the
+    fixture generator for the genuinely-executable decode path.
+
+    Encoding runs in an Arrow-batched ``mapInPandas`` stage (zlib is
+    Python-side), partition-spread first like every expensive Python hop.
+    """
+    from dibimbing_case_study_etl_spark.functions.imaging import encode_png
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = 8 + int(doc_id) % 9
+                h = 8 + (int(doc_id) * 3) % 9
+                buf = np.frombuffer(payload, dtype=np.uint8) if len(payload) else np.zeros(1, np.uint8)
+                px = np.resize(buf, (h, w))  # tile/truncate to fill
+                blobs.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "format": ["png"] * len(blobs),
+                }
+            )
+
+    rendered = src.mapInPandas(render, schema="doc_id bigint, content binary, format string")
+    return rendered.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.col("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(images: DataFrame) -> DataFrame:
+    """REAL image decode over a binary column — no stub: Pillow when
+    present, else the built-in subset PNG decoder. One Arrow-batched
+    ``mapInPandas`` pass emitting per-image geometry + pixel statistics;
+    a corrupt/unsupported blob raises rather than producing fake rows."""
+    images = images.repartition(images.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_real(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "px_sum": [f["px_sum"] for f in feats],
+                    "px_mean": [f["px_mean"] for f in feats],
+                }
+            )
+
+    return images.mapInPandas(decode, schema=PNG_DECODE_SCHEMA)

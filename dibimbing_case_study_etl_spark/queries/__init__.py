@@ -84,6 +84,8 @@ def load_all() -> dict[str, QuerySpec]:
 # is still r1, then the stalest r2 greens — front-loading the _spread
 # consumers (d03, p01, s04/s05) whose partition sizing changed this round.
 DRIVER_PRIORITY: list[str] = [
+    # new in r4 — never driver-checked
+    "m07_png_decode_features",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",
@@ -133,7 +135,6 @@ DRIVER_PRIORITY: list[str] = [
     "q49_multiset_ops",
     "q51_python_udtf_sentences",
     "q52_stateful_running_totals",
-    "q53_recursive_month_spine",
 ]
 
 

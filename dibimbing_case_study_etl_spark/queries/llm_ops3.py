@@ -417,3 +417,69 @@ def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("embeddings",))
     return knn_graph(t["embeddings"].select("vec_id", "embedding"), k=5, num_blocks=8)
+
+
+@query(
+    "m07_png_decode_features",
+    # Full codec oracle: the synth pixels are the document's bytes tiled to
+    # a doc_id-derived geometry, so DuckDB reproduces width/height/px_sum/
+    # px_mean WITHOUT decoding — any disagreement means the PNG
+    # encode→zlib→unfilter→decode round trip corrupted a pixel. ASCII
+    # corpus ⇒ codepoint == byte (same equivalence m01's oracle uses);
+    # empty documents become a single zero pixel.
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id, text,
+             8 + doc_id % 9       AS width,
+             8 + (doc_id * 3) % 9 AS height,
+             (8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, n,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_sum(list_transform(generate_series(1, CAST(n AS BIGINT)),
+                         i -> unicode(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1))))
+             END AS px_sum
+      FROM geom
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           {sql_iround("px_sum / CAST(n AS DOUBLE)", 6)} AS px_mean
+    FROM px
+    """,
+    tags=("llm", "multimodal", "decode"),
+)
+def m07_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (closes the r1–r3 decode stub): each
+    document renders to a spec-valid greyscale PNG (zlib-compressed by the
+    dependency-free encoder), then :func:`decode_image_features` decodes
+    the bytes back — Pillow when installed, else the built-in subset PNG
+    decoder — and emits geometry + pixel statistics. Both hops are
+    Arrow-batched ``mapInPandas`` stages, partition-spread before the
+    Python work like every expensive hop.
+
+    Scale: encode and decode are embarrassingly parallel per-row Python
+    stages (the deployment posture for codec work on a cluster); nothing
+    shuffles except the initial spread, and the oracle pins the codec
+    bit-exactly at every SF.
+    """
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_png_table,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    pngs = synth_png_table(t["documents"], "doc_id", "text")
+    feats = decode_image_features(pngs)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "px_sum",
+        iround(F.col("px_mean"), 6).alias("px_mean"),
+    )

@@ -1,0 +1,109 @@
+"""PNG codec unit tests: the dependency-free encoder/decoder pair that
+makes the multimodal decode path genuinely executable in this container
+(functions/imaging.py). The m07 registry query pins the same round trip
+corpus-wide through the DuckDB oracle; these pin the codec edge cases."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dibimbing_case_study_etl_spark.functions.imaging import (
+    _chunk,
+    _PNG_MAGIC,
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (16, 16), (5, 7, 3), (4, 9, 4)])
+def test_round_trip_exact(shape):
+    arr = _rng(1).integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_decode_image_falls_back_without_pillow():
+    """decode_image must work in this container (no Pillow): same bytes,
+    same pixels as the direct subset decoder."""
+    arr = _rng(2).integers(0, 256, size=(9, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(arr)), arr)
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanlines use the given filter types —
+    the encoder only emits filter 0, so decoder support for Sub/Up/
+    Average/Paeth needs explicitly crafted streams."""
+    h, w = arr.shape[:2]
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    a = arr.reshape(h, w * channels).astype(np.int16)
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    prev = np.zeros(w * channels, dtype=np.int16)
+    raw = b""
+    for y, ftype in zip(range(h), filters):
+        line = a[y]
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(channels, np.int16), line[:-channels]])
+            enc = (line - left) % 256
+        elif ftype == 2:  # Up
+            enc = (line - prev) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(channels, np.int16), line[:-channels]])
+            enc = (line - (left + prev) // 2) % 256
+        elif ftype == 4:  # Paeth (predictor per spec)
+            left = np.concatenate([np.zeros(channels, np.int16), line[:-channels]])
+            ul = np.concatenate([np.zeros(channels, np.int16), prev[:-channels]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (line - pred) % 256
+        raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_decoder_handles_all_filter_types(channels):
+    shape = (5, 6) if channels == 1 else (5, 6, channels)
+    arr = _rng(3).integers(0, 256, size=shape, dtype=np.uint8)
+    blob = _png_with_filters(arr, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(blob), arr)
+
+
+def test_decoder_rejects_non_png_and_unsupported_variants():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"plain text payload")
+    # 16-bit depth is outside the subset: patch depth byte in IHDR
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(encode_png(arr))
+    ihdr_off = len(_PNG_MAGIC) + 8  # length+tag
+    depth_off = ihdr_off + 8
+    blob[depth_off] = 16
+    # fix the CRC so the tamper isn't mistaken for corruption handling
+    payload = bytes(blob[ihdr_off : ihdr_off + 13])
+    crc = zlib.crc32(b"IHDR" + payload) & 0xFFFFFFFF
+    blob[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(bytes(blob))
+
+
+def test_encoder_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="unsupported array shape"):
+        encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
