@@ -24,20 +24,81 @@ equi-join on the PK — at 100 TB both sides arrive hash-partitioned by key,
 and the source side (one ingest day) is typically broadcastable. Re-running
 any batch converges (idempotency, `README.md:38, 261`).
 
-If a transactional table format (Delta/Iceberg) is on the classpath its
-native MERGE INTO can replace this; the composed plan keeps the engine
-dependency-free.
+**Concurrency contract (SINGLE WRITER).** Plain Parquet has no
+transaction log: dynamic partition overwrite is atomic per partition
+directory (staged then swapped) but carries no cross-writer coordination —
+two concurrent merges into the same table interleave as last-writer-wins
+per partition, and one writer's read snapshot can miss the other's
+in-flight rows (lost update). The reference sidesteps this with a
+Postgres transaction (`load_parquet_to_postgres_l1.py:143-148`). This
+engine makes the contract EXPLICIT and enforced: ``merge_upsert`` takes a
+filesystem advisory lock (atomic ``O_CREAT|O_EXCL`` marker next to the
+table) for the duration of the merge and raises
+:class:`ConcurrentWriterError` — never silently corrupts — when another
+writer holds it. Crash-orphaned locks older than ``lock_stale_sec`` are
+reclaimed. The lock is a local/NFS/HDFS-semantics guard: object stores
+without atomic create-if-absent (plain S3) need an external coordinator
+or a transactional table format — if Delta/Iceberg is on the classpath
+its native MERGE INTO replaces this whole module; the composed plan keeps
+the engine dependency-free.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.operators.dedup_window import latest_per_key
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another merge holds the table's writer lock — the caller must retry
+    or serialize its pipelines; proceeding would interleave partition
+    overwrites from two read snapshots (lost updates)."""
+
+
+@contextmanager
+def writer_lock(target_path: str, stale_sec: float = 3600.0):
+    """Advisory exclusive writer lock for a local-FS Parquet table:
+    atomically creates ``<table>.__writer_lock`` (``O_CREAT|O_EXCL`` —
+    the one FS primitive that is atomic on POSIX and HDFS) holding
+    pid+timestamp for diagnosis. Raises :class:`ConcurrentWriterError` if
+    the lock exists and is younger than ``stale_sec``; older locks are
+    treated as crash orphans and reclaimed."""
+    lock = target_path.rstrip("/") + ".__writer_lock"
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+            holder = open(lock).read()
+        except OSError:  # holder released between our check and read
+            age, holder = 0.0, "?"
+        if age <= stale_sec:
+            raise ConcurrentWriterError(
+                f"writer lock {lock!r} is held ({holder}); concurrent merges "
+                "into one plain-Parquet table are last-writer-wins per "
+                "partition and can lose updates — serialize the pipelines, "
+                "or adopt a transactional table format for multi-writer"
+            ) from None
+        os.unlink(lock)  # crash orphan
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -57,6 +118,7 @@ def merge_upsert(
     update_cols: Sequence[str],
     order_by: Sequence[Column | str],
     partition_col: str = "date",
+    lock: bool = True,
 ) -> int:
     """MERGE ``source`` into the Parquet table at ``target_path``.
 
@@ -80,6 +142,26 @@ def merge_upsert(
     if bad:
         raise ValueError(f"update_cols may not overlap keys: {sorted(bad)}")
 
+    local = "://" not in target_path or target_path.startswith("file:")
+    if lock and local:
+        with writer_lock(target_path.removeprefix("file:")):
+            return _merge_impl(
+                spark, target_path, source, keys, update_cols, order_by, partition_col
+            )
+    # non-local URI (object store): no atomic create-if-absent primitive —
+    # coordination is the deployment's job (see module docstring)
+    return _merge_impl(spark, target_path, source, keys, update_cols, order_by, partition_col)
+
+
+def _merge_impl(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    order_by: Sequence[Column | str],
+    partition_col: str,
+) -> int:
     src = latest_per_key(source, keys=keys, order_by=list(order_by))
     src = src.select(*source.columns)  # canonical column order
 

@@ -109,3 +109,50 @@ def test_update_cols_overlapping_keys_rejected(spark, target_path):
             keys=["k"], update_cols=["k", "val"],
             order_by=[F.desc("load_ds")],
         )
+
+
+def test_writer_lock_excludes_concurrent_merges(spark, target_path, tmp_path):
+    """Single-writer contract: a held lock makes a second merge raise
+    ConcurrentWriterError instead of silently interleaving partition
+    overwrites; the lock is released after success and reclaimed when
+    stale (crash orphan)."""
+    import os
+    import time
+
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.merge_upsert import (
+        ConcurrentWriterError,
+        merge_upsert,
+        writer_lock,
+    )
+
+    path = str(tmp_path / "locked_tbl")
+    src = spark.createDataFrame(
+        [(1, "d1", 1.0)], "k int, date string, val double"
+    )
+
+    with writer_lock(path):
+        with pytest.raises(ConcurrentWriterError, match="serialize"):
+            merge_upsert(
+                spark, path, src, keys=["k"], update_cols=["val"],
+                order_by=["val"], partition_col="date",
+            )
+    # lock released → merge proceeds, and releases its own lock after
+    merge_upsert(
+        spark, path, src, keys=["k"], update_cols=["val"],
+        order_by=["val"], partition_col="date",
+    )
+    assert not os.path.exists(path + ".__writer_lock")
+    assert spark.read.parquet(path).count() == 1
+
+    # a crash-orphaned lock older than stale_sec is reclaimed
+    lock = path + ".__writer_lock"
+    open(lock, "w").write("{}")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    merge_upsert(
+        spark, path, src, keys=["k"], update_cols=["val"],
+        order_by=["val"], partition_col="date",
+    )
+    assert not os.path.exists(lock)
