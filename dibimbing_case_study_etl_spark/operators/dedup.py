@@ -69,10 +69,22 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 def _spread_partitions(df: DataFrame) -> int:
     """Data-proportional partition count for :func:`_spread` (plan-time
-    only — no job runs)."""
+    only — no job runs).
+
+    Catalyst reports ``spark.sql.defaultSizeInBytes`` (Long.MaxValue by
+    default) for plans it has no statistics for — e.g. Arrow-backed
+    ``createDataFrame`` LogicalRDDs. That sentinel is "unknown", not
+    "huge": treat any estimate at or beyond it (or beyond any physically
+    plausible input) as no-estimate and fall back to the core count,
+    otherwise a 200-row literal table would repartition to the cap."""
     sc = df.sparkSession.sparkContext
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        unknown = int(
+            df.sparkSession.conf.get("spark.sql.defaultSizeInBytes", str(1 << 62))
+        )
+        if est <= 0 or est >= min(unknown, 1 << 50):  # >=1 PiB: not a real estimate
+            est = 0
     except Exception:
         est = 0
     return max(sc.defaultParallelism, min(est // _SPREAD_TARGET_BYTES, _SPREAD_MAX_PARTS))

@@ -61,11 +61,13 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops,
         llm_ops2,
         llm_ops3,
+        llm_ops4,
         relational,
         relational2,
         relational3,
         relational4,
         relational5,
+        relational6,
     )
 
     return REGISTRY
@@ -85,6 +87,13 @@ def load_all() -> dict[str, QuerySpec]:
 # consumers (d03, p01, s04/s05) whose partition sizing changed this round.
 DRIVER_PRIORITY: list[str] = [
     # new in r4 — never driver-checked
+    "t16_document_chunking",
+    "t17_tfidf_top_terms",
+    "d14_incremental_dedup",
+    "s10_embedding_quantize_int8",
+    "u02_scd2_dimension",
+    "u03_snapshot_diff",
+    "q71_cohort_retention",
     "m07_png_decode_features",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",

@@ -1,0 +1,362 @@
+"""Fourth LLM-data-pipeline batch — the steps between a cleaned corpus and
+a training shard:
+
+- t16: overlapping document chunking — the fixed-window split every
+  context-bounded trainer/embedder runs. Pure array math per row
+  (sequence → slice → explode), no Python, no shuffle.
+- t17: per-document TF-IDF top terms — the classic relevance signal for
+  corpus exploration and keyword extraction; one token explode feeds both
+  the term-frequency and document-frequency aggregates.
+- d14: incremental (cross-snapshot) dedup — classify an INCOMING batch of
+  documents against the EXISTING corpus (exact content hash, then
+  near-dup Jaccard), never comparing incoming docs to each other: the
+  shape of a daily ingest dedup at 100 TB, where the corpus side is the
+  big one and the incoming batch is the small one.
+- s10: per-vector symmetric int8 embedding quantization with
+  reconstruction-error audit — the storage-shrink pass (4× over float32)
+  run before embeddings are shipped to an ANN serving tier (s02/s06/s07).
+
+All four are exact-oracled in DuckDB (list_transform/list_slice twins of
+the Spark higher-order functions; md5 is identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
+from dibimbing_case_study_etl_spark.queries import query
+
+_CHUNK_WINDOW = 64  # words per chunk
+_CHUNK_STRIDE = 48  # window minus overlap (overlap = 16 words)
+_CHUNK_OVERLAP = _CHUNK_WINDOW - _CHUNK_STRIDE
+
+
+@query(
+    "t16_document_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w, s
+      FROM tok, unnest(generate_series(1, greatest(len(w), 1), {_CHUNK_STRIDE})) AS u(s)
+      WHERE s = 1 OR s <= len(w) - {_CHUNK_OVERLAP}
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(w, s, s + {_CHUNK_WINDOW} - 1), ' ') AS chunk_text,
+           CAST(least({_CHUNK_WINDOW}, len(w) - s + 1) AS BIGINT) AS n_words
+    FROM starts
+    """,
+    tags=("llm", "text", "chunking"),
+    bench=True,
+)
+def t16_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size word windows
+    (window {w}, stride {s}): chunk starts are 1, 1+stride, …; a start
+    past ``len - overlap`` would produce a chunk fully contained in its
+    predecessor and is dropped (every word is still covered exactly once
+    by the preceding window). Documents shorter than one window yield a
+    single chunk.
+
+    Scale: per-row array arithmetic in whole-stage codegen — sequence →
+    filter → explode → slice, zero shuffle, scan-bound. The explode
+    multiplies rows ~len/stride ×, which is the DESIRED output
+    cardinality, not an intermediate blow-up.
+    """.format(w=_CHUNK_WINDOW, s=_CHUNK_STRIDE)
+    t = register(spark, sf_dir, ("documents",))
+    w = F.col("__w")
+    n = F.size(w)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE)),
+        lambda s: (s == 1) | (s <= n - _CHUNK_OVERLAP),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", tokens(F.col("text")).alias("__w"))
+        .select("doc_id", "__w", F.explode(starts).alias("__s"))
+        .select(
+            "doc_id",
+            ((F.col("__s") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.array_join(F.slice(w, F.col("__s"), _CHUNK_WINDOW), " ").alias("chunk_text"),
+            F.least(F.lit(_CHUNK_WINDOW), n - F.col("__s") + 1).cast("bigint").alias("n_words"),
+        )
+    )
+
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "t17_tfidf_top_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             {sql_iround("tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))", 4)} AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf
+    FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_TFIDF_TOPK}
+    """,
+    tags=("llm", "text", "tfidf", "topk"),
+    bench=True,
+)
+def t17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)),
+    score rounded to 4 dp BEFORE ranking so both engines rank the same
+    values; ties broken on the term string).
+
+    Scale: ONE token explode feeds both aggregates — tf is the (doc, word)
+    count, df is a second partial-agg over tf's result (already distinct
+    per doc, so no countDistinct shuffle). N arrives as a broadcast
+    single-row cross join; the final per-doc top-k is a bounded rank
+    window (WindowGroupLimit pushes k into the sort). The word key space
+    is Zipf-skewed but both aggregates are partial-agg combines, which
+    absorb skew map-side — no join keyed on the hot words.
+    """.format(k=_TFIDF_TOPK)
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            iround(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") <= _TFIDF_TOPK).drop("rn")
+
+
+# incoming batch = docs whose id lands in the top 20% of the id hash space;
+# the split must be deterministic and identical across engines, so it keys
+# on doc_id arithmetic, not on a hash builtin.
+_D14_INCOMING = "doc_id % 10 >= 8"
+_D14_JACCARD = 0.5
+_D14_K = 3
+
+
+@query(
+    "d14_incremental_dedup",
+    oracle=f"""
+    WITH existing AS (
+      SELECT * FROM documents WHERE NOT ({_D14_INCOMING})
+    ),
+    incoming AS (
+      SELECT * FROM documents WHERE {_D14_INCOMING}
+    ),
+    exact AS (
+      SELECT i.doc_id, min(e.doc_id) AS dup_of
+      FROM incoming i JOIN existing e ON md5(i.text) = md5(e.text)
+      GROUP BY i.doc_id
+    ),
+    ish AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), ' +')) - {_D14_K - 1}, 0)),
+               idx -> array_to_string(list_slice(regexp_split_to_array(trim(text), ' +'), idx, idx + {_D14_K - 1}), ' ')
+             ))) AS s
+      FROM incoming
+    ),
+    esh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), ' +')) - {_D14_K - 1}, 0)),
+               idx -> array_to_string(list_slice(regexp_split_to_array(trim(text), ' +'), idx, idx + {_D14_K - 1}), ' ')
+             ))) AS s
+      FROM existing
+    ),
+    sizes_i AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY doc_id),
+    sizes_e AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+    common AS (
+      SELECT ish.doc_id AS di, esh.doc_id AS de, COUNT(*) AS c
+      FROM ish JOIN esh USING (s)
+      GROUP BY ish.doc_id, esh.doc_id
+    ),
+    near AS (
+      SELECT di AS doc_id, min(de) AS dup_of
+      FROM common
+      JOIN sizes_i ON sizes_i.doc_id = common.di
+      JOIN sizes_e ON sizes_e.doc_id = common.de
+      WHERE CAST(c AS DOUBLE) / (sizes_i.n + sizes_e.n - c) >= {_D14_JACCARD}
+      GROUP BY di
+    )
+    SELECT i.doc_id,
+           COALESCE(exact.dup_of, near.dup_of) AS dup_of,
+           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact'
+                WHEN near.doc_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict
+    FROM incoming i
+    LEFT JOIN exact ON exact.doc_id = i.doc_id
+    LEFT JOIN near ON near.doc_id = i.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify an incoming document batch against the existing corpus:
+    ``exact`` (identical content hash), ``near`` (word-trigram Jaccard ≥
+    {j} against some existing doc), or ``new``. ``dup_of`` reports the
+    smallest matching existing doc id (exact match wins over near).
+
+    This is the INCREMENTAL shape of d01/d02: incoming×incoming pairs are
+    never formed — a daily ingest only needs to compare against the
+    corpus, and the corpus side never self-joins. At 100 TB the exact arm
+    is a hash join on a 32-byte digest (corpus side partial-agged to
+    distinct digests before the join); the near arm is the d02 inverted
+    shingle index with the incoming batch as the (much smaller) probe
+    side. Both arms share the incoming scan.
+    """.format(j=_D14_JACCARD)
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    incoming_pred = F.expr(_D14_INCOMING)
+    incoming = docs.filter(incoming_pred)
+    existing = docs.filter(~incoming_pred)
+
+    exact = (
+        incoming.select("doc_id", F.md5("text").alias("__h"))
+        .join(
+            existing.select(F.col("doc_id").alias("__e"), F.md5("text").alias("__h")),
+            "__h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__e").alias("__exact_of"))
+    )
+
+    def shingle_index(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(word_shingles(F.col("text"), _D14_K)).alias("__s"),
+        )
+
+    ish = shingle_index(incoming, "__di")
+    esh = shingle_index(existing, "__de")
+    sizes_i = ish.groupBy("__di").agg(F.count(F.lit(1)).alias("__ni"))
+    sizes_e = esh.groupBy("__de").agg(F.count(F.lit(1)).alias("__ne"))
+    common = ish.join(esh, "__s").groupBy("__di", "__de").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    near = (
+        common.join(sizes_i, "__di")
+        .join(sizes_e, "__de")
+        .filter(
+            F.col("__c") / (F.col("__ni") + F.col("__ne") - F.col("__c")) >= _D14_JACCARD
+        )
+        .groupBy("__di")
+        .agg(F.min("__de").alias("__near_of"))
+        .withColumnRenamed("__di", "doc_id")
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__exact_of", "__near_of").alias("dup_of"),
+            F.when(F.col("__exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("__near_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "s10_embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM v
+    ),
+    err AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_aggregate(
+                    list_transform(e, x -> abs(x - round_even(x / scale, 0) * scale)),
+                    'max')
+             END AS max_err
+      FROM scaled
+    )
+    SELECT vec_id,
+           {sql_iround("scale", 6)} AS qscale,
+           {sql_iround("max_err", 6)} AS max_abs_err
+    FROM err
+    """,
+    tags=("llm", "embedding", "quantization"),
+    bench=True,
+)
+def s10_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale =
+    max|x|/127, codes = rint(x/scale) ∈ [-127, 127], and the max absolute
+    reconstruction error |x − code·scale| per vector (the number a serving
+    tier checks before swapping float32 out for int8 — 4× smaller
+    vectors, which at 100 TB of embeddings is the difference between
+    fitting the ANN tier in RAM or not).
+
+    Scale: stateless per-row array arithmetic (higher-order functions in
+    codegen), zero shuffle, scan-bound. The all-zero-vector edge case is
+    explicit (scale 0 → error 0), not a NaN that poisons downstream
+    aggregates. Cross-engine determinism: both sides compute in double
+    with half-even rint; same IEEE operations in the same index order.
+    """
+    t = register(spark, sf_dir, ("embeddings",))
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("__scale")
+    sc = F.col("__scale")
+    recon_err = F.array_max(
+        F.transform(
+            F.col("__e"),
+            lambda x: F.abs(x - F.call_function("rint", x / sc) * sc),
+        )
+    )
+    return (
+        t["embeddings"]
+        .select("vec_id", e.alias("__e"), scale)
+        .select(
+            "vec_id",
+            iround(sc, 6).alias("qscale"),
+            iround(
+                F.when(sc == 0, F.lit(0.0)).otherwise(recon_err), 6
+            ).alias("max_abs_err"),
+        )
+    )

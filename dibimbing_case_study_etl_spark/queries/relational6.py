@@ -1,0 +1,221 @@
+"""Sixth relational batch — warehouse-lifecycle analytics: slowly-changing
+dimensions, snapshot auditing, and cohort retention. These are the
+query shapes a serving warehouse (the reference's Postgres L1/L2 tier,
+`scripts/load_parquet_to_postgres_l1.py`) answers after the ETL lands:
+
+- u02: SCD Type-2 dimension build from a change feed — collapse
+  consecutive identical attribute values, derive effective-from/to
+  validity windows and the current flag. Two windows over one key, no
+  joins.
+- u03: snapshot diff / audit — latest-state-per-key at two cut points,
+  full-outer diffed into added/changed/unchanged/removed. The audit a
+  warehouse runs to explain "what changed between yesterday's load and
+  today's".
+- q71: weekly cohort retention over the events stream — first-seen week
+  per user × distinct active weeks → the classic retention triangle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.queries import query
+
+
+@query(
+    "u02_scd2_dimension",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, od, o_orderkey
+      FROM feed
+      WHERE o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT o_custkey,
+           o_orderpriority,
+           od AS eff_from,
+           lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS eff_to,
+           (lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    tags=("warehouse", "scd2", "window"),
+)
+def u02_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: treat each order as an
+    observation of the customer's priority attribute; keep only rows where
+    the attribute CHANGED vs the previous observation (lag, null-safe), then
+    derive [eff_from, eff_to) validity windows via lead and flag the open
+    row as current. Deterministic under same-day observations via the
+    orderkey tiebreak.
+
+    Scale: one shuffle on the dimension key feeds BOTH windows (same
+    partitioning, same ordering → a single sort, two window frames over
+    it). No join: the change-collapse is lag, not a self-join — at 100 TB
+    the change feed streams through one exchange. This is the batch twin
+    of the reference's L2 "latest state" upsert, keeping full history
+    instead of overwriting (`load_parquet_to_postgres_l1.py:124-149`).
+    """
+    t = register(spark, sf_dir, ("orders",))
+    byk = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    feed = t["orders"].select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_orderkey",
+    ).withColumn("prev", F.lag("o_orderpriority").over(byk))
+    changes = feed.filter(
+        ~F.col("o_orderpriority").eqNullSafe(F.col("prev"))
+    ).drop("prev")
+    lead_od = F.lead("od").over(byk)
+    return changes.select(
+        "o_custkey",
+        "o_orderpriority",
+        # DATE outputs cast to timestamp: DuckDB DATE comes back through
+        # pandas as midnight timestamps and the value-hash compares types
+        F.col("od").cast("timestamp").alias("eff_from"),
+        lead_od.cast("timestamp").alias("eff_to"),
+        lead_od.isNull().alias("is_current"),
+    )
+
+
+_U03_T1 = "2024-01-15 00:00:00"
+_U03_T2 = "2024-01-25 00:00:00"
+
+
+@query(
+    "u03_snapshot_diff",
+    oracle=f"""
+    WITH old_snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_U03_T1}'
+      ) WHERE rn = 1
+    ),
+    new_snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_U03_T2}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           {sql_iround("o.value", 2)} AS old_value,
+           {sql_iround("n.value", 2)} AS new_value,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN {sql_iround("o.value", 2)} IS DISTINCT FROM {sql_iround("n.value", 2)}
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+    """,
+    tags=("warehouse", "audit", "snapshot"),
+)
+def u03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot audit: the latest state per user as of two cut points,
+    full-outer diffed into added / changed / unchanged / removed (removed
+    cannot occur with T1 < T2 over an append-only feed, but the audit
+    contract covers it — a retention sweep between snapshots WOULD produce
+    it). This explains a day's warehouse delta row-by-row.
+
+    Scale: BOTH snapshots come out of one scan and one user-keyed
+    aggregation — ``max_by(value, (ts, event_id))`` for the new state,
+    and the same ``max_by`` with the ordering key nulled out past T1 for
+    the old state (max_by skips null keys, so pre-T1 rows alone compete).
+    No window, no self-join, no second shuffle: the diff a naive plan
+    writes as scan×2 → window×2 → full-outer-join collapses into a single
+    partial-aggregable groupBy, which is the only shape that survives a
+    100 TB event feed. The T2 filter pushes to the scan (partition
+    pruning on a date-partitioned table); T1 rides inside the aggregate.
+    """
+    t = register(spark, sf_dir, ("events",))
+    t1 = F.lit(_U03_T1).cast("timestamp")
+    t2 = F.lit(_U03_T2).cast("timestamp")
+    pre_t1 = F.col("ts") < t1
+    ordkey = F.struct("ts", "event_id")
+    agg = (
+        t["events"]
+        .filter(F.col("ts") < t2)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", ordkey).alias("__new_raw"),
+            F.max_by(F.col("value"), F.when(pre_t1, ordkey)).alias("__old_raw"),
+            F.max(pre_t1).alias("__has_old"),
+        )
+    )
+    old_v = F.when(F.col("__has_old"), iround(F.col("__old_raw"), 2))
+    new_v = iround(F.col("__new_raw"), 2)
+    return agg.select(
+        "user_id",
+        old_v.alias("old_value"),
+        new_v.alias("new_value"),
+        F.when(~F.col("__has_old"), F.lit("added"))
+        .when(F.col("__new_raw").isNull(), F.lit("removed"))  # contract row; unreachable with T1<T2 append-only
+        .when(~old_v.eqNullSafe(new_v), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+@query(
+    "q71_cohort_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT cohort.cohort_week,
+           CAST(datediff('day', cohort.cohort_week, weeks.wk) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM weeks JOIN cohort USING (user_id)
+    GROUP BY cohort.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("analytics", "retention", "window"),
+)
+def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by their
+    first-seen ISO week; each (cohort_week, week_offset) cell counts users
+    from that cohort active in that later week. Offsets are exact —
+    both engines truncate weeks to Monday, so the day difference is always
+    a multiple of 7.
+
+    Scale: the distinct (user, week) reduction happens FIRST (partial-agg
+    combine crushes the raw event volume map-side — events per user-week
+    collapse before any shuffle); the cohort min is a second partial agg
+    over that already-small set, and the final join is user-keyed on data
+    two aggregations smaller than the input. No window functions at all —
+    retention is pure groupBy algebra.
+    """
+    t = register(spark, sf_dir, ("events",))
+    weeks = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -24,10 +24,17 @@ FLOAT_ATOL = 1e-9
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh DuckDB connection with the test tables registered as views,
     matching the driver's pre-registered view names."""
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # multi-file table layout (e.g. the _scale/ sweep data):
+            # DuckDB needs an explicit glob where Spark takes the directory
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale sweep: run EVERY registry query at a larger scale factor (default
+the replicated sf1 built by make_scale_data.py) and, where an oracle
+exists, compare against DuckDB on the same data — the full correctness
+gate, executed at 10x the driver's largest SF. Results feed SCALE.md.
+
+Per query this records:
+  * ``spark_sec``  — build + materialize (noop sink, no result transfer)
+  * ``status``     — ok / mismatch / spark_error / oracle_error /
+                     oracle_timeout (rows-only fallback)
+  * ``spark_rows`` — result cardinality
+  * ``oracle_sec`` — DuckDB wall time on identical parquet (single-node
+                     comparison point), when the oracle ran
+
+Oracles run in a worker subprocess with a hard timeout: a handful are
+deliberately quadratic exact baselines (fine at driver SF, hopeless at
+sf1 in a single-node engine) and must not wedge the sweep — the Spark
+side still proves executability and row counts for those.
+
+Usage: python scripts/scale_sweep.py [sf_dir] [out_json] [--no-oracle]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ORACLE_TIMEOUT_S = int(os.environ.get("SCALE_ORACLE_TIMEOUT_S", "600"))
+
+
+def _oracle_worker(sql: str, sf_dir: str, out_path: str) -> None:
+    from dibimbing_case_study_etl_spark.testing import run_oracle
+
+    pdf = run_oracle(sql, sf_dir)
+    pdf.to_pickle(out_path)
+
+
+def run_oracle_subprocess(sql: str, sf_dir: str, timeout_s: int):
+    """Run the oracle in a killable subprocess; returns (pdf|None, status)."""
+    import pandas as pd
+
+    out_path = f"/tmp/_sweep_oracle_{os.getpid()}_{time.monotonic_ns()}.pkl"
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_oracle_worker, args=(sql, sf_dir, out_path))
+    p.start()
+    p.join(timeout_s)
+    try:
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            return None, "oracle_timeout"
+        if p.exitcode != 0:
+            return None, "oracle_error"
+        return pd.read_pickle(out_path), "ok"
+    finally:
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/repo/_scale/sf1"
+    out_json = args[1] if len(args) > 1 else "/root/repo/_scale/sweep_sf1.json"
+    with_oracle = "--no-oracle" not in sys.argv
+
+    from dibimbing_case_study_etl_spark.queries import load_all
+    from dibimbing_case_study_etl_spark.session import get_spark
+    from dibimbing_case_study_etl_spark.testing import compare_frames
+
+    spark = get_spark(app_name="scale-sweep", shuffle_partitions=64)
+    registry = load_all()
+
+    results: dict[str, dict] = {}
+    t_suite = time.perf_counter()
+    for name in sorted(registry):
+        spec = registry[name]
+        rec: dict = {"status": "ok", "spark_sec": None, "oracle_sec": None,
+                     "spark_rows": None, "problems": None}
+        t0 = time.perf_counter()
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            rec["spark_rows"] = df.count()
+        except Exception as e:  # noqa: BLE001 — sweep must survive any query
+            rec["status"] = "spark_error"
+            rec["problems"] = f"{type(e).__name__}: {e}"[:500]
+            results[name] = rec
+            print(json.dumps({"q": name, **rec}), flush=True)
+            continue
+
+        if with_oracle and spec.oracle is not None:
+            t1 = time.perf_counter()
+            oracle_pdf, ostatus = run_oracle_subprocess(
+                spec.oracle, sf_dir, ORACLE_TIMEOUT_S
+            )
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            if ostatus != "ok":
+                rec["status"] = ostatus
+            else:
+                problems = compare_frames(df.toPandas(), oracle_pdf)
+                if problems:
+                    rec["status"] = "mismatch"
+                    rec["problems"] = problems[:3]
+        else:
+            rec["status"] = "ok_rows_only"
+        results[name] = rec
+        print(json.dumps({"q": name, **rec}), flush=True)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "suite_sec": round(time.perf_counter() - t_suite, 1),
+        "n_queries": len(results),
+        "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+        "n_rows_only": sum(1 for r in results.values() if r["status"] == "ok_rows_only"),
+        "n_oracle_timeout": sum(1 for r in results.values() if r["status"] == "oracle_timeout"),
+        "n_bad": sum(
+            1 for r in results.values()
+            if r["status"] in ("mismatch", "spark_error", "oracle_error")
+        ),
+        "queries": results,
+    }
+    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()

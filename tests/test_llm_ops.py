@@ -59,7 +59,13 @@ def test_blas_topk_matches_jvm_baseline(spark, sf_dir):
     assert agree / len(base) >= 0.98  # float-dust rank swaps only
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
+def test_multimodal_real_decode_contract(spark, sf_dir):
+    """_decode_real is a REAL decoder now (r4): valid PNGs round-trip to
+    exact pixel stats; undecodable bytes raise loudly (never fake features).
+    The stub path stays available for the text stand-in blobs."""
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.imaging import encode_png
     from dibimbing_case_study_etl_spark.operators.multimodal import (
         _decode_real,
         decode_features,
@@ -67,8 +73,13 @@ def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
     )
     from dibimbing_case_study_etl_spark.catalog import register
 
-    with pytest.raises(NotImplementedError):
-        _decode_real(b"\x00")
+    with pytest.raises(ValueError):
+        _decode_real(b"\x00")  # not an image byte stream — must be loud
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    feats = _decode_real(encode_png(arr))
+    assert (feats["width"], feats["height"], feats["channels"]) == (6, 4, 3)
+    assert feats["px_sum"] == int(arr.astype(np.int64).sum())
 
     t = register(spark, sf_dir, ("documents",))
     blobs = to_blob_table(t["documents"].limit(5), "doc_id", "text")

@@ -338,3 +338,58 @@ def test_spread_partition_count_is_data_proportional(spark):
     ).select(F.col("id").alias("k"))
     n = _spread_partitions(big)
     assert cores < n <= _SPREAD_MAX_PARTS
+    # Arrow-backed createDataFrame produces a LogicalRDD with NO stats:
+    # catalyst reports the defaultSizeInBytes sentinel (Long.MaxValue),
+    # which must read as "unknown" → cores floor, not as "8 EiB" → the
+    # 200k-partition cap (regression: r4 wedged the suite exactly here).
+    local = spark.createDataFrame(
+        [(i, [0.1] * 8) for i in range(200)], "k long, v array<double>"
+    )
+    assert _spread_partitions(local) == cores
+
+
+def test_t16_chunking_is_pure_map_stage(spark, sf_dir):
+    """t16 is sequence→filter→explode→slice per row: no Exchange anywhere —
+    chunking 100 TB must be scan-bound, never shuffle-bound."""
+    plan = explain_str(spark, sf_dir, "t16_document_chunking")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_t17_tfidf_single_explode_and_bounded_window(spark, sf_dir):
+    """t17's df aggregate derives from tf's output (no second token
+    explode of the corpus) and the per-doc top-k is a WindowGroupLimit,
+    not a full sort of all scored terms."""
+    plan = explain_str(spark, sf_dir, "t17_tfidf_top_terms")
+    assert plan.count("Generate explode") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_s10_quantization_is_pure_map_stage(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "s10_embedding_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_u03_snapshot_diff_is_one_aggregation(spark, sf_dir):
+    """Both snapshot states come from ONE conditional max_by aggregation:
+    a single scan, a single Exchange, no window and no join — the naive
+    scan×2 → window×2 → full-outer-join shape costs 3 shuffles of the
+    event feed and must not reappear."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "u03_snapshot_diff")
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+    # struct-keyed max_by plans as ObjectHashAggregate — still partial+final
+    assert plan.count("Aggregate") >= 2
+
+
+def test_u02_scd2_single_exchange_two_windows(spark, sf_dir):
+    """The lag-collapse and the lead-validity windows share the same
+    (o_custkey) partitioning and (od, o_orderkey) ordering: one Exchange,
+    and no second sort for the second window."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "u02_scd2_dimension")
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert len(re.findall(r"Sort \(\d+\)", plan)) == 1
