@@ -25,6 +25,20 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def clamp_unit(col: Column) -> Column:
+    """Clamp a similarity into the mathematical bound [-1, 1] — identity
+    except for float-error overshoot on (near-)identical vectors."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), col))
+
+
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, clamped into the mathematical bound [-1, 1].
+
+    The clamp is the identity everywhere except float-error overshoot:
+    identical vectors can evaluate to 1.0000000000000002 under
+    dot/(sqrt·sqrt) while DuckDB's ``list_cosine_similarity`` returns
+    exactly 1.0 — without the clamp, exact-duplicate pairs (common in
+    replicated/augmented corpora) hash-diverge from the oracle even
+    though every generic pair is bitwise-identical (sf1 sweep finding)."""
     a, b = as_double(a), as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    return clamp_unit(dot(a, b) / (norm(a) * norm(b)))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine, dot, norm
+from dibimbing_case_study_etl_spark.functions.vector import as_double, clamp_unit, cosine, dot, norm
 
 
 from dibimbing_case_study_etl_spark.operators.dedup import _spread  # noqa: E402
@@ -78,7 +78,7 @@ def cosine_topk(
     cond = (F.col("query_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
     scored = (
         c.join(F.broadcast(q), cond)
-        .withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("cos_sim", clamp_unit(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -181,7 +181,7 @@ def cosine_pairs(
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cos_sim"),
+            clamp_unit(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -271,8 +271,9 @@ def d07_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d05_embedding_neardup_pairs",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
+           least(1.0, greatest(-1.0,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])))) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.45
@@ -298,12 +299,14 @@ def d05_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+             least(1.0, greatest(-1.0,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])))) AS cos_sim,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                               CAST(c.embedding AS DOUBLE[])) DESC,
+               ORDER BY least(1.0, greatest(-1.0,
+                          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])))) DESC,
                         c.vec_id
              ) AS INTEGER) AS rank
       FROM embeddings q
