@@ -94,6 +94,10 @@ DRIVER_PRIORITY: list[str] = [
     "u02_scd2_dimension",
     "u03_snapshot_diff",
     "q71_cohort_retention",
+    "t18_bigram_surprisal",
+    "q72_revenue_pareto",
+    "d05_embedding_neardup_pairs",  # r4-changed: cosine clamped to [-1,1]
+    "s01_ann_cosine_topk",  # r4-changed: same clamp
     "m07_png_decode_features",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",

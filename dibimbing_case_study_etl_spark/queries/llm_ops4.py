@@ -360,3 +360,68 @@ def s10_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+@query(
+    "t18_bigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM tok
+    ),
+    bgc AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram),
+    pfx AS (
+      SELECT split_part(gram, ' ', 1) AS w1, SUM(cnt) AS pcnt
+      FROM bgc GROUP BY w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           {sql_iround(f"(SUM(CAST(round_even((ln(pcnt) - ln(cnt)) * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*)", 4)}
+             AS avg_surprisal
+    FROM bg
+    JOIN bgc USING (gram)
+    JOIN pfx ON pfx.w1 = split_part(bg.gram, ' ', 1)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "ngram"),
+)
+def t18_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (t10's unigram model, one order higher):
+    corpus bigram counts define P(w2|w1) = c(w1 w2)/c(w1 ·); each document
+    scores its mean conditional surprisal ln c(w1 ·) − ln c(w1 w2).
+    Documents shorter than two words have no bigrams and drop out (no
+    model applies to them — t02/t10 cover degenerate-length filtering).
+
+    Scale: the bigram vocabulary is the model — larger than t10's unigram
+    vocab but still Heaps-sublinear in corpus size; both the bigram and
+    the prefix-marginal tables are partial-agg combines, the per-doc join
+    keys on the gram (Zipf-skewed, absorbed map-side by the combine; the
+    join itself is AQE-decided, unhinted). Per-bigram surprisals round to
+    6 dp before the scaled-integer sum — accumulation order cannot flip
+    the hash; ln() runs on bit-identical integer-count doubles.
+    """
+    from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum
+    from dibimbing_case_study_etl_spark.functions.text import word_ngrams
+
+    t = register(spark, sf_dir, ("documents",))
+    bg = t["documents"].select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    bgc = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    pfx = bgc.groupBy(
+        F.substring_index("gram", " ", 1).alias("w1")
+    ).agg(F.sum("cnt").alias("pcnt"))
+    surprisal = F.log(F.col("pcnt").cast("double")) - F.log(F.col("cnt").cast("double"))
+    return (
+        bg.join(bgc, "gram")
+        .join(pfx, F.substring_index(bg["gram"], " ", 1) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            iround(dsum(surprisal, 6) / F.count(F.lit(1)), 4).alias("avg_surprisal"),
+        )
+    )

@@ -219,3 +219,69 @@ def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q72_revenue_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(cents) AS tot FROM rev),
+    c AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT o_custkey,
+           (cents / 100.0) AS revenue,
+           {sql_iround("CAST(cum AS DOUBLE) / tot", 6)} AS cum_share,
+           (cum * 5 <= tot) AS in_top_20pct_revenue
+    FROM c CROSS JOIN tot
+    """,
+    tags=("analytics", "pareto", "prefix-sum"),
+)
+def q72_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: customers ranked by lifetime
+    revenue, each carrying its cumulative share of total revenue and a
+    flag for the head that makes up the first 20% of revenue. Revenue is
+    exact integer cents, so the running sum and the 20% cut are
+    arbitrary-order-safe and engine-exact (the flag compares cum*5 ≤ tot
+    in integers — no float boundary).
+
+    Scale: the naive SQL shape is a GLOBAL ordered window — a
+    single-partition sort that cannot run at 100 TB. This builder reuses
+    :func:`~..operators.packing.prefix_sum` (range-bucketed distributed
+    cumsum; driver state = one offset per bucket) over the aggregated
+    customer table, so the only full shuffle is the groupBy on custkey.
+    The oracle keeps the window formulation — same math, different
+    physical shape.
+    """
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    t = register(spark, sf_dir, ("orders",))
+    rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+        # descending revenue as an ASCENDING total order for the range-
+        # bucketed prefix sum (first order col doubles as the bucket key)
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    c = prefix_sum(rev, "cents", ["neg_cents", "o_custkey"], out_col="cum")
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            (F.col("cents") / 100.0).alias("revenue"),
+            iround(F.col("cum").cast("double") / F.col("tot"), 6).alias("cum_share"),
+            (F.col("cum") * 5 <= F.col("tot")).alias("in_top_20pct_revenue"),
+        )
+    )
