@@ -433,3 +433,83 @@ def test_s09_knn_graph_agrees_with_exact_baseline(spark, sf_dir):
     assert set(got) == set(want)
     disagreements = [k for k in want if got[k] != want[k]]
     assert not disagreements, disagreements[:5]
+
+
+def test_t16_chunks_cover_every_word_exactly(spark, sf_dir):
+    """Chunking invariants: chunk 0 starts at word 1; consecutive kept
+    chunks advance by the stride; the union of [start, start+n_words)
+    covers 1..len(w) with no gap; no chunk is empty."""
+    from dibimbing_case_study_etl_spark.queries.llm_ops4 import (
+        _CHUNK_STRIDE,
+        _CHUNK_WINDOW,
+    )
+
+    rows = (
+        REGISTRY["t16_document_chunking"].build(spark, sf_dir)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        starts = [c.chunk_idx * _CHUNK_STRIDE + 1 for c in chunks]
+        assert starts[0] == 1
+        assert all(b - a == _CHUNK_STRIDE for a, b in zip(starts, starts[1:]))
+        covered_end = 0
+        for c, s in zip(chunks, starts):
+            assert 1 <= c.n_words <= _CHUNK_WINDOW
+            assert s <= covered_end + 1  # no gap
+            covered_end = max(covered_end, s + c.n_words - 1)
+            assert len(c.chunk_text.split(" ")) == c.n_words
+        # last chunk reaches the end of the document
+        assert covered_end == max(s + c.n_words - 1 for c, s in zip(chunks, starts))
+
+
+def test_s10_quantization_error_bound(spark, sf_dir):
+    """Symmetric int8 with scale = max|x|/127 guarantees every
+    reconstruction error ≤ scale/2 (half a quantization step)."""
+    rows = REGISTRY["s10_embedding_quantize_int8"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # both sides are 6-dp-rounded outputs → allow one rounding ulp
+        assert r.max_abs_err <= r.qscale / 2 + 1e-6
+
+
+def test_d14_verdicts_on_crafted_corpus(spark, tmp_path):
+    """Crafted corpus: an incoming doc identical to an existing one is
+    'exact'; a one-word-changed twin is 'near'; unrelated text is 'new'.
+    Incoming docs are NEVER compared to each other (two identical incoming
+    docs with no existing match must both be 'new')."""
+    import pyspark.sql.functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    dup_inc = "red orange yellow green blue indigo violet umber black white"
+    docs = [
+        # existing: ids ending 0-7
+        (10, base, "en", "web", len(base)),
+        (11, other, "en", "web", len(other)),
+        # incoming: ids ending 8/9
+        (18, base, "en", "web", len(base)),      # exact dup of 10
+        (19, near, "en", "web", len(near)),      # near dup of 10
+        (28, dup_inc, "en", "web", len(dup_inc)),  # incoming-only dup pair...
+        (38, dup_inc, "en", "web", len(dup_inc)),  # ...must both stay 'new'
+    ]
+    sf = str(tmp_path / "d14sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in REGISTRY["d14_incremental_dedup"].build(spark, sf).collect()
+    }
+    assert out[18] == ("exact", 10)
+    assert out[19][0] == "near" and out[19][1] == 10
+    assert out[28] == ("new", None) and out[38] == ("new", None)
