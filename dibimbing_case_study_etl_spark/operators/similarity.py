@@ -739,26 +739,98 @@ def semdedup_pairs(
 
     Scale: one shuffle keyed by cell id; in-cell pairing is quadratic only
     in the cell, and ``ncells`` grows with the corpus (√n is the usual
-    choice) to hold cell sizes flat.
+    choice) to hold cell sizes flat. Exact-duplicate vectors (common in
+    replicated/augmented corpora — the sf1 sweep's clone shards made the
+    naive shape 57× super-linear) are CANONICALIZED first: the in-cell
+    quadratic compare runs on distinct vectors only, and clone groups
+    expand back afterward — cross-group pairs inherit the representative
+    pair's cosine (identical vectors ⇒ identical similarity, exactly),
+    within-group pairs carry cosine(v, v). The expansion is output-bound;
+    the compare cost depends on DISTINCT corpus size, not row count.
     """
     from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
 
-    cents = ivf_fit_centroids(corpus, id_col, vec_col, ncells=ncells)
-    vecs = _spread(corpus, id_col).select(
+    vecs_all = _spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
-    assigned = _assign_cells(vecs, cents, nprobe=nprobe)
+    def build_groups() -> DataFrame:
+        return vecs_all.groupBy("__v").agg(
+            F.min("__id").alias("__rep"),
+            F.sort_array(F.collect_list("__id")).alias("__members"),
+        )
+
+    # Checkpoint a copy for the Lloyd ITERATIONS (each a separate action —
+    # without it every k-means pass re-runs the canonicalization shuffle)
+    # and for the members-expansion arms. localCheckpoint (not persist):
+    # blocks release with the RDD, no session-lifetime cache accumulation.
+    groups = build_groups().localCheckpoint(eager=True)
+    reps_ck = groups.select(F.col("__rep").alias(id_col), F.col("__v").alias(vec_col))
+    cents = ivf_fit_centroids(reps_ck, id_col, vec_col, ncells=ncells)
+
+    # The in-cell scoring join reads a FRESH lineage, not the checkpoint:
+    # a LogicalRDD has no catalyst stats, which demotes the cell self-join
+    # from broadcast-hash to sort-merge on a ≤ncells-key exchange — AQE
+    # then coalesces the post-join pair explosion onto ONE task (measured
+    # 8× regression at sf0.1). The _spread after the canonicalization
+    # matters for the same reason: the distinct-vector table is BYTES-tiny
+    # after its groupBy, so AQE would coalesce it to one partition, and
+    # the broadcast cell join inherits its parallelism from exactly this
+    # side — the explicit repartition keeps the quadratic in-cell scoring
+    # fanned across the cluster. One extra canonicalization shuffle, one
+    # pass, inside the same job.
+    assigned = _assign_cells(
+        _spread(
+            build_groups().select(F.col("__rep").alias("__id"), F.col("__v")),
+            "__id",
+        ),
+        cents,
+        nprobe=nprobe,
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")))
         .select(
-            F.col("a.__id").alias("vec_a"),
-            F.col("b.__id").alias("vec_b"),
+            F.col("a.__id").alias("__ra"),
+            F.col("b.__id").alias("__rb"),
             cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["vec_a", "vec_b"])  # nprobe>1 can meet in two cells
+        .dropDuplicates(["__ra", "__rb"])  # nprobe>1 can meet in two cells
     )
+
+    members = groups.select("__rep", "__members")
+    cross = (
+        rep_pairs.join(members.withColumnRenamed("__members", "__ma"), rep_pairs["__ra"] == members["__rep"])
+        .drop("__rep")
+        .join(members.withColumnRenamed("__members", "__mb"), F.col("__rb") == members["__rep"])
+        .select(
+            F.explode("__ma").alias("__a"), F.col("__mb"), F.col("cos_sim")
+        )
+        .select(
+            F.col("__a"), F.explode("__mb").alias("__b"), F.col("cos_sim")
+        )
+        .select(
+            F.least("__a", "__b").alias("vec_a"),
+            F.greatest("__a", "__b").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    within = (
+        groups.filter(F.size("__members") >= 2)
+        .select(
+            F.col("__members"),
+            cosine(F.col("__v"), F.col("__v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.explode("__members").alias("__a"), "__members", "cos_sim")
+        .select(
+            F.col("__a"),
+            F.explode(F.filter("__members", lambda m: m > F.col("__a"))).alias("__b"),
+            "cos_sim",
+        )
+        .select(F.col("__a").alias("vec_a"), F.col("__b").alias("vec_b"), "cos_sim")
+    )
+    return cross.unionByName(within)
 
 
 def knn_graph(
