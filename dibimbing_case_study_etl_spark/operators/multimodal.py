@@ -356,6 +356,20 @@ def phash_neardup_pairs(
     arithmetic, so the WHOLE operator is exact-oracled including the hash
     itself.
     """
+    sig = df.filter(F.length(text_col) >= min_len).select(
+        F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
+    )
+    sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
+    return band_hamming_pairs(sig, max_hamming=max_hamming, n_bands=n_bands)
+
+
+def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFrame:
+    """Pigeonhole band self-join over a ``(doc_id, h1, h2)`` signature
+    table (two 32-bit halves of a 64-bit hash): pairs agreeing exactly on
+    ≥1 of ``n_bands`` hash slices are candidates; one XOR+bit_count
+    verifies Hamming ≤ ``max_hamming``. Shared by the JVM-hash path
+    (:func:`phash_neardup_pairs`) and the real-decode path
+    (:func:`decode_phash`)."""
     if n_bands not in (4, 8, 16, 32):
         raise ValueError(f"n_bands must divide both 32-bit halves evenly, got {n_bands}")
     if max_hamming >= n_bands:
@@ -364,10 +378,6 @@ def phash_neardup_pairs(
             f"(got {max_hamming} >= {n_bands}): a pair can differ in one bit "
             f"per band and never share one"
         )
-    sig = df.filter(F.length(text_col) >= min_len).select(
-        F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
-    )
-    sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
     # Materialize once so the 64-bit hash isn't recomputed on both join
     # sides. localCheckpoint (not persist): the blocks are released when the
     # DataFrame goes out of scope, so repeated builds in a long-lived
@@ -493,3 +503,53 @@ def decode_image_features(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(decode, schema=PNG_DECODE_SCHEMA)
+
+
+def decode_phash(images: DataFrame) -> DataFrame:
+    """REAL-decode perceptual hash: decode each image blob (Pillow or the
+    built-in subset PNG codec), flatten the pixels row-major, and compute
+    the same 64-bit aHash :func:`phash_cols` defines — bit j set iff
+    ``chunk_sum * L >= total_sum * chunk_len`` with chunk bounds
+    ``(j*L)//64`` (EXACT integer arithmetic; bit-identical to the SQL
+    twin). Output schema ``doc_id, h1, h2`` (two 32-bit halves) feeds
+    :func:`band_hamming_pairs`.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass, partition-spread first;
+    decode failures raise — a hash of garbage pixels would silently poison
+    the dedup downstream.
+    """
+    from dibimbing_case_study_etl_spark.functions.imaging import decode_image
+
+    images = images.repartition(images.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def ahash(blob: bytes) -> tuple[int, int]:
+            w = decode_image(blob).reshape(-1).astype(np.int64)
+            length = int(w.size)
+            total = int(w.sum())
+            cum = np.concatenate(([0], np.cumsum(w)))
+            h1 = h2 = 0
+            for j in range(64):
+                lo = (j * length) // 64
+                hi = ((j + 1) * length) // 64
+                cs = int(cum[hi] - cum[lo])
+                bit = 1 if cs * length >= total * (hi - lo) else 0
+                if j < 32:
+                    h1 |= bit << j
+                else:
+                    h2 |= bit << (j - 32)
+            return h1, h2
+
+        for pdf in batches:
+            hashes = [ahash(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h1": [h[0] for h in hashes],
+                    "h2": [h[1] for h in hashes],
+                }
+            )
+
+    return images.mapInPandas(hash_batch, schema="doc_id bigint, h1 bigint, h2 bigint")

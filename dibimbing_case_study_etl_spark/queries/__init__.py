@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "d05_embedding_neardup_pairs",  # r4-changed: cosine clamped to [-1,1]
     "s01_ann_cosine_topk",  # r4-changed: same clamp
     "m07_png_decode_features",
+    "m08_png_phash_neardup",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",
@@ -113,7 +114,6 @@ DRIVER_PRIORITY: list[str] = [
     "q12_shipmode_case_when",
     "q16_rollup_region_nation",
     "q22_window_lag_lead",
-    "s01_ann_cosine_topk",
     "s02_ann_lsh_topk",
     "s03_ann_topk_blas",
     "s06_ann_ivf_topk",

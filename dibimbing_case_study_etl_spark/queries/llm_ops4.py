@@ -425,3 +425,78 @@ def t18_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             iround(dsum(surprisal, 6) / F.count(F.lit(1)), 4).alias("avg_surprisal"),
         )
     )
+
+
+_M08_HAMMING = 11  # mirrors m06's gate-SF-non-vacuous diagnostic setting
+
+
+@query(
+    "m08_png_phash_neardup",
+    # Same full-pipeline oracle idea as m07: the synth PNG pixels are the
+    # document's bytes tiled to a doc_id-derived geometry, so DuckDB
+    # reproduces the decoded pixel list WITHOUT a codec, computes the same
+    # integer-exact aHash, and joins the O(n²) definition. Any
+    # disagreement means decode OR hash OR banding broke.
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id, text,
+             8 + doc_id % 9       AS width,
+             8 + (doc_id * 3) % 9 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+                  ELSE list_transform(generate_series(1, CAST(width * height AS BIGINT)),
+                         i -> CAST(unicode(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1)) AS BIGINT))
+             END AS w
+      FROM geom
+    ),
+    st AS (SELECT doc_id, w, len(w) AS L, list_sum(w) AS S FROM px),
+    bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), j ->
+               CASE WHEN list_sum(list_slice(w, (j*L)//64 + 1, ((j+1)*L)//64)) * L
+                         >= S * (((j+1)*L)//64 - (j*L)//64)
+                    THEN 1 ELSE 0 END) AS b
+      FROM st
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+                                          j -> CAST(b[j+1] AS BIGINT) << j)) AS BIGINT) AS h1,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+                                          j -> CAST(b[j+33] AS BIGINT) << j)) AS BIGINT) AS h2
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= {_M08_HAMMING}
+    """,
+    tags=("llm", "multimodal", "dedup", "decode"),
+)
+def m08_png_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over REAL image bytes: render each document
+    to a spec-valid greyscale PNG (m07's fixture path), DECODE the blobs
+    back (Pillow or the built-in codec), aHash the decoded pixels in the
+    same Arrow stage, and find Hamming ≤ {h} pairs with the pigeonhole
+    band join. m06 hashes a codepoint stand-in JVM-side; this is the
+    deployment path — codec → pixels → hash — with the whole chain
+    exact-oracled because the fixture pixels are reconstructible in SQL.
+
+    Scale: decode+hash is one partition-spread Arrow pass (scan-bound);
+    candidates come from 16-bit-band equi-joins via the shared
+    :func:`band_hamming_pairs`, never n²; only the 3-column signature
+    table shuffles.
+    """.format(h=_M08_HAMMING)
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        band_hamming_pairs,
+        decode_phash,
+        synth_png_table,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    pngs = synth_png_table(t["documents"], "doc_id", "text")
+    sig = decode_phash(pngs)
+    return band_hamming_pairs(sig, max_hamming=_M08_HAMMING, n_bands=16)
