@@ -130,12 +130,17 @@ def t17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; ties broken on the term string).
 
     Scale: ONE token explode feeds both aggregates — tf is the (doc, word)
-    count, df is a second partial-agg over tf's result (already distinct
-    per doc, so no countDistinct shuffle). N arrives as a broadcast
-    single-row cross join; the final per-doc top-k is a bounded rank
-    window (WindowGroupLimit pushes k into the sort). The word key space
-    is Zipf-skewed but both aggregates are partial-agg combines, which
-    absorb skew map-side — no join keyed on the hot words.
+    count, materialized with ``localCheckpoint`` so the df aggregate reads
+    the SAME rows instead of re-exploding the corpus (lineage reuse alone
+    does not dedupe it: the two consumers' exchange children differ, so
+    ReuseExchange cannot fire — the d12 lesson). df is then a partial-agg
+    over tf's output (already distinct per doc, so no countDistinct
+    shuffle). N arrives as a broadcast single-row cross join; the final
+    per-doc top-k is a bounded rank window (WindowGroupLimit pushes k
+    into the sort). The word key space is Zipf-skewed but both aggregates
+    are partial-agg combines, which absorb skew map-side; the tf⋈df join
+    keys on the word with unique-per-key build side, the shape AQE can
+    skew-split.
     """.format(k=_TFIDF_TOPK)
     t = register(spark, sf_dir, ("documents",))
     docs = t["documents"]
@@ -143,6 +148,7 @@ def t17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))

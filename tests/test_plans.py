@@ -357,11 +357,16 @@ def test_t16_chunking_is_pure_map_stage(spark, sf_dir):
 
 
 def test_t17_tfidf_single_explode_and_bounded_window(spark, sf_dir):
-    """t17's df aggregate derives from tf's output (no second token
-    explode of the corpus) and the per-doc top-k is a WindowGroupLimit,
-    not a full sort of all scored terms."""
+    """t17 explodes the corpus exactly once: the (doc, word) counts are
+    materialized via localCheckpoint, so the downstream plan (df
+    aggregate + joins + top-k) contains NO Generate node at all — both
+    aggregates read the one materialized explode. The per-doc top-k is a
+    WindowGroupLimit, not a full sort of all scored terms."""
+    import re
+
     plan = explain_str(spark, sf_dir, "t17_tfidf_top_terms")
-    assert plan.count("Generate explode") == 1
+    assert len(re.findall(r"Generate \(\d+\)", plan)) == 0  # explode ran once, at the checkpoint
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan  # the materialized tf
     assert "WindowGroupLimit" in plan
 
 
