@@ -85,6 +85,10 @@ def d09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         t["documents"]
         .select("doc_id", bucket.alias("__b"), F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+        # materialized once (d12 precedent): the stop-shingle aggregate and
+        # BOTH split arms read these pairs — unchecked, the corpus is
+        # tokenized and exploded four times (r4 plan audit)
+        .localCheckpoint(eager=True)
     )
     keep = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("__df")).filter(
         F.col("__df") <= _MAX_DF
@@ -348,7 +352,11 @@ def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = register(spark, sf_dir, ("documents",))
     words = t["documents"].select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the model: freq feeds the total AND the per-word join —
+    # without this each consumer re-explodes the corpus (ReuseExchange
+    # cannot dedupe them; r4 plan audit). The checkpoint is
+    # vocabulary-sized (Heaps-sublinear), never corpus-sized.
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     total = freq.agg(F.sum("cnt").alias("tot"))
     surprisal = F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double"))
     return (

@@ -262,10 +262,14 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shingle_index(df: DataFrame, out_id: str) -> DataFrame:
+        # materialized once per side (d12 precedent): each index feeds its
+        # size aggregate AND the candidate join — unchecked, every consumer
+        # re-tokenizes and re-explodes its side (4 Generate nodes in the
+        # r4 plan audit)
         return df.select(
             F.col("doc_id").alias(out_id),
             F.explode(word_shingles(F.col("text"), _D14_K)).alias("__s"),
-        )
+        ).localCheckpoint(eager=True)
 
     ish = shingle_index(incoming, "__di")
     esh = shingle_index(existing, "__de")
@@ -417,7 +421,11 @@ def t18_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t["documents"].select(
         "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
     )
-    bgc = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the model: bgc feeds the prefix marginal AND the
+    # per-occurrence join — without this each consumer re-explodes the
+    # corpus (3 Generate nodes in the r4 plan audit). Model-sized
+    # (bigram vocabulary), never corpus-sized.
+    bgc = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     pfx = bgc.groupBy(
         F.substring_index("gram", " ", 1).alias("w1")
     ).agg(F.sum("cnt").alias("pcnt"))

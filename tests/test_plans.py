@@ -398,3 +398,22 @@ def test_u02_scd2_single_exchange_two_windows(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "u02_scd2_dimension")
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert len(re.findall(r"Sort \(\d+\)", plan)) == 1
+
+
+def test_multi_consumer_ngram_queries_explode_once(spark, sf_dir):
+    """Queries whose model/index table has MULTIPLE consumers must not
+    re-explode the corpus per consumer (ReuseExchange cannot dedupe
+    consumers with different exchange children — the d12 lesson). The
+    materialization collapses the final plan to ≤1 Generate node."""
+    import re
+
+    for name, max_gen in (
+        ("t17_tfidf_top_terms", 0),
+        ("t18_bigram_surprisal", 1),
+        ("t10_unigram_surprisal", 1),
+        ("d09_decontamination", 0),
+        ("d14_incremental_dedup", 0),
+    ):
+        plan = explain_str(spark, sf_dir, name)
+        n = len(re.findall(r"Generate \(\d+\)", plan))
+        assert n <= max_gen, f"{name}: {n} Generate nodes (max {max_gen})"
