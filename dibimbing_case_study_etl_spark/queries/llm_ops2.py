@@ -85,11 +85,14 @@ def d09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         t["documents"]
         .select("doc_id", bucket.alias("__b"), F.explode(word_shingles(F.col("text"), 3)).alias("s"))
-        # materialized once (d12 precedent): the stop-shingle aggregate and
-        # BOTH split arms read these pairs — unchecked, the corpus is
-        # tokenized and exploded four times (r4 plan audit)
-        .localCheckpoint(eager=True)
     )
+    # NOTE (r4): the plan shows the explode 4x (stop-shingle agg + both
+    # split arms; ReuseExchange can't dedupe them). A localCheckpoint of
+    # the exploded pairs was tried and REGRESSED 25x (4s -> 106s at
+    # sf0.1): the checkpoint's stat-less lineage demotes every downstream
+    # join off the broadcast path, which costs far more than the repeated
+    # scan+explode the fused codegen pipelines execute at scan speed.
+    # The d13 bloom path is the scale answer for this operator family.
     keep = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("__df")).filter(
         F.col("__df") <= _MAX_DF
     )

@@ -411,7 +411,10 @@ def test_multi_consumer_ngram_queries_explode_once(spark, sf_dir):
         ("t17_tfidf_top_terms", 0),
         ("t18_bigram_surprisal", 1),
         ("t10_unigram_surprisal", 1),
-        ("d09_decontamination", 0),
+        # d09 keeps the fused 4-explode shape deliberately: checkpointing
+        # its exploded pairs demoted downstream joins off the broadcast
+        # path and regressed 25x (see llm_ops2.d09 note); d13 is the
+        # scale path for that family
         ("d14_incremental_dedup", 0),
     ):
         plan = explain_str(spark, sf_dir, name)
