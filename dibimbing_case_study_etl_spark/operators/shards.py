@@ -1,0 +1,138 @@
+"""Training-shard writer — the last mile of the training-data pipeline:
+turn a cleaned corpus into numbered, size-bounded, manifest-audited
+parquet shards a data loader can stream.
+
+Contract:
+
+- **Deterministic sharding**: documents order by content fingerprint
+  (the same reproducible corpus order t11's packing uses), and the shard
+  id is ``first_seq // seqs_per_shard`` — re-running on the same corpus
+  reproduces byte-identical shard membership, so a training run can be
+  resumed or exactly replayed from the manifest.
+- **Bounded shards**: each shard covers a fixed window of training
+  sequences (``seqs_per_shard × seq_len`` tokens ± one document of
+  spill), so loaders can size download/prefetch buffers.
+- **Audited**: the manifest records per-shard document/token counts and
+  an order-insensitive content checksum, plus corpus totals. Manifest
+  state is O(shards) on the driver — never rows.
+- **Atomic-enough**: shards write under Spark's normal job commit (temp
+  dir + rename); the manifest is written LAST, so a reader that requires
+  the manifest never observes a partial corpus.
+
+Reference parity: the reference's loaders land parquet then upsert to a
+warehouse (`scripts/load_parquet_to_postgres_l1.py`); a training pipeline
+lands shards + manifest instead — same landing-zone discipline, different
+consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.operators.packing import pack_sequences
+
+# underscore prefix: Spark's file index ignores _-prefixed files (same
+# convention as _SUCCESS), so the manifest can live inside the shard dir
+# without breaking parquet read-back
+MANIFEST_NAME = "_manifest.json"
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    seqs_per_shard: int = 64,
+) -> dict:
+    """Write ``df`` as numbered training shards under ``path`` and return
+    the manifest (also written to ``path/_manifest.json``).
+
+    Layout: ``path/shard=<n>/*.parquet`` with columns
+    ``(doc_id, text, n_tokens, first_seq, last_seq)``; a document whose
+    token span crosses a shard boundary lands in the shard of its FIRST
+    sequence (loaders that need the tail re-read the next shard's head —
+    the standard pretraining-loader convention).
+
+    Scale: the packing plan is t11's distributed prefix sum (no global
+    window); the shard column is pure arithmetic on it; the write is a
+    single partitioned parquet job (dynamic overwrite — re-landing a
+    corpus only touches its own shards); the manifest aggregation is one
+    groupBy over O(shards) groups.
+    """
+    packed = pack_sequences(df, id_col=id_col, text_col=text_col, seq_len=seq_len)
+    shard = (F.col("first_seq") / seqs_per_shard).cast("bigint").alias("shard")
+    rows = (
+        df.select(id_col, text_col)
+        .join(packed.select(id_col, "n_tokens", "first_seq", "last_seq"), id_col)
+        .select(id_col, text_col, "n_tokens", "first_seq", "last_seq", shard)
+    )
+    rows.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    back = df.sparkSession.read.parquet(path)
+    stats = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            # order-insensitive content checksum: XOR of per-row hashes
+            # (bounded driver state, engine-recomputable on read-back)
+            F.expr(f"aggregate(collect_list(hash({id_col}, n_tokens)), 0, (a, x) -> a ^ x)")
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "seq_len": seq_len,
+        "seqs_per_shard": seqs_per_shard,
+        "n_shards": len(stats),
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "total_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "shards": [
+            {
+                "shard": int(r["shard"]),
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "checksum": int(r["checksum"]),
+            }
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def verify_shards(spark, path: str) -> dict:
+    """Re-derive the manifest's per-shard stats from the parquet files and
+    compare — the loader-side integrity check. Returns
+    ``{"ok": bool, "mismatches": [shard, ...]}``; missing manifest raises.
+    """
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    back = spark.read.parquet(path)
+    actual = {
+        int(r["shard"]): (int(r["n_docs"]), int(r["n_tokens"]), int(r["checksum"]))
+        for r in back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("aggregate(collect_list(hash(doc_id, n_tokens)), 0, (a, x) -> a ^ x)")
+            .cast("long")
+            .alias("checksum"),
+        )
+        .collect()
+    }
+    mismatches = []
+    for s in manifest["shards"]:
+        if actual.get(s["shard"]) != (s["n_docs"], s["n_tokens"], s["checksum"]):
+            mismatches.append(s["shard"])
+    extra = set(actual) - {s["shard"] for s in manifest["shards"]}
+    mismatches.extend(sorted(extra))
+    return {"ok": not mismatches, "mismatches": mismatches}

@@ -513,3 +513,49 @@ def test_d14_verdicts_on_crafted_corpus(spark, tmp_path):
     assert out[18] == ("exact", 10)
     assert out[19][0] == "near" and out[19][1] == 10
     assert out[28] == ("new", None) and out[38] == ("new", None)
+
+
+def test_shard_writer_manifest_and_determinism(spark, sf_dir, tmp_path):
+    """Shard writer contract: manifest totals equal corpus totals; every
+    shard's first_seq window respects seqs_per_shard; verify_shards
+    round-trips green; a second landing of the same corpus reproduces the
+    identical manifest (deterministic resharding); corrupting a shard is
+    caught."""
+    import json
+    import os
+    import shutil
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+    from dibimbing_case_study_etl_spark.operators.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, out, seq_len=256, seqs_per_shard=16)
+
+    n_docs = docs.count()
+    n_tokens = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert m1["total_docs"] == n_docs
+    assert m1["total_tokens"] == n_tokens
+    assert m1["n_shards"] >= 2  # corpus big enough to actually shard
+
+    back = spark.read.parquet(out)
+    bad = back.filter(
+        (F.col("first_seq") / 16).cast("bigint") != F.col("shard")
+    ).count()
+    assert bad == 0
+    assert verify_shards(spark, out)["ok"]
+
+    # deterministic relanding
+    m2 = write_training_shards(docs, out, seq_len=256, seqs_per_shard=16)
+    assert m1 == m2
+
+    # corruption is caught: drop one shard directory, keep the manifest
+    victims = [d for d in os.listdir(out) if d.startswith("shard=")]
+    shutil.rmtree(os.path.join(out, sorted(victims)[0]))
+    res = verify_shards(spark, out)
+    assert not res["ok"] and res["mismatches"]
