@@ -136,3 +136,89 @@ def verify_shards(spark, path: str) -> dict:
     extra = set(actual) - {s["shard"] for s in manifest["shards"]}
     mismatches.extend(sorted(extra))
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+STREAM_MANIFEST_NAME = "_stream_manifest.json"
+
+
+def land_shard_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    seq_len: int = 512,
+    seqs_per_shard: int = 64,
+    min_tokens: int = 5,
+) -> dict:
+    """Streaming twin of :func:`write_training_shards`: as document files
+    land, each micro-batch is hygiene-passed (PII scrub + quality gate —
+    the ``documents_stream`` map) and written as self-contained shards
+    under ``out_path/ingest_batch=<id>/shard=<n>/`` with a per-batch
+    manifest entry. Runs with ``availableNow`` and returns the manifest.
+
+    Exactly-once: the checkpoint makes each batch id fire once per epoch;
+    a retried batch OVERWRITES its own ``ingest_batch=<id>`` directory
+    (idempotent — partial output from a failed attempt is replaced, never
+    appended to) and its manifest entry is keyed by batch id, so replays
+    converge. Shards are packed WITHIN the batch (per-batch prefix sum):
+    the shard-per-ingest-window layout a continuous feed needs — no
+    global repack of the existing corpus when new data arrives, which is
+    the property that makes this O(new data) instead of O(corpus).
+
+    Single-writer contract: one stream owns ``out_path`` (same contract
+    merge_upsert documents for its Parquet sinks).
+    """
+    from dibimbing_case_study_etl_spark.streaming.documents_stream import (
+        hygiene_pass,
+        read_document_stream,
+    )
+
+    clean = hygiene_pass(read_document_stream(spark, src_path), min_tokens=min_tokens)
+    kept = clean.filter("keep").select("doc_id", F.col("clean_text").alias("text"))
+
+    manifest_path = os.path.join(out_path, STREAM_MANIFEST_NAME)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        packed = pack_sequences(batch_df, id_col="doc_id", text_col="text", seq_len=seq_len)
+        shard = (F.col("first_seq") / seqs_per_shard).cast("bigint").alias("shard")
+        rows = (
+            batch_df.join(
+                packed.select("doc_id", "n_tokens", "first_seq", "last_seq"), "doc_id"
+            ).select("doc_id", "text", "n_tokens", "first_seq", "last_seq", shard)
+        )
+        batch_dir = os.path.join(out_path, f"ingest_batch={batch_id}")
+        rows.write.mode("overwrite").partitionBy("shard").parquet(batch_dir)
+
+        stats = (
+            batch_df.sparkSession.read.parquet(batch_dir)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("shard")
+            .collect()
+        )
+        entry = {
+            "n_docs": int(sum(r["n_docs"] for r in stats)),
+            "n_tokens": int(sum(r["n_tokens"] for r in stats)),
+            "shards": [int(r["shard"]) for r in stats],
+        }
+        existing = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                existing = json.load(f)
+        existing[str(batch_id)] = entry  # keyed replace ⇒ replay converges
+        with open(manifest_path, "w") as f:
+            json.dump(existing, f, indent=1)
+
+    q = (
+        kept.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    return {}

@@ -316,3 +316,51 @@ def test_document_hygiene_stream_matches_batch(spark, sf_dir, tmp_path):
         ) == (
             want[s].n_docs, want[s].n_kept, want[s].n_redactions, want[s].total_tokens
         ), s
+
+
+def test_streaming_shard_landing_incremental_and_idempotent(spark, sf_dir, tmp_path):
+    """land_shard_stream: two availableNow epochs over a growing source
+    directory land per-batch shard sets; the union of streamed shards
+    equals the batch hygiene output over the same files (doc ids and
+    token counts), the manifest keys every ingest batch, and re-running
+    with no new files is a no-op (exactly-once via checkpoint)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.shards import (
+        STREAM_MANIFEST_NAME,
+        land_shard_stream,
+    )
+    from dibimbing_case_study_etl_spark.streaming.documents_stream import hygiene_pass
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+    m1 = land_shard_stream(spark, src, out, ckpt, seq_len=256, seqs_per_shard=16)
+    assert len(m1) >= 1
+
+    # epoch 2: new files arrive; only THEY are processed
+    second.coalesce(1).write.mode("append").parquet(src)
+    m2 = land_shard_stream(spark, src, out, ckpt, seq_len=256, seqs_per_shard=16)
+    assert len(m2) > len(m1)
+
+    streamed = spark.read.parquet(out)
+    want = hygiene_pass(docs).filter("keep")
+    assert streamed.count() == want.count()
+    got_tokens = {r.doc_id: r.n_tokens for r in streamed.collect()}
+    want_tokens = {r.doc_id: r.n_tokens for r in want.collect()}
+    assert got_tokens == want_tokens
+
+    manifest = json.load(open(os.path.join(out, STREAM_MANIFEST_NAME)))
+    assert sum(e["n_docs"] for e in manifest.values()) == want.count()
+
+    # no new files ⇒ no new batches, manifest unchanged (exactly-once)
+    m3 = land_shard_stream(spark, src, out, ckpt, seq_len=256, seqs_per_shard=16)
+    assert m3 == m2
