@@ -916,3 +916,80 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_histogram(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_width: int = 500,  # in 1e-4 sim units → 0.05-wide buckets
+    nblocks: int = 32,
+) -> DataFrame:
+    """Distribution of cosine similarity over ALL unordered vector pairs —
+    the calibration curve behind every near-dup threshold choice (where
+    does the clone mode sit? where does the background mass end?).
+
+    The pair space is O(n²) but the ANSWER is O(#buckets): block-pair
+    GEMM computes each block's similarities and bins them INSIDE the
+    Arrow task, so only (bucket, count) rows — never pairs — are
+    shuffled. Cross-engine determinism: sims round to 4 dp as scaled
+    integers first, then bucket by integer floor-division — no float
+    boundary can flip a bucket between engines.
+
+    Returns (bucket_lo, n_pairs): bucket_lo is the bucket's inclusive
+    lower edge in similarity units.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    blocks = e.groupBy(F.pmod(F.xxhash64("__id"), F.lit(nblocks)).alias("__b")).agg(
+        F.collect_list(F.struct("__id", "__v")).alias("rows")
+    )
+
+    def hist_blocks(batches):
+        for pdf in batches:
+            acc: dict[int, int] = {}
+            for rows_a, rows_b, same in zip(pdf["rows_a"], pdf["rows_b"], pdf["same"]):
+                m_a = np.array([r["__v"] for r in rows_a], dtype=np.float64)
+                m_b = np.array([r["__v"] for r in rows_b], dtype=np.float64)
+                m_a /= np.linalg.norm(m_a, axis=1, keepdims=True)
+                m_b /= np.linalg.norm(m_b, axis=1, keepdims=True)
+                sims = np.clip(m_a @ m_b.T, -1.0, 1.0)
+                if same:
+                    iu = np.triu_indices(sims.shape[0], k=1)
+                    vals = sims[iu]
+                else:
+                    vals = sims.reshape(-1)
+                s4 = np.rint(vals * 10000).astype(np.int64)
+                buckets = s4 // bucket_width
+                for b, c in zip(*np.unique(buckets, return_counts=True)):
+                    acc[int(b)] = acc.get(int(b), 0) + int(c)
+            yield pd.DataFrame(
+                {"bucket": list(acc.keys()), "n": list(acc.values())}
+                if acc
+                else {"bucket": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+            )
+
+    ba, bb = blocks.alias("ba"), blocks.alias("bb")
+    block_pairs = (
+        ba.join(bb, F.col("ba.__b") <= F.col("bb.__b"))
+        .select(
+            F.col("ba.rows").alias("rows_a"),
+            F.col("bb.rows").alias("rows_b"),
+            (F.col("ba.__b") == F.col("bb.__b")).alias("same"),
+        )
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    partial = block_pairs.mapInPandas(hist_blocks, schema="bucket long, n long")
+    return (
+        partial.groupBy("bucket")
+        .agg(F.sum("n").alias("n_pairs"))
+        .select(
+            (F.col("bucket") * bucket_width / 10000.0).alias("bucket_lo"),
+            "n_pairs",
+        )
+        .orderBy("bucket_lo")
+    )

@@ -100,6 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     "s01_ann_cosine_topk",  # r4-changed: same clamp
     "m07_png_decode_features",
     "m08_png_phash_neardup",
+    "s11_cosine_histogram",
+    "d15_cdc_span_pairs",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

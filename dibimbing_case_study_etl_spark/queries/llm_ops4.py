@@ -514,3 +514,131 @@ def m08_png_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = synth_png_table(t["documents"], "doc_id", "text")
     sig = decode_phash(pngs)
     return band_hamming_pairs(sig, max_hamming=_M08_HAMMING, n_bands=16)
+
+
+@query(
+    "s11_cosine_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    p AS (
+      SELECT CAST(round_even(least(1.0, greatest(-1.0,
+               list_cosine_similarity(a.e, b.e))) * 10000, 0) AS BIGINT) AS s4
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(s4 / 500.0) AS BIGINT) * 500 / 10000.0 AS bucket_lo,
+           COUNT(*) AS n_pairs
+    FROM p
+    -- floor division, NOT DuckDB's // (which truncates toward zero and
+    -- would shift every negative bucket by one vs numpy's floor)
+    GROUP BY CAST(floor(s4 / 500.0) AS BIGINT)
+    ORDER BY bucket_lo
+    """,
+    tags=("llm", "similarity", "histogram"),
+)
+def s11_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity distribution over ALL unordered embedding pairs
+    (0.05-wide buckets) — the calibration curve every near-dup threshold
+    (d05/d11) is read off: the clone mode, the background mass, the gap
+    between them. The pair space is quadratic; the ANSWER is ~40 rows.
+
+    Scale: block-pair GEMM bins similarities INSIDE each Arrow task —
+    only (bucket, count) rows shuffle, pairs are never materialized.
+    Bucketing is integer floor-division on 4-dp scaled sims, so no float
+    boundary can flip a bucket between engines (the oracle is the O(n²)
+    definition in DuckDB).
+    """
+    from dibimbing_case_study_etl_spark.operators.similarity import cosine_histogram
+
+    t = register(spark, sf_dir, ("embeddings",))
+    return cosine_histogram(t["embeddings"], "vec_id", "embedding")
+
+
+_D15_SPAN = 64   # chars per anchored gram
+_D15_ANCH = 8    # anchor window (chars hashed to decide an anchor)
+_D15_MOD = 16    # 1-in-16 positions anchor → expected gap ~16 chars
+_D15_MAX_DF = 8  # hub-gram guard: grams in more docs carry no pair signal
+
+# shared hash text: polynomial hash of the _D15_ANCH chars before p
+_SPARK_ANCHOR = (
+    f"filter(sequence({_D15_ANCH + 1}, length(text) - {_D15_SPAN - 1}), p -> "
+    f"aggregate(transform(sequence(p - {_D15_ANCH}, p - 1), "
+    f"i -> cast(ascii(substr(text, i, 1)) as bigint)), 0L, "
+    f"(a, x) -> (a * 31 + x) % 2147483647) % {_D15_MOD} = 0)"
+)
+
+
+@query(
+    "d15_cdc_span_pairs",
+    oracle=f"""
+    WITH anch AS (
+      SELECT doc_id,
+             list_filter(generate_series({_D15_ANCH + 1}, length(text) - {_D15_SPAN - 1}), p ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(p - {_D15_ANCH}, p - 1),
+                                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) % {_D15_MOD} = 0) AS ps
+      FROM documents
+      WHERE length(text) >= {_D15_ANCH + _D15_SPAN}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(ps, p -> substr(text, CAST(p AS INT), {_D15_SPAN}))) AS g
+      FROM anch JOIN documents USING (doc_id)
+    ),
+    keep AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {_D15_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_spans
+    FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("llm", "dedup", "cdc", "memorization"),
+)
+def d15_cdc_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span duplication via content-defined chunking: documents
+    sharing ≥1 anchored {span}-char substring, with the number of shared
+    spans. Anchors are positions whose preceding {aw}-char rolling hash ≡0
+    (mod {mod}) — the rsync/CDC trick that makes anchor placement a
+    function of CONTENT, not offset, so a copied span anchors identically
+    in both documents regardless of where it was pasted. This is the
+    memorization-span detector (copied quotes, licence blocks, mirrored
+    paragraphs) that token-level Jaccard (d02) dilutes away on long docs.
+
+    Scale: anchor extraction is stateless per-row codegen (~1 gram per
+    {mod} chars, so the index is ~len/{mod} entries per doc); the pair
+    join is the d09-style inverted index with the same hub guard —
+    grams in more than {mdf} docs (boilerplate) are dropped before the
+    join, capping fan-out. No pairwise text comparison anywhere.
+    """.format(span=_D15_SPAN, aw=_D15_ANCH, mod=_D15_MOD, mdf=_D15_MAX_DF)
+    t = register(spark, sf_dir, ("documents",))
+    grams = (
+        t["documents"]
+        .filter(F.length("text") >= _D15_ANCH + _D15_SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform({_SPARK_ANCHOR}, p -> substr(text, p, {_D15_SPAN}))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _D15_MAX_DF
+    )
+    kept = grams.join(keep.select("g"), "g")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )

@@ -559,3 +559,33 @@ def test_shard_writer_manifest_and_determinism(spark, sf_dir, tmp_path):
     shutil.rmtree(os.path.join(out, sorted(victims)[0]))
     res = verify_shards(spark, out)
     assert not res["ok"] and res["mismatches"]
+
+
+def test_d15_cdc_catches_pasted_span_at_any_offset(spark, tmp_path):
+    """The CDC property: a verbatim span pasted at a DIFFERENT offset in
+    another document anchors identically in both (anchors follow content,
+    not position), so the pair is found; documents with no shared span
+    are not. This is what fixed-stride gram sampling cannot guarantee."""
+    import os
+
+    span = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "wizards briskly mix quartz flagons of java and sphinx quotes "
+            "until dawn breaks over the misty harbor town")
+    filler_a = "alpha " * 30
+    filler_b = "totally different preamble text with its own words here padding " * 3
+    unrelated = "nothing in common with anything else at all " * 8
+    docs = [
+        (1, filler_a + span + " trailing tail one", "en", "web", 0),
+        (2, filler_b + span + " other ending entirely", "en", "web", 0),
+        (3, unrelated, "en", "web", 0),
+    ]
+    sf = str(tmp_path / "d15sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {(r.doc_a, r.doc_b): r.n_spans
+           for r in REGISTRY["d15_cdc_span_pairs"].build(spark, sf).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 1  # shared span found despite offset shift
+    assert all(3 not in p for p in out)  # unrelated doc pairs with nobody
