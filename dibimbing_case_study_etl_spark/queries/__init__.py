@@ -81,8 +81,10 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r4 window: the two r4-changed queries (d12 single-scan restructure, m06
-# 16-band non-vacuous params) first, then all 23 queries whose latest green
+# r4 window: the 12 never-driver-checked r4 queries (t16-t18, d14, d15,
+# s10, s11, u02, u03, q71, q72, m07, m08) and the r4-changed ones (d05/s01
+# cosine clamp, d12 single-scan, m06 16-band, t10/t17/d14 single-explode,
+# d11 clone-canonicalization) first, then the queries whose latest green
 # is still r1, then the stalest r2 greens — front-loading the _spread
 # consumers (d03, p01, s04/s05) whose partition sizing changed this round.
 DRIVER_PRIORITY: list[str] = [
