@@ -104,6 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "m08_png_phash_neardup",
     "s11_cosine_histogram",
     "d15_cdc_span_pairs",
+    "t19_langid_confusion",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

@@ -642,3 +642,71 @@ def d15_cdc_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )
+
+
+@query(
+    "t19_langid_confusion",
+    oracle=None,  # composed below from t01's oracle pieces — set after def
+    tags=("llm", "text", "evaluation"),
+)
+def t19_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the t01 language-ID
+    heuristic against the corpus's labeled ``lang`` column: one row per
+    (labeled, predicted) cell with count and the share of the labeled
+    class (recall when labeled == predicted). The query every
+    filter-quality review starts from — is the lang filter silently
+    dropping one language's documents?
+
+    Scale: t01's stateless scoring plus two partial-agg groupBys (cells,
+    then per-label totals re-derived from the cells — no second corpus
+    scan); cell count ≤ |langs|², so everything after the scan is
+    KB-sized.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    labeled = t["documents"].select("doc_id", "lang")
+    pred = t19_langid_confusion.__wrapped_t01__(spark, sf_dir)
+    cells = (
+        labeled.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled_lang").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        cells.join(totals, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            iround(F.col("n_docs") / F.col("__tot"), 4).alias("share_of_labeled"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+# wire t01 in without a circular import and give t19 a composed oracle
+from dibimbing_case_study_etl_spark.queries.llm_ops import t01_lang_id as _t01  # noqa: E402
+
+t19_langid_confusion.__wrapped_t01__ = staticmethod(_t01)
+
+from dibimbing_case_study_etl_spark.queries import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_t01_oracle = _REG["t01_lang_id"].oracle
+_REG["t19_langid_confusion"] = _dc.replace(
+    _REG["t19_langid_confusion"],
+    oracle=f"""
+    WITH pred AS ({_t01_oracle}),
+    cells AS (
+      SELECT d.lang AS labeled_lang, pred.predicted_lang, COUNT(*) AS n_docs
+      FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+      GROUP BY d.lang, pred.predicted_lang
+    ),
+    tot AS (
+      SELECT labeled_lang, SUM(n_docs) AS t FROM cells GROUP BY labeled_lang
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           {sql_iround("CAST(n_docs AS DOUBLE) / t", 4)} AS share_of_labeled
+    FROM cells JOIN tot USING (labeled_lang)
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
