@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "s11_cosine_histogram",
     "d15_cdc_span_pairs",
     "t19_langid_confusion",
+    "u04_cdc_apply",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

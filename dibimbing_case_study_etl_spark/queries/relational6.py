@@ -285,3 +285,84 @@ def q72_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") * 5 <= F.col("tot")).alias("in_top_20pct_revenue"),
         )
     )
+
+
+_U04_T1 = "2024-01-15 00:00:00"
+_U04_T2 = "2024-01-25 00:00:00"
+
+
+@query(
+    "u04_cdc_apply",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_U04_T1}'
+      ) WHERE rn = 1
+    ),
+    last_chg AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_U04_T1}' AND ts < TIMESTAMP '{_U04_T2}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           {sql_iround("CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END", 2)}
+             AS final_value,
+           CASE WHEN c.user_id IS NOT NULL THEN 'updated' ELSE 'base' END AS provenance
+    FROM base b FULL OUTER JOIN last_chg c ON b.user_id = c.user_id
+    WHERE NOT (c.user_id IS NOT NULL AND c.event_type = 'error')
+    """,
+    tags=("warehouse", "cdc", "merge"),
+)
+def u04_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETE tombstones — the merge surface the
+    reference's ON CONFLICT upsert lacks: a change feed (events in
+    [T1, T2), per-user ordered) folds onto the T1 base snapshot where the
+    LAST change wins — an ``error`` tombstone deletes the key (unless a
+    later upsert resurrects it), any other change upserts its value, and
+    untouched base keys survive as ``provenance='base'``.
+
+    Scale: like u03, the textbook shape (two snapshots + full-outer join)
+    collapses into ONE user-keyed aggregation over one scan — base state,
+    last change, and tombstone flag all come from conditional ``max_by``
+    in the same partial-aggregable groupBy. The oracle keeps the
+    window+join formulation; same math, three shuffles fewer.
+    """
+    t = register(spark, sf_dir, ("events",))
+    t1 = F.lit(_U04_T1).cast("timestamp")
+    t2 = F.lit(_U04_T2).cast("timestamp")
+    pre = F.col("ts") < t1
+    chg = F.col("ts") >= t1
+    ordkey = F.struct("ts", "event_id")
+    agg = (
+        t["events"]
+        .filter(F.col("ts") < t2)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.col("value"), F.when(pre, ordkey)).alias("__base_val"),
+            F.max(pre).alias("__has_base"),
+            F.max_by(
+                F.struct(F.col("event_type"), F.col("value")), F.when(chg, ordkey)
+            ).alias("__last_chg"),
+            F.max(chg).alias("__has_chg"),
+        )
+    )
+    deleted = F.col("__has_chg") & (F.col("__last_chg.event_type") == "error")
+    return (
+        agg.filter(~deleted)
+        .select(
+            "user_id",
+            iround(
+                F.when(F.col("__has_chg"), F.col("__last_chg.value")).otherwise(
+                    F.col("__base_val")
+                ),
+                2,
+            ).alias("final_value"),
+            F.when(F.col("__has_chg"), F.lit("updated"))
+            .otherwise(F.lit("base"))
+            .alias("provenance"),
+        )
+    )

@@ -420,3 +420,13 @@ def test_multi_consumer_ngram_queries_explode_once(spark, sf_dir):
         plan = explain_str(spark, sf_dir, name)
         n = len(re.findall(r"Generate \(\d+\)", plan))
         assert n <= max_gen, f"{name}: {n} Generate nodes (max {max_gen})"
+
+
+def test_u04_cdc_apply_is_one_aggregation(spark, sf_dir):
+    """u04 folds base + change feed + tombstones in ONE conditional
+    max_by aggregation — single scan, single Exchange, no window/join."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "u04_cdc_apply")
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
