@@ -106,6 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "d15_cdc_span_pairs",
     "t19_langid_confusion",
     "u04_cdc_apply",
+    "s12_embedding_drift",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

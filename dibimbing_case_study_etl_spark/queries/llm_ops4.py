@@ -742,3 +742,73 @@ _REG["t19_langid_confusion"] = _dc.replace(
     ORDER BY labeled_lang, predicted_lang
     """,
 )
+
+
+@query(
+    "s12_embedding_drift",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS half,
+             CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, dim,
+             (SUM(CAST(round_even(v * 1000000, 0) AS BIGINT)) / 1000000.0)
+               / COUNT(*) AS c
+      FROM dims GROUP BY label, half, dim
+    ),
+    diff AS (
+      SELECT a.label, a.dim, (a.c - b.c) * (a.c - b.c) AS d2
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+    ),
+    agg AS (
+      SELECT label,
+             SUM(CAST(round_even(d2 * 100000000, 0) AS BIGINT)) / 100000000.0 AS ss
+      FROM diff GROUP BY label
+    )
+    SELECT label, {sql_iround("sqrt(ss)", 4)} AS centroid_l2
+    FROM agg
+    ORDER BY label
+    """,
+    tags=("llm", "embedding", "drift", "monitoring"),
+)
+def s12_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detector: per-label L2 distance between the
+    centroids of two deterministic corpus halves (vec_id parity). On a
+    healthy corpus the halves are exchangeable and the distance is small;
+    a drifted ingest (new scraper, changed embedder version, poisoned
+    source) shows up as a per-label spike — the monitoring query a
+    continuous embedding pipeline alerts on.
+
+    Scale: one posexplode feeds a (label, half, dim)-keyed partial agg —
+    combine-heavy, ~|labels|·2·|dims| output rows regardless of corpus
+    size; the half-vs-half join and the final per-label reduction operate
+    on that model-sized table. Per-dim sums and the squared-difference
+    reduction both round to scaled integers before summation, so no
+    accumulation order can flip the hash.
+    """
+    t = register(spark, sf_dir, ("embeddings",))
+    from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum
+
+    dims = t["embeddings"].select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    cent = dims.groupBy("label", "half", "dim").agg(
+        (dsum(F.col("v"), 6) / F.count(F.lit(1))).alias("c")
+    )
+    a = cent.filter(F.col("half") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select("label", "dim", F.col("c").alias("cb"))
+    diff = a.join(b, ["label", "dim"]).select(
+        "label", ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("d2")
+    )
+    return (
+        diff.groupBy("label")
+        .agg(dsum(F.col("d2"), 8).alias("ss"))
+        .select("label", iround(F.sqrt("ss"), 4).alias("centroid_l2"))
+        .orderBy("label")
+    )
