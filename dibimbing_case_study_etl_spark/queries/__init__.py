@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "t19_langid_confusion",
     "u04_cdc_apply",
     "s12_embedding_drift",
+    "t20_tokenizer_fertility",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

@@ -812,3 +812,75 @@ def s12_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", iround(F.sqrt("ss"), 4).alias("centroid_l2"))
         .orderBy("label")
     )
+
+
+@query(
+    "t20_tokenizer_fertility",
+    oracle=None,  # composed below from t15's oracle — set after def
+    tags=("llm", "text", "tokenize", "evaluation"),
+)
+def t20_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer audit per source: token mass, UNK share, and fertility
+    (tokens emitted per 1000 characters) under the t15 vocabulary — the
+    three numbers that decide whether a vocab is too small for a source
+    (UNK spike) or a source is degenerate for the tokenizer (fertility
+    spike). Composes t15's encoding verbatim, so the audited tokenizer is
+    exactly the one the pipeline ships.
+
+    Scale: t15's scan-speed encode followed by a source-keyed partial agg
+    (|sources| rows); the per-source char mass joins from a second
+    partial agg of the documents scan — both model-sized.
+    """
+    from dibimbing_case_study_etl_spark.queries.llm_ops3 import t15_tokenize_ids
+
+    t = register(spark, sf_dir, ("documents",))
+    ids = t15_tokenize_ids(spark, sf_dir)
+    src = t["documents"].select("doc_id", "source", F.length("text").alias("__chars"))
+    tok_stats = (
+        ids.join(src.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("token_id") == 0).cast("bigint")).alias("n_unk"),
+        )
+    )
+    char_mass = src.groupBy("source").agg(F.sum("__chars").alias("__chars"))
+    return (
+        tok_stats.join(char_mass, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_unk",
+            iround(F.col("n_unk") / F.col("n_tokens"), 4).alias("unk_rate"),
+            iround(F.col("n_tokens") * 1000.0 / F.col("__chars"), 4).alias(
+                "tokens_per_1000_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+from dibimbing_case_study_etl_spark.queries import REGISTRY as _REG2  # noqa: E402
+
+_t15_oracle = _REG2["t15_tokenize_ids"].oracle
+_REG2["t20_tokenizer_fertility"] = _dc.replace(
+    _REG2["t20_tokenizer_fertility"],
+    oracle=f"""
+    WITH ids AS ({_t15_oracle}),
+    src AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars FROM documents
+    ),
+    tok AS (
+      SELECT src.source, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN ids.token_id = 0 THEN 1 ELSE 0 END) AS n_unk
+      FROM ids JOIN src USING (doc_id)
+      GROUP BY src.source
+    ),
+    cm AS (SELECT source, SUM(chars) AS chars FROM src GROUP BY source)
+    SELECT tok.source, n_tokens, n_unk,
+           {sql_iround("CAST(n_unk AS DOUBLE) / n_tokens", 4)} AS unk_rate,
+           {sql_iround("n_tokens * 1000.0 / chars", 4)} AS tokens_per_1000_chars
+    FROM tok JOIN cm USING (source)
+    ORDER BY tok.source
+    """,
+)
