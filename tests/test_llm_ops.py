@@ -589,3 +589,18 @@ def test_d15_cdc_catches_pasted_span_at_any_offset(spark, tmp_path):
            for r in REGISTRY["d15_cdc_span_pairs"].build(spark, sf).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 1  # shared span found despite offset shift
     assert all(3 not in p for p in out)  # unrelated doc pairs with nobody
+
+
+def test_cosine_clamped_on_identical_vectors(spark):
+    """The sf1-sweep finding, pinned at unit level: identical vectors must
+    score EXACTLY 1.0 (dot/(sqrt·sqrt) overshoots to 1+2e-16 unclamped,
+    which hash-diverges from engines that clamp)."""
+    import pyspark.sql.functions as F
+
+    from dibimbing_case_study_etl_spark.functions.vector import cosine
+
+    # a vector whose norm² is inexact under sqrt — the overshoot trigger
+    v = [0.1, 0.2, 0.3, 0.7, 0.11, 0.13, 0.17, 0.19]
+    df = spark.createDataFrame([(v, v)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first().c
+    assert got == 1.0

@@ -499,3 +499,28 @@ def test_forget_keys_removes_hive_escaped_emptied_leaves(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
     # session conf restored exactly — including back to "unset"
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", None) == prev_mode
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on the parquet warehouse: a later load adds a
+    column; mergeSchema reads the union with NULL backfill for old rows,
+    and the narrow (pre-evolution) read of old columns is unaffected —
+    the append-new-columns contract a long-lived L1 table needs."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "jakarta", 29.0), (2, "bandung", 24.0)], "id long, city string, temp double"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "surabaya", 31.0, 78.0)], "id long, city string, temp double, humidity double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "city", "temp", "humidity"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].humidity is None and rows[3].humidity == 78.0
+    # old-column projection still reads every row
+    assert spark.read.parquet(path).select("id", "temp").count() == 3
