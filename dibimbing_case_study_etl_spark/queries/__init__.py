@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "u04_cdc_apply",
     "s12_embedding_drift",
     "t20_tokenizer_fertility",
+    "q73_integrity_audit",
     "d12_dup_ngram_fraction",
     "m06_phash_neardup",
     "d04_dedup_simhash",

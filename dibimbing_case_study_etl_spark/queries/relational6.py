@@ -366,3 +366,59 @@ def u04_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("provenance"),
         )
     )
+
+
+@query(
+    "q73_integrity_audit",
+    oracle="""
+    SELECT 'orphaned_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'childless_orders',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'order_before_1990',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1990-01-01')
+    ORDER BY check_name
+    """,
+    tags=("warehouse", "quality", "integrity"),
+)
+def q73_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the fact tables — the relational
+    complement to operators/quality.py's column checks: orphaned
+    lineitems (FK without parent), childless orders, non-positive
+    quantities, and out-of-domain dates, each as a named violation count.
+    Zero counts are part of the contract: the audit proves integrity, it
+    doesn't just find breakage.
+
+    Scale: the two FK checks are anti joins on the order key (AQE plans
+    them like any fact join — broadcast or shuffle by observed size); the
+    domain checks are pushed-down scans. Each arm reduces to ONE row
+    before the lazy union, so all four checks run in a single job with a
+    metadata-sized result — no driver-side counting loop.
+    """
+    t = register(spark, sf_dir, ("orders", "lineitem"))
+    li, o = t["lineitem"], t["orders"]
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    return (
+        check("orphaned_lineitems",
+              li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"))
+        .unionByName(check("childless_orders",
+              o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")))
+        .unionByName(check("nonpositive_quantity",
+              li.filter(F.col("l_quantity") <= 0)))
+        .unionByName(check("order_before_1990",
+              o.filter(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))))
+        .orderBy("check_name")
+    )
