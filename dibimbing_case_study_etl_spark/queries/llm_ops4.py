@@ -872,7 +872,7 @@ _REG2["t20_tokenizer_fertility"] = _dc.replace(
     ),
     tok AS (
       SELECT src.source, COUNT(*) AS n_tokens,
-             SUM(CASE WHEN ids.token_id = 0 THEN 1 ELSE 0 END) AS n_unk
+             CAST(SUM(CASE WHEN ids.token_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
       FROM ids JOIN src USING (doc_id)
       GROUP BY src.source
     ),

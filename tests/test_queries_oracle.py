@@ -24,6 +24,33 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+)
+def test_oracle_output_types_driver_safe(sf_dir, name):
+    """No oracle may emit a HUGEINT or DECIMAL column: the driver's hash
+    canonicalizer renders DuckDB HUGEINT/DECIMAL differently from Spark's
+    BIGINT/DOUBLE (t20's r4 red row: values identical, `0` vs `0.0` in the
+    hash), and the local comparator coerces dtypes so only the driver ever
+    catches it. Bind each oracle in DuckDB and assert the output types are
+    in the driver-safe set."""
+    from dibimbing_case_study_etl_spark.testing import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    try:
+        rel = con.sql(REGISTRY[name].oracle)
+        bad = [
+            f"{col}: {t}"
+            for col, t in zip(rel.columns, [str(t).upper() for t in rel.types])
+            if "HUGEINT" in t or "DECIMAL" in t or "INT128" in t
+        ]
+    finally:
+        con.close()
+    assert not bad, (
+        f"{name} oracle emits driver-unsafe column types (CAST them): {bad}"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
