@@ -248,8 +248,34 @@ def minhash_lsh_pairs(
     the candidate join touches only colliding buckets. Output schema and
     semantics equal :func:`jaccard_pairs` (candidates are verified exactly);
     the difference is the candidate-generation cost at scale.
+
+    Exact-duplicate documents are CANONICALIZED before banding (the
+    :func:`semdedup_pairs` r4 lesson, applied here): replicated corpora —
+    the exact input a dedup pipeline exists for — put every clone of a
+    document in the same LSH bucket in every band, so the in-bucket pair
+    enumeration and the Python verify both paid O(clones²) per group
+    (sf4 sweep: 12.6× on 4× clone-heavy data). Now identical texts
+    collapse to a min-id representative (one groupBy keyed by
+    (xxhash64(text), text) — same shape as :func:`dedup_exact`), banding +
+    bucket join + exact verify run on DISTINCT texts only, and clone
+    groups expand back afterward: cross-group pairs inherit the verified
+    representative pair's Jaccard exactly (identical shingle sets ⇒
+    identical Jaccard), within-group pairs carry Jaccard 1.0 (identical
+    text ⇒ J=1, provided the text has ≥k words — the same non-empty
+    shingle-set condition the verifier applies). The expansion is
+    output-bound; candidate + verify cost depends on DISTINCT corpus
+    size, not row count.
     """
     rows = num_hashes // bands
+    groups = _materialize(
+        df.select(F.col(id_col).alias("__gid"), F.col(text_col).alias("__gtext"))
+        .groupBy(F.xxhash64("__gtext").alias("__gh"), "__gtext")
+        .agg(
+            F.min("__gid").alias("__rep"),
+            F.sort_array(F.collect_list("__gid")).alias("__members"),
+        )
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col("__gtext").alias(text_col))
     # Candidate generation runs as ONE shuffle-free mapInPandas pass over
     # the raw documents. Candidate generation only needs *some* universal
     # hash of each shingle (LSH collision probabilities are hash-agnostic),
@@ -327,8 +353,9 @@ def minhash_lsh_pairs(
 
     # ONE shuffle-free mapInPandas pass emits (doc_id, band, band_sig)
     # directly — no JVM banding stage (the 32-band struct-array explode
-    # compiled a large codegen unit and forced an extra persist).
-    stacked = _spread(df.select(id_col, text_col), id_col).mapInPandas(
+    # compiled a large codegen unit and forced an extra persist). Input is
+    # the canonicalized representative set, not the raw corpus.
+    stacked = _spread(reps, id_col).mapInPandas(
         band_batches, schema="doc_id long, band int, sig long"
     )
 
@@ -367,47 +394,94 @@ def minhash_lsh_pairs(
     # pass. The candidate set scales with the duplicate rate, not the
     # corpus, so the joins carry NO broadcast hint — AQE broadcasts the
     # (tiny) list at bench SF and falls back to shuffle joins if a 100 TB
-    # run has enough near-dups to matter. The arithmetic is
-    # engine-neutral: integer set sizes and one double division —
-    # bit-identical to the inverted-index verification (jaccard_pairs) and
-    # to the SQL oracle, which all divide the same integers. The shingling
-    # is the literal-space tokenization `functions.text.word_shingles`
-    # defines (split on ' +' after trimming spaces, distinct space-joined
-    # k-grams).
-    import re
-
-    split_re = re.compile(" +")
-    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a"))
-    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__text_b"))
-    with_texts = (
-        ta.join(candidates, "doc_a")
-        .join(tb.join(candidates, "doc_b", "left_semi"), "doc_b")
+    # run has enough near-dups to matter. The verification itself runs
+    # ENTIRELY in whole-stage codegen: each representative's distinct
+    # shingle set is computed ONCE (``word_shingles`` — the same
+    # literal-space tokenization :func:`jaccard_pairs` and the SQL oracle
+    # use: split on ' +' after trimming spaces, distinct space-joined
+    # k-grams) and attached to its pairs, then ``array_intersect`` counts
+    # the overlap. The r1–r4 shape verified per PAIR in a Python kernel,
+    # rebuilding each doc's set once per pair it appears in — on
+    # near-dup-heavy corpora (every doc in dozens of pairs) that was the
+    # dominant cost. The arithmetic stays engine-neutral: integer set
+    # sizes and one double division, bit-identical to the inverted-index
+    # verification and to the oracle.
+    shing = reps.select(
+        F.col(id_col).alias("__sid"),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    ).filter(F.size("__sh") >= 1)
+    with_sets = (
+        candidates.join(
+            shing.select(F.col("__sid").alias("doc_a"), F.col("__sh").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            shing.select(F.col("__sid").alias("doc_b"), F.col("__sh").alias("__sb")),
+            "doc_b",
+        )
+    )
+    rep_pairs = (
+        with_sets.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__nc"),
+            F.size("__sa").alias("__na"),
+            F.size("__sb").alias("__nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
-    def _grams(text: str) -> set:
-        words = split_re.split(text.strip(" ")) if text is not None else []
-        if len(words) < k:
-            return set()
-        return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-
-    def verify_batches(batches):
-        for pdf in batches:
-            out_a, out_b, out_j = [], [], []
-            for doc_a, doc_b, text_a, text_b in zip(
-                pdf["doc_a"], pdf["doc_b"], pdf["__text_a"], pdf["__text_b"]
-            ):
-                ga, gb = _grams(text_a), _grams(text_b)
-                if not ga or not gb:
-                    continue
-                n_common = len(ga & gb)
-                jac = n_common / (len(ga) + len(gb) - n_common)
-                if jac >= threshold:
-                    out_a.append(doc_a)
-                    out_b.append(doc_b)
-                    out_j.append(jac)
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
-
-    return with_texts.mapInPandas(verify_batches, schema="doc_a long, doc_b long, jaccard double")
+    # Expand clone groups back to the full pair set. Cross-group pairs:
+    # every member of group A × every member of group B at the verified
+    # representatives' Jaccard (identical texts ⇒ identical shingle sets).
+    # least/greatest restores the doc_a < doc_b output contract (group
+    # membership does not respect the representatives' order).
+    members = groups.select("__rep", "__members")
+    cross = (
+        rep_pairs.join(
+            members.withColumnRenamed("__members", "__ma"),
+            rep_pairs["doc_a"] == members["__rep"],
+        )
+        .drop("__rep", "doc_a")
+        .join(
+            members.withColumnRenamed("__members", "__mb"),
+            F.col("doc_b") == members["__rep"],
+        )
+        .select(F.explode("__ma").alias("__a"), "__mb", "jaccard")
+        .select("__a", F.explode("__mb").alias("__b"), "jaccard")
+        .select(
+            F.least("__a", "__b").alias("doc_a"),
+            F.greatest("__a", "__b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Within-group pairs: Jaccard exactly 1.0, subject to the verifier's
+    # non-empty shingle-set condition (≥ k words after the same ' +'
+    # split word_shingles uses — texts below that never pair).
+    if threshold <= 1.0:
+        within = (
+            groups.filter(
+                (F.size("__members") >= 2)
+                & (F.size(word_shingles(F.col("__gtext"), k)) >= 1)
+            )
+            .select(F.explode("__members").alias("__a"), "__members")
+            .select(
+                F.col("__a").alias("doc_a"),
+                F.explode(F.filter("__members", lambda m: m > F.col("__a"))).alias(
+                    "doc_b"
+                ),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(within)
+    return cross
 
 
 def dedup_clusters(
