@@ -541,16 +541,22 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(df: DataFrame, id_col: str, text_col: str, hash_fn=None) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on every bit of
-    xxhash64(token); bit j of the fingerprint is the vote sign.
+    ``hash_fn(token)`` (default xxhash64); bit j of the fingerprint is the
+    vote sign.
+
+    ``hash_fn`` exists for the driver-checkable audit twin: xxhash64 has
+    no DuckDB implementation, but an md5-derived 60-bit hash (identical in
+    both engines) exercises the same vote/band machinery under a SQL
+    oracle.
 
     One explode + one grouped aggregation (64 conditional sums) — a single
     shuffle keyed by doc id."""
     tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("__t")
     )
-    x = F.xxhash64("__t")
+    x = (hash_fn or F.xxhash64)(F.col("__t"))
     votes = [
         F.sum(F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v_{j}")
         for j in range(64)
@@ -565,7 +571,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_fn=None
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -573,10 +579,11 @@ def simhash_pairs(
     pair within distance k agrees exactly on ≥1 band, so candidates come
     from equi-joins on band values (shuffle keyed by 16-bit band), never
     from an n² cross join. Verification is one XOR+bit_count.
+    ``hash_fn`` plugs an alternative token hash into :func:`simhash64`.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = _materialize(simhash64(df, id_col, text_col))  # self-joined below
+    sig = _materialize(simhash64(df, id_col, text_col, hash_fn))  # self-joined below
     mask = (1 << width) - 1
 
     stacked = sig.select(

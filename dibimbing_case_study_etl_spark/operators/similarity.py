@@ -477,6 +477,67 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_cosine_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 8,
+) -> DataFrame:
+    """:func:`ivf_cosine_topk` with SEEDED centroids (the ``ncells``
+    lowest-id corpus vectors) and JVM sequential-fold scoring throughout —
+    the driver-hash-checkable twin of the Lloyd-refined IVF path.
+
+    Two deliberate differences from the production operator make every
+    step reproducible in plain SQL: centroids come straight from the data
+    (no Lloyd refinement — its distributed means are accumulation-order-
+    dependent) and cell assignment ranks with the same clamped sequential
+    cosine the re-rank uses (no numpy/BLAS in the loop). Cell labels are
+    the seed vectors' ids. The IVF STRUCTURE under audit is identical:
+    nearest-cell corpus partitioning, ``nprobe`` probed cells per query,
+    exact scoring only within probed cells, per-query top-k. Cosine is
+    normalization-invariant, so seeds need no normalize step.
+    """
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("__cent"))
+    )
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
+        ).join(F.broadcast(cents), F.lit(True)).withColumn(
+            "__csim", cosine(F.col(vec_alias), F.col("__cent"))
+        )
+        w = W.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("cell"))
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= probes)
+            .select(id_alias, vec_alias, "cell")
+        )
+
+    c = assign(_spread(corpus, id_col), "neighbor_id", "__cv", 1)
+    q = assign(queries, "query_id", "__qv", nprobe)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def pca_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

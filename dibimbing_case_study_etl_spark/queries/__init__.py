@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops2,
         llm_ops3,
         llm_ops4,
+        llm_ops5,
         relational,
         relational2,
         relational3,

@@ -325,9 +325,65 @@ def s01_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10)
 
 
+def _lsh_oracle_sql(nbits: int = 32, bands: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Full DuckDB twin of the s02 LSH pipeline. The hyperplanes are a
+    deterministic LCG stream (`similarity._hyperplanes`), so they inline
+    as literals; signature bits come from the SAME sequential-fold dot
+    product on both engines (list_dot_product ≡ the zip_with/aggregate
+    fold — verified bit-identical for all sf0.1 signatures), banding is
+    integer shifts, and the candidate re-rank reuses s01's clamped
+    list_cosine_similarity. This is what makes the 'approximate' scale
+    path driver-hash-checkable: approximate ≠ nondeterministic."""
+    from dibimbing_case_study_etl_spark.operators.similarity import _hyperplanes
+
+    width = nbits // bands
+    mask = (1 << width) - 1
+    vals = ",\n      ".join(
+        f"({i}, [{','.join(repr(x) for x in p)}])"
+        for i, p in enumerate(_hyperplanes(dim, nbits))
+    )
+    return f"""
+    WITH planes(bit, p) AS (VALUES {vals}),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bits AS (
+      SELECT vec_id, bit,
+             CASE WHEN list_dot_product(v, p) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      FROM vecs CROSS JOIN planes
+    ),
+    sig AS (
+      SELECT vec_id, CAST(SUM(b * (1::BIGINT << bit)) AS BIGINT) AS sig
+      FROM bits GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT vec_id, band, (sig >> (band * {width})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q JOIN banded c ON q.band = c.band AND q.val = c.val
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               least(1.0, greatest(-1.0,
+                 list_cosine_similarity(qv.v, cv.v))) AS cos_sim
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = cand.query_id
+        JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """
+
+
 @query(
     "s02_ann_lsh_topk",
-    oracle=None,  # approximate by design — recall vs s01 asserted in tests
+    oracle=_lsh_oracle_sql(),  # deterministic seeds ⇒ the approximate path
+    # is still exactly reproducible in SQL (hyperplanes inlined as literals)
     tags=("llm", "similarity", "lsh"),
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,284 @@
+"""Driver-checkable audit twins for the approximate/accelerated family.
+
+The production ANN/sketch operators (s02 LSH, s03 BLAS, s06 IVF, s07 PQ,
+d04 SimHash) are approximate or float-reordered by design, so their own
+outputs historically carried no SQL oracle — recall/rank-agreement pins
+lived only in pytest. These twins restore driver-hash-visible evidence by
+pinning the one non-SQL-expressible ingredient of each path:
+
+- ``s03r``: the BLAS GEMM scorer, oversampled then re-ranked on a 6-dp
+  engine-neutral rounding (BLAS accumulation dust is ~1e-14, eight orders
+  below the rounding grain, so the rounded ranking is deterministic).
+- ``s06r``: the IVF structure (cell partitioning, nprobe probing, in-cell
+  exact scoring) with SEEDED centroids — the Lloyd refinement is the only
+  piece whose distributed means are accumulation-order-dependent.
+- ``s07r``: the PQ subspace quantizer with seeded codebooks
+  (``pq_fit_codebooks(iters=0)``), audited as the per-subspace code
+  histogram the encoder actually emits.
+- ``d04r``: the SimHash vote/band/verify machinery on an md5-derived
+  60-bit token hash — md5 is the one 64-bit-class hash both engines
+  implement identically (xxhash64 has no DuckDB twin).
+
+s02 itself gained a full oracle (hyperplanes inline as SQL literals —
+see ``llm_ops._lsh_oracle_sql``), so it needs no twin.
+
+Reference parity: the reference repo has no vector/ANN surface at all
+(its pipeline is pandas+Postgres, `scripts/` in caesarmario/
+dibimbing-case-study-etl); this family is part of the beyond-reference
+LLM-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
+from dibimbing_case_study_etl_spark.operators.dedup import simhash_pairs
+from dibimbing_case_study_etl_spark.operators.similarity import (
+    cosine_topk_blas,
+    ivf_cosine_topk_seeded,
+    pq_encode,
+    pq_fit_codebooks,
+)
+from dibimbing_case_study_etl_spark.queries import query
+
+_CLAMPED_COS = (
+    "least(1.0, greatest(-1.0, list_cosine_similarity("
+    "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "s03r_ann_blas_rounded_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_iround(_CLAMPED_COS, 6)} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_iround(_CLAMPED_COS, 6)} DESC, c.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "blas", "audit"),
+)
+def s03r_ann_blas_rounded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of s03: the BLAS scorer's top-50 shortlist,
+    re-ranked on the 6-dp engine-neutral rounding with an id tiebreak.
+
+    GEMM reorders the accumulation, so raw BLAS scores differ from the
+    sequential-fold oracle in the last ~2 ulps; rounding at 6 dp (five
+    thousand ulps wide) collapses both to the same value, and the id
+    tiebreak makes the rounded ranking total. The 5× oversample means a
+    rounded-tie group would have to span 40 unrounded ranks to perturb
+    the final top-10 — vectors drawn from a continuous distribution
+    cannot do that (exact duplicates tie unrounded too, which the
+    shortlist already orders by id).
+    """
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    base = cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=50)
+    w = W.partitionBy("query_id").orderBy(F.desc("__r"), F.asc("neighbor_id"))
+    return (
+        base.withColumn("__r", iround(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.col("__r").alias("cos_sim"), "rank")
+    )
+
+
+@query(
+    "s06r_ann_ivf_seeded_topk",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    cell_scores AS (
+      SELECT vecs.vec_id, vecs.v, cents.cell,
+             least(1.0, greatest(-1.0, list_cosine_similarity(v, cv))) AS sim
+      FROM vecs CROSS JOIN cents
+    ),
+    c_assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM cell_scores
+      ) WHERE rn = 1
+    ),
+    q_assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM cell_scores WHERE vec_id < 10
+      ) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM q_assign q JOIN c_assign c USING (cell)
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id,
+             least(1.0, greatest(-1.0, list_cosine_similarity(qv, cv))) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY least(1.0, greatest(-1.0, list_cosine_similarity(qv, cv))) DESC,
+                        neighbor_id
+             ) AS INTEGER) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+    tags=("llm", "similarity", "ivf", "audit"),
+)
+def s06r_ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of s06: the full IVF structure (nearest-cell
+    partitioning, 8-of-16 probed cells, in-cell exact scoring, per-query
+    top-10) with seeded centroids and JVM sequential cosine throughout —
+    see :func:`operators.similarity.ivf_cosine_topk_seeded`."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    return ivf_cosine_topk_seeded(
+        e.filter(F.col("vec_id") < 10), e, k=10, ncells=16, nprobe=8
+    )
+
+
+def _pq_hist_oracle(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
+    dsub = dim // m
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM vecs
+    ),
+    seeds AS (
+      SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM norms ORDER BY vec_id LIMIT {ksub})
+    ),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+    books AS (
+      SELECT j, code, nv[j * {dsub} + 1 : (j + 1) * {dsub}] AS cw
+      FROM seeds CROSS JOIN js
+    ),
+    subs AS (
+      SELECT vec_id, j, nv[j * {dsub} + 1 : (j + 1) * {dsub}] AS sv
+      FROM norms CROSS JOIN js
+    ),
+    dists AS (
+      SELECT vec_id, subs.j, code,
+             list_sum(list_transform(list_zip(sv, cw),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM subs JOIN books ON subs.j = books.j
+    ),
+    assign AS (
+      SELECT vec_id, j, code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT CAST(j AS INTEGER) AS subspace, CAST(code AS BIGINT) AS code,
+           COUNT(*) AS n_vectors
+    FROM assign GROUP BY j, code ORDER BY subspace, code
+    """
+
+
+@query(
+    "s07r_pq_code_histogram",
+    oracle=_pq_hist_oracle(),
+    tags=("llm", "similarity", "pq", "audit"),
+)
+def s07r_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of s07's quantizer: encode the corpus with
+    SEEDED codebooks (``pq_fit_codebooks(iters=0)`` — first 16 normalized
+    subvectors per 16-dim subspace, no Lloyd) through the production
+    :func:`pq_encode` Arrow kernel, then audit the per-subspace code
+    occupancy histogram. Every argmin the encoder takes is reproduced in
+    SQL (elementwise squared-difference sums, ties to the lower code), so
+    a drifting quantizer — wrong slicing, wrong normalization, unstable
+    tie-break — flips driver hashes immediately."""
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    books = pq_fit_codebooks(e, m=4, ksub=16, iters=0, sample=16)
+    codes = pq_encode(e, books)
+    return (
+        codes.select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("subspace", "code")
+    )
+
+
+_MD5_BITS = 60  # 15 hex chars: fits signed 64-bit on both engines
+
+
+def _md5_hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(_MD5_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v_{j} >= 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END)"
+        for j in range(_MD5_BITS)
+    )
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    mask = (1 << width) - 1
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS x
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {fingerprint} AS simhash FROM votes),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * {width})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {nbands - 1})) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query(
+    "d04r_simhash_md5_pairs",
+    oracle=_simhash_md5_oracle(),
+    tags=("llm", "dedup", "audit"),
+)
+def d04r_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of d04: the identical SimHash vote, pigeonhole
+    band join, and XOR/bit_count verification — fed by an md5-derived
+    60-bit token hash instead of xxhash64, which is the one substitution
+    that lets DuckDB reproduce the fingerprints bit-for-bit. Bits 60–63
+    are structurally zero on both engines (every token votes −1 there),
+    so the 4-band pigeonhole split stays valid."""
+    t = register(spark, sf_dir, ("documents",))
+    return simhash_pairs(
+        t["documents"], "doc_id", "text", max_hamming=3, hash_fn=_md5_hash60
+    )
