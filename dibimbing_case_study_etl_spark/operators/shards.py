@@ -41,6 +41,23 @@ from dibimbing_case_study_etl_spark.operators.packing import pack_sequences
 MANIFEST_NAME = "_manifest.json"
 
 
+def _write_static_overwrite(rows: DataFrame, path: str) -> None:
+    """Partitioned overwrite that truncates the target path first (static
+    mode), saving/restoring the session's partitionOverwriteMode — the
+    session default is dynamic (right for upserts, wrong for whole-corpus
+    landings, where surplus partitions from a previous landing must go)."""
+    spark = rows.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        rows.write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -59,10 +76,15 @@ def write_training_shards(
     the standard pretraining-loader convention).
 
     Scale: the packing plan is t11's distributed prefix sum (no global
-    window); the shard column is pure arithmetic on it; the write is a
-    single partitioned parquet job (dynamic overwrite — re-landing a
-    corpus only touches its own shards); the manifest aggregation is one
-    groupBy over O(shards) groups.
+    window); the shard column is pure arithmetic on it; the write is one
+    partitioned parquet job under STATIC overwrite — the whole corpus
+    landing replaces the whole path. Static matters: under the session's
+    dynamic default, re-landing a smaller/resharded corpus would leave
+    the previous landing's surplus ``shard=N`` directories in place, the
+    read-back manifest would silently fold those stale documents into
+    its totals, and verify_shards would still report green — contaminated
+    training data with no signal. The manifest aggregation is one groupBy
+    over O(shards) groups.
     """
     packed = pack_sequences(df, id_col=id_col, text_col=text_col, seq_len=seq_len)
     shard = (F.col("first_seq") / seqs_per_shard).cast("bigint").alias("shard")
@@ -71,7 +93,7 @@ def write_training_shards(
         .join(packed.select(id_col, "n_tokens", "first_seq", "last_seq"), id_col)
         .select(id_col, text_col, "n_tokens", "first_seq", "last_seq", shard)
     )
-    rows.write.mode("overwrite").partitionBy("shard").parquet(path)
+    _write_static_overwrite(rows, path)
 
     back = df.sparkSession.read.parquet(path)
     stats = (
@@ -79,11 +101,11 @@ def write_training_shards(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            # order-insensitive content checksum: XOR of per-row hashes
-            # (bounded driver state, engine-recomputable on read-back)
-            F.expr(f"aggregate(collect_list(hash({id_col}, n_tokens)), 0, (a, x) -> a ^ x)")
-            .cast("long")
-            .alias("checksum"),
+            # order-insensitive content checksum: XOR of per-row hashes via
+            # the partial-aggregable bit_xor — constant memory per group
+            # (the r1-r4 collect_list fold built an O(docs-per-shard) array
+            # per shard before folding)
+            F.expr(f"bit_xor(hash({id_col}, n_tokens))").cast("long").alias("checksum"),
         )
         .orderBy("shard")
         .collect()
@@ -91,6 +113,7 @@ def write_training_shards(
     manifest = {
         "seq_len": seq_len,
         "seqs_per_shard": seqs_per_shard,
+        "id_col": id_col,
         "n_shards": len(stats),
         "total_docs": int(sum(r["n_docs"] for r in stats)),
         "total_tokens": int(sum(r["n_tokens"] for r in stats)),
@@ -116,6 +139,7 @@ def verify_shards(spark, path: str) -> dict:
     """
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
+    id_col = manifest.get("id_col", "doc_id")  # recorded since r5
     back = spark.read.parquet(path)
     actual = {
         int(r["shard"]): (int(r["n_docs"]), int(r["n_tokens"]), int(r["checksum"]))
@@ -123,9 +147,7 @@ def verify_shards(spark, path: str) -> dict:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.expr("aggregate(collect_list(hash(doc_id, n_tokens)), 0, (a, x) -> a ^ x)")
-            .cast("long")
-            .alias("checksum"),
+            F.expr(f"bit_xor(hash({id_col}, n_tokens))").cast("long").alias("checksum"),
         )
         .collect()
     }
@@ -189,7 +211,10 @@ def land_shard_stream(
             ).select("doc_id", "text", "n_tokens", "first_seq", "last_seq", shard)
         )
         batch_dir = os.path.join(out_path, f"ingest_batch={batch_id}")
-        rows.write.mode("overwrite").partitionBy("shard").parquet(batch_dir)
+        # static overwrite: a replayed batch must REPLACE its directory
+        # wholesale — under dynamic mode a retry that packs fewer shards
+        # would leave the failed attempt's surplus shard dirs in place
+        _write_static_overwrite(rows, batch_dir)
 
         stats = (
             batch_df.sparkSession.read.parquet(batch_dir)

@@ -561,6 +561,50 @@ def test_shard_writer_manifest_and_determinism(spark, sf_dir, tmp_path):
     assert not res["ok"] and res["mismatches"]
 
 
+def test_shard_relanding_smaller_corpus_leaves_no_stale_shards(spark, sf_dir, tmp_path):
+    """Re-landing a SMALLER corpus to the same path must not fold the
+    previous landing's surplus shard dirs into the manifest (static
+    overwrite truncates the whole landing; under the session's dynamic
+    default the stale documents would count silently and verify would
+    still pass). Also: the manifest records id_col, so shards written
+    with a non-default id column verify instead of raising."""
+    import pyspark.sql.functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+    from dibimbing_case_study_etl_spark.operators.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, seq_len=256, seqs_per_shard=16)
+
+    smaller = docs.limit(docs.count() // 4)
+    m = write_training_shards(smaller, out, seq_len=256, seqs_per_shard=16)
+    n_docs = smaller.count()
+    n_tokens = smaller.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert m["total_docs"] == n_docs
+    assert m["total_tokens"] == n_tokens
+    back = spark.read.parquet(out)
+    assert back.count() == n_docs  # no stale shard dirs survive on disk
+    assert verify_shards(spark, out)["ok"]
+    # the session's dynamic default survives the landing (conf restored)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "unset")
+        != "static"
+    )
+
+    # custom id column round-trips through the manifest into verify
+    renamed = docs.withColumnRenamed("doc_id", "document_key")
+    out2 = str(tmp_path / "shards_custom_id")
+    m2 = write_training_shards(renamed, out2, id_col="document_key",
+                               seq_len=256, seqs_per_shard=16)
+    assert m2["id_col"] == "document_key"
+    assert verify_shards(spark, out2)["ok"]
+
+
 def test_d15_cdc_catches_pasted_span_at_any_offset(spark, tmp_path):
     """The CDC property: a verbatim span pasted at a DIFFERENT offset in
     another document anchors identically in both (anchors follow content,
