@@ -27,7 +27,18 @@ def norm(a: Column) -> Column:
 
 def clamp_unit(col: Column) -> Column:
     """Clamp a similarity into the mathematical bound [-1, 1] — identity
-    except for float-error overshoot on (near-)identical vectors."""
+    except for float-error overshoot on (near-)identical vectors.
+
+    CONTRACT — zero-norm inputs: under the engine's sessions (Spark 4
+    ANSI default), a zero embedding FAILS FAST — ``dot/(0·n)`` raises
+    DIVIDE_BY_ZERO before the clamp ever sees a value, so degenerate
+    vectors can never silently rank as duplicates. (With ANSI disabled
+    the division would yield NaN instead, and because both Spark and
+    DuckDB order NaN above every double the clamp would turn it into a
+    perfect 1.0 — the silent-footgun variant.) Either way the contract
+    is the same: filter zero vectors upstream (s04's dim stats and s05's
+    normalize audit both surface them). Pinned in
+    `test_llm_ops.py::test_cosine_zero_vector_contract`."""
     return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), col))
 
 
@@ -39,6 +50,9 @@ def cosine(a: Column, b: Column) -> Column:
     dot/(sqrt·sqrt) while DuckDB's ``list_cosine_similarity`` returns
     exactly 1.0 — without the clamp, exact-duplicate pairs (common in
     replicated/augmented corpora) hash-diverge from the oracle even
-    though every generic pair is bitwise-identical (sf1 sweep finding)."""
+    though every generic pair is bitwise-identical (sf1 sweep finding).
+
+    Zero-norm inputs score 1.0 (see :func:`clamp_unit`'s contract) —
+    filter degenerate embeddings upstream."""
     a, b = as_double(a), as_double(b)
     return clamp_unit(dot(a, b) / (norm(a) * norm(b)))

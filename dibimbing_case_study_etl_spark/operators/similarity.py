@@ -26,6 +26,31 @@ from dibimbing_case_study_etl_spark.operators.dedup import _spread  # noqa: E402
 # (data-proportional hash-spread before CPU-heavy per-row vector math —
 #  one shared implementation; see dedup._spread for the sizing rationale)
 
+_BLOCK_TARGET_BYTES = 32 << 20  # packed vectors per GEMM block row
+
+
+def _auto_blocks(df: DataFrame, floor: int) -> int:
+    """Data-proportional block count for the block-GEMM family
+    (cosine_pairs / cosine_histogram / knn_graph): each block packs
+    ~|corpus|/nblocks vectors into ONE aggregate row, so a fixed default
+    stops fitting the moment the corpus outgrows executor memory (and
+    ultimately the 2 GB row limit). Size from catalyst's plan-time
+    estimate at ~32 MB of packed vectors per block, floored at the
+    operator's small-corpus default. Same stats-sentinel discipline as
+    :func:`dedup._spread_partitions` (≥1 PiB estimates are "unknown",
+    not "huge"). Block count changes partitioning only — the scored pair
+    set and histogram are block-layout-invariant."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        unknown = int(
+            df.sparkSession.conf.get("spark.sql.defaultSizeInBytes", str(1 << 62))
+        )
+        if est <= 0 or est >= min(unknown, 1 << 50):
+            est = 0
+    except Exception:
+        est = 0
+    return max(floor, min(est // _BLOCK_TARGET_BYTES, 100_000))
+
 
 # Driver-side collects of a query/sample side are only legal when that side
 # is small BY CONTRACT (it becomes broadcast model state). The contract is
@@ -94,7 +119,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    nblocks: int = 32,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """All vector pairs (a < b) with cosine ≥ ``threshold`` — exact all-pairs
     baseline (O(n²) compute by construction; the LSH path buckets first).
@@ -119,6 +144,7 @@ def cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    nblocks = nblocks or _auto_blocks(df, floor=32)
     e = _spread(df, id_col).select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
@@ -899,7 +925,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine k-NN graph over the WHOLE corpus (corpus↔corpus) — the
     input structure for graph-based embedding dedup/clustering — without
@@ -919,6 +945,7 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
+    num_blocks = num_blocks or _auto_blocks(corpus, floor=8)
     packed_schema = "block_id long, ids array<long>, mat array<double>, nrows long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -984,7 +1011,7 @@ def cosine_histogram(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_width: int = 500,  # in 1e-4 sim units → 0.05-wide buckets
-    nblocks: int = 32,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Distribution of cosine similarity over ALL unordered vector pairs —
     the calibration curve behind every near-dup threshold choice (where
@@ -1003,6 +1030,7 @@ def cosine_histogram(
     import numpy as np
     import pandas as pd
 
+    nblocks = nblocks or _auto_blocks(corpus, floor=32)
     e = _spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )

@@ -416,7 +416,7 @@ def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dibimbing_case_study_etl_spark.operators.similarity import knn_graph
 
     t = register(spark, sf_dir, ("embeddings",))
-    return knn_graph(t["embeddings"].select("vec_id", "embedding"), k=5, num_blocks=8)
+    return knn_graph(t["embeddings"].select("vec_id", "embedding"), k=5)
 
 
 @query(

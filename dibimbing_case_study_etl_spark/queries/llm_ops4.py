@@ -459,11 +459,15 @@ _M08_HAMMING = 11  # mirrors m06's gate-SF-non-vacuous diagnostic setting
       FROM documents
     ),
     px AS (
+      -- empty text renders as a FULL width×height zero image (synth_png_table
+      -- tiles np.zeros(1)), so the oracle tiles the zero pixel to the same
+      -- geometry — a 1-pixel stand-in would hash to a different bit pattern
+      -- and flip near-dup membership for every empty document
       SELECT doc_id,
-             CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
-                  ELSE list_transform(generate_series(1, CAST(width * height AS BIGINT)),
-                         i -> CAST(unicode(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1)) AS BIGINT))
-             END AS w
+             list_transform(generate_series(1, CAST(width * height AS BIGINT)),
+               i -> CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(unicode(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1)) AS BIGINT)
+                    END) AS w
       FROM geom
     ),
     st AS (SELECT doc_id, w, len(w) AS L, list_sum(w) AS S FROM px),

@@ -648,3 +648,22 @@ def test_cosine_clamped_on_identical_vectors(spark):
     df = spark.createDataFrame([(v, v)], "a array<double>, b array<double>")
     got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first().c
     assert got == 1.0
+
+
+def test_cosine_zero_vector_contract(spark):
+    """Pin the documented zero-norm contract (clamp_unit docstring):
+    under the engine's ANSI-default sessions a zero embedding FAILS FAST
+    with DIVIDE_BY_ZERO — it can never silently clamp to a perfect 1.0
+    and rank as a duplicate. If a future session config disables ANSI,
+    this test flags the regression to the silent-footgun behavior
+    before the similarity family inherits it."""
+    import pytest
+    import pyspark.sql.functions as F
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from dibimbing_case_study_etl_spark.functions.vector import cosine
+
+    z, v = [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]
+    df = spark.createDataFrame([(z, v)], "a array<double>, b array<double>")
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()
