@@ -88,13 +88,17 @@ def decode_features(blobs: DataFrame, stub: bool = True) -> DataFrame:
                     }
                 )
             else:
-                # real decode: n_bytes from the container, checksum over
-                # decoded PIXELS (decode errors raise — see _decode_real)
+                # real decode (errors raise — see _decode_real): n_bytes is
+                # the DECODED payload size (width·height·channels — what a
+                # pipeline sizes tensors on; the container length is an I/O
+                # detail and zlib-dependent), checksum over decoded pixels
                 feats = [_decode_real(b) for b in pdf["content"]]
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
-                        "n_bytes": pdf["content"].map(len).astype("int64"),
+                        "n_bytes": [
+                            f["width"] * f["height"] * f["channels"] for f in feats
+                        ],
                         "checksum": [f["px_sum"] % 65536 for f in feats],
                     }
                 )
@@ -268,18 +272,32 @@ def decode_features_arrow(blobs: DataFrame, stub: bool = True) -> DataFrame:
         import pyarrow as pa
 
         for batch in batches:
-            if not stub:  # pragma: no cover - deployment path
-                [_decode_real(b) for b in batch.column(1)]
             content = batch.column(batch.schema.get_field_index("content"))
-            checksums = [
-                int(np.frombuffer(v.as_buffer(), dtype=np.uint8).sum()) % 65536
-                for v in content
-            ]
+            if stub:
+                n_bytes = pa.compute.binary_length(content).cast(pa.int64())
+                checksums = pa.array(
+                    [
+                        int(np.frombuffer(v.as_buffer(), dtype=np.uint8).sum()) % 65536
+                        for v in content
+                    ],
+                    type=pa.int64(),
+                )
+            else:
+                # real decode, same feature contract as decode_features'
+                # real branch: decoded payload size + pixel checksum
+                feats = [_decode_real(v.as_py()) for v in content]
+                n_bytes = pa.array(
+                    [f["width"] * f["height"] * f["channels"] for f in feats],
+                    type=pa.int64(),
+                )
+                checksums = pa.array(
+                    [f["px_sum"] % 65536 for f in feats], type=pa.int64()
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("doc_id")),
-                    pa.compute.binary_length(content).cast(pa.int64()),
-                    pa.array(checksums, type=pa.int64()),
+                    n_bytes,
+                    checksums,
                 ],
                 names=["doc_id", "n_bytes", "checksum"],
             )

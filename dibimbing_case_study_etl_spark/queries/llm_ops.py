@@ -697,27 +697,46 @@ def t05_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# m01/m05's shared real-decode oracle: the synth PNG pixels are the
+# document's bytes tiled to a doc_id-derived geometry (m07's fixture
+# construction), so DuckDB reproduces the DECODED features — payload size
+# and pixel checksum — without a codec. Empty text renders as a full
+# width×height zero image.
+_M01_REAL_DECODE_ORACLE = """
+    WITH geom AS (
+      SELECT doc_id, text,
+             8 + doc_id % 9       AS width,
+             8 + (doc_id * 3) % 9 AS height,
+             (8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE list_sum(list_transform(generate_series(1, CAST(n AS BIGINT)),
+                       i -> unicode(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1))))
+                END % 65536 AS BIGINT) AS checksum
+    FROM geom
+    """
+
+
 @query(
     "m01_multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
-             AS checksum
-    FROM documents
-    """,
-    tags=("llm", "multimodal"),
+    oracle=_M01_REAL_DECODE_ORACLE,
+    tags=("llm", "multimodal", "decode"),
 )
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: pack content as binary+metadata,
-    extract features through Arrow-batched mapInPandas (decode stubbed —
-    deterministic byte-length/checksum features; see operators/multimodal).
-    The oracle checks the binary round-trip byte-for-byte (ASCII corpus:
-    codepoint sum == byte sum)."""
+    """Multimodal plumbing end-to-end on the REAL decode path (the r1–r4
+    stub default is gone from the registry): render each document to a
+    spec-valid greyscale PNG, then extract features through Arrow-batched
+    mapInPandas with the actual codec (Pillow or the built-in subset PNG
+    decoder) — decoded payload size + pixel checksum, both reconstructed
+    by the oracle from the fixture geometry without a codec."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import synth_png_table
+
     t = register(spark, sf_dir, ("documents",))
-    blobs = to_blob_table(t["documents"], "doc_id", "text")
-    return decode_features(blobs, stub=True)
+    pngs = synth_png_table(t["documents"], "doc_id", "text")
+    return decode_features(pngs, stub=False)
 
 
 @query(
@@ -807,25 +826,20 @@ def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m05_features_map_in_arrow",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
-             AS checksum
-    FROM documents
-    """,
-    tags=("llm", "multimodal", "arrow"),
+    oracle=_M01_REAL_DECODE_ORACLE,
+    tags=("llm", "multimodal", "arrow", "decode"),
 )
 def m05_features_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m01's feature extraction through ``mapInArrow`` instead of
-    ``mapInPandas``: raw RecordBatches in and out, no pandas
+    """m01's REAL-decode feature extraction through ``mapInArrow`` instead
+    of ``mapInPandas``: raw RecordBatches in and out, no pandas
     materialization — the leanest Python hop for binary payloads. Shares
-    m01's byte-exact oracle, so both Python bridge shapes are proven to
-    produce identical results."""
+    m01's reconstructible oracle, so both Python bridge shapes are proven
+    to produce identical decoded features."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import synth_png_table
+
     t = register(spark, sf_dir, ("documents",))
-    blobs = to_blob_table(t["documents"], "doc_id", "text")
-    return decode_features_arrow(blobs, stub=True)
+    pngs = synth_png_table(t["documents"], "doc_id", "text")
+    return decode_features_arrow(pngs, stub=False)
 
 
 @query(
