@@ -564,6 +564,58 @@ def ivf_cosine_topk_seeded(
     )
 
 
+def semdedup_pairs_seeded(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    ncells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """:func:`semdedup_pairs` with SEEDED centroids and JVM sequential
+    scoring — the driver-hash-checkable twin of the Lloyd-refined SemDeDup
+    path (same relationship as :func:`ivf_cosine_topk_seeded` to s06).
+
+    Cluster-then-compare with the identical structure: every vector lands
+    in its ``nprobe`` nearest cells (multi-probe recall), only in-cell
+    pairs are scored with the exact clamped cosine, pairs found through
+    two shared cells dedupe. Only the centroid FIT differs: seeds are the
+    ``ncells`` lowest-id corpus vectors (cosine is normalization-
+    invariant, so unnormalized seeds rank identically), which is the one
+    substitution that makes every step SQL-reproducible.
+    """
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("__cent"))
+    )
+    scored = (
+        _spread(corpus, id_col)
+        .select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
+        .join(F.broadcast(cents), F.lit(True))
+        .withColumn("__csim", cosine(F.col("__v"), F.col("__cent")))
+    )
+    w = W.partitionBy("__id").orderBy(F.desc("__csim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= nprobe)
+        .select("__id", "__v", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("vec_a"),
+            F.col("b.__id").alias("vec_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def pca_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -40,8 +40,10 @@ from dibimbing_case_study_etl_spark.operators.dedup import simhash_pairs
 from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_topk_blas,
     ivf_cosine_topk_seeded,
+    knn_graph,
     pq_encode,
     pq_fit_codebooks,
+    semdedup_pairs_seeded,
 )
 from dibimbing_case_study_etl_spark.queries import query
 
@@ -217,6 +219,204 @@ def s07r_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("subspace", "code")
+    )
+
+
+@query(
+    "d11r_semdedup_seeded_pairs",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    cell_scores AS (
+      SELECT vecs.vec_id, vecs.v, cents.cell,
+             least(1.0, greatest(-1.0, list_cosine_similarity(v, cv))) AS sim
+      FROM vecs CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM cell_scores
+      ) WHERE rn <= 4
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           least(1.0, greatest(-1.0, list_cosine_similarity(a.v, b.v))) AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE least(1.0, greatest(-1.0, list_cosine_similarity(a.v, b.v))) >= 0.45
+    """,
+    tags=("llm", "dedup", "embedding", "clustering", "audit"),
+)
+def d11r_semdedup_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of d11: SemDeDup's cluster-then-compare
+    structure (4-of-16 multi-probe assignment, in-cell exact scoring,
+    cross-cell pair dedup) with seeded centroids — see
+    :func:`operators.similarity.semdedup_pairs_seeded`. Only the Lloyd
+    refinement (accumulation-order-dependent distributed means) is
+    excluded from the audit."""
+    t = register(spark, sf_dir, ("embeddings",))
+    return semdedup_pairs_seeded(
+        t["embeddings"], "vec_id", "embedding", threshold=0.45, ncells=16, nprobe=4
+    )
+
+
+_KNN_CLAMPED = (
+    "least(1.0, greatest(-1.0, list_cosine_similarity(a.v, b.v)))"
+)
+
+
+@query(
+    "s09r_knn_graph_rounded",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             {sql_iround(_KNN_CLAMPED, 6)} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_iround(_KNN_CLAMPED, 6)} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "graph", "audit"),
+)
+def s09r_knn_graph_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of s09: the full block-pair-GEMM k-NN graph
+    (every vector's neighbors, nothing broadcast or collected), built at
+    k=10 and re-ranked to the top-5 on the 6-dp engine-neutral rounding
+    with an id tiebreak — the s03r recipe applied to the corpus↔corpus
+    graph. The 2× oversample absorbs GEMM-dust rank swaps at the cut."""
+    t = register(spark, sf_dir, ("embeddings",))
+    base = knn_graph(t["embeddings"].select("vec_id", "embedding"), k=10)
+    w = W.partitionBy("vec_id").orderBy(F.desc("__r"), F.asc("neighbor_id"))
+    return (
+        base.withColumn("__r", iround(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", F.col("__r").alias("cos_sim"), "rank")
+    )
+
+
+@query(
+    "q37r_sketch_error_audit",
+    oracle="""
+    SELECT l_returnflag, TRUE AS cardinality_within_rsd, TRUE AS median_within_band
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx", "audit"),
+)
+def q37r_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable pin of q37's sketch accuracy: the HLL++ distinct
+    count must land within 5× its configured 2% rsd of the exact count,
+    and the KLL median must land inside the exact p40–p60 band — per
+    group, as booleans. Sketches are deterministic for a given dataset,
+    so these flags are stable at every SF; the oracle asserts the
+    CONTRACT (all true) from the exact side alone, which is exactly what
+    makes an approximate operator auditable without reproducing its
+    internal state. If a Spark upgrade or sketch regression pushes error
+    past the bound, the flags flip and the driver hash catches it."""
+    t = register(spark, sf_dir, ("lineitem",))
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 5 * 0.02 * F.col("exact_orders")
+        ).alias("cardinality_within_rsd"),
+        (
+            (F.col("approx_median") >= F.col("p40"))
+            & (F.col("approx_median") <= F.col("p60"))
+        ).alias("median_within_band"),
+    ).orderBy("l_returnflag")
+
+
+_PCA_K = 8
+
+
+@query(
+    "s08r_pca_whiten_audit",
+    oracle=f"""
+    SELECT CAST(unnest(generate_series(0, {_PCA_K - 1})) AS INTEGER) AS comp,
+           TRUE AS mean_near_zero, TRUE AS var_near_unit, TRUE AS decorrelated
+    ORDER BY comp
+    """,
+    tags=("llm", "embedding", "projection", "audit"),
+)
+def s08r_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable pin of s08's whitening invariants: after PCA
+    whitening, each component's corpus mean must sit near 0, its variance
+    near 1, and its max |correlation| with every other component near 0 —
+    per component, as booleans (q37r's contract-audit pattern: the
+    eigendecomposition itself is LAPACK state with no SQL twin, but the
+    property that DEFINES whitening is checkable from the output alone).
+    Tolerances (|mean| ≤ 0.1, |var−1| ≤ 0.3, |corr| ≤ 0.3) absorb
+    sample-vs-population drift (the fit uses the lowest-4096-id sample)
+    and distributed-sum reordering; a sign-convention bug, an unsorted
+    eigenvalue order, or a missing 1/√λ scale flips them immediately."""
+    from dibimbing_case_study_etl_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    t = register(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    mean, comps, evs = pca_fit(emb, n_components=_PCA_K)
+    proj = pca_project(emb, mean, comps, evs, whiten=True)
+
+    x = [F.element_at("pca", i + 1) for i in range(_PCA_K)]
+    aggs = [F.avg(x[i]).alias(f"m_{i}") for i in range(_PCA_K)] + [
+        F.avg(x[i] * x[j]).alias(f"s_{i}_{j}")
+        for i in range(_PCA_K)
+        for j in range(i, _PCA_K)
+    ]
+    stats = proj.agg(*aggs)
+
+    def m(i):
+        return F.col(f"m_{i}")
+
+    def s(i, j):
+        return F.col(f"s_{min(i, j)}_{max(i, j)}")
+
+    def var(i):
+        return s(i, i) - m(i) * m(i)
+
+    def corr(i, j):
+        return (s(i, j) - m(i) * m(j)) / F.sqrt(var(i) * var(j))
+
+    per_comp = F.array(
+        *[
+            F.struct(
+                (F.abs(m(i)) <= 0.1).alias("mean_near_zero"),
+                (F.abs(var(i) - 1.0) <= 0.3).alias("var_near_unit"),
+                F.greatest(
+                    *[F.abs(corr(i, j)) for j in range(_PCA_K) if j != i]
+                ).alias("max_corr"),
+            )
+            for i in range(_PCA_K)
+        ]
+    )
+    return (
+        stats.select(F.posexplode(per_comp).alias("comp", "st"))
+        .select(
+            "comp",
+            F.col("st.mean_near_zero").alias("mean_near_zero"),
+            F.col("st.var_near_unit").alias("var_near_unit"),
+            (F.col("st.max_corr") <= 0.3).alias("decorrelated"),
+        )
+        .orderBy("comp")
     )
 
 
