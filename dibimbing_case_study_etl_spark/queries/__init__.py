@@ -82,64 +82,38 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r4 window: the 12 never-driver-checked r4 queries (t16-t18, d14, d15,
-# s10, s11, u02, u03, q71, q72, m07, m08) and the r4-changed ones (d05/s01
-# cosine clamp, d12 single-scan, m06 16-band, t10/t17/d14 single-explode,
-# d11 clone-canonicalization) first, then the queries whose latest green
-# is still r1, then the stalest r2 greens — front-loading the _spread
-# consumers (d03, p01, s04/s05) whose partition sizing changed this round.
+# r5 window: (a) t20's retest — the one red r4 row (oracle HUGEINT cast
+# fix); (b) the 8 never-checked r5 audit twins + s02's brand-new full
+# oracle, which together retire the perpetual no_oracle rows; (c) every
+# r5-changed query (d03 canonicalize+codegen-verify, d08 banded blocking,
+# m01/m05 real decode, m08 empty-image oracle, d05/s11/s09 block-count
+# sizing); then (d) the stalest greens — everything whose last driver row
+# is r2 (q09/q10/q26–q65 block, t07, t08).
 DRIVER_PRIORITY: list[str] = [
-    # new in r4 — never driver-checked
-    "t16_document_chunking",
-    "t17_tfidf_top_terms",
-    "d14_incremental_dedup",
-    "s10_embedding_quantize_int8",
-    "u02_scd2_dimension",
-    "u03_snapshot_diff",
-    "q71_cohort_retention",
-    "t18_bigram_surprisal",
-    "q72_revenue_pareto",
-    "d05_embedding_neardup_pairs",  # r4-changed: cosine clamped to [-1,1]
-    "s01_ann_cosine_topk",  # r4-changed: same clamp
-    "m07_png_decode_features",
-    "m08_png_phash_neardup",
-    "s11_cosine_histogram",
-    "d15_cdc_span_pairs",
-    "t19_langid_confusion",
-    "u04_cdc_apply",
-    "s12_embedding_drift",
+    # the r4 red row, first
     "t20_tokenizer_fertility",
-    "q73_integrity_audit",
-    "d12_dup_ngram_fraction",
-    "m06_phash_neardup",
-    "d04_dedup_simhash",
-    "d06_dedup_clusters",
-    "d07_dedup_resolution",
+    # never driver-checked (new in r5) + the new s02 oracle
+    "s02_ann_lsh_topk",
+    "s03r_ann_blas_rounded_topk",
+    "s06r_ann_ivf_seeded_topk",
+    "s07r_pq_code_histogram",
+    "d04r_simhash_md5_pairs",
+    "d11r_semdedup_seeded_pairs",
+    "s09r_knn_graph_rounded",
+    "q37r_sketch_error_audit",
+    "s08r_pca_whiten_audit",
+    # r5-changed implementations/oracles
+    "d03_dedup_minhash_lsh",
     "d08_edit_distance_pairs",
     "m01_multimodal_features",
-    "m02_image_resize_pipeline",
-    "m03_video_frame_sample",
-    "m04_audio_resample",
     "m05_features_map_in_arrow",
-    "q12_shipmode_case_when",
-    "q16_rollup_region_nation",
-    "q22_window_lag_lead",
-    "s02_ann_lsh_topk",
-    "s03_ann_topk_blas",
-    "s06_ann_ivf_topk",
-    "s07_ann_pq_topk",
-    "t01_lang_id",
-    "t02_quality_score",
-    "t03_token_stats",
-    "t04_fingerprint",
-    "t05_hash_split",
-    "t06_vocab_topk",
-    "d03_dedup_minhash_lsh",
-    "d09_decontamination",
-    "p01_training_data_pipeline",
-    "s04_embedding_dim_stats",
-    "s05_embedding_normalize",
-    "q25_scalar_functions",
+    "m08_png_phash_neardup",
+    "d05_embedding_neardup_pairs",
+    "s11_cosine_histogram",
+    "s09_knn_graph",
+    # stalest greens (last driver row r2)
+    "q09_nation_year_profit",
+    "q10_returned_revenue_topk",
     "q26_events_hourly",
     "q28_events_json_props",
     "q31_percentiles",
@@ -158,6 +132,18 @@ DRIVER_PRIORITY: list[str] = [
     "q49_multiset_ops",
     "q51_python_udtf_sentences",
     "q52_stateful_running_totals",
+    "q53_recursive_month_spine",
+    "q54_window_interval_range_frame",
+    "q55_cogrouped_order_reconciliation",
+    "q56_variant_semistructured",
+    "q57_sole_blame_suppliers",
+    "q58_map_type_aggregation",
+    "q59_null_semantics",
+    "q60_first_last_ignore_nulls",
+    "q61_sequential_funnel",
+    "q62_important_part_values",
+    "q63_supplier_diversity",
+    "q64_heavy_widget_suppliers",
 ]
 
 
