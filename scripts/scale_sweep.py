@@ -18,6 +18,12 @@ sf1 in a single-node engine) and must not wedge the sweep — the Spark
 side still proves executability and row counts for those.
 
 Usage: python scripts/scale_sweep.py [sf_dir] [out_json] [--no-oracle]
+           [--only=prefix,prefix,...]
+
+``--only`` restricts the sweep to queries whose name starts with one of
+the given prefixes — e.g. ``--only=d,s,t,m,p01,u`` for the LLM-ops
+family at sf4, where the relational TPC-H block adds nothing to the
+scale question under test.
 """
 
 from __future__ import annotations
@@ -67,6 +73,13 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/repo/_scale/sf1"
     out_json = args[1] if len(args) > 1 else "/root/repo/_scale/sweep_sf1.json"
     with_oracle = "--no-oracle" not in sys.argv
+    only = [
+        p
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+        for p in a[len("--only=") :].split(",")
+        if p
+    ]
 
     from dibimbing_case_study_etl_spark.queries import load_all
     from dibimbing_case_study_etl_spark.session import get_spark
@@ -78,6 +91,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_suite = time.perf_counter()
     for name in sorted(registry):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         spec = registry[name]
         rec: dict = {"status": "ok", "spark_sec": None, "oracle_sec": None,
                      "spark_rows": None, "problems": None}
