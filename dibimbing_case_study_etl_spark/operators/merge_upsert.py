@@ -24,23 +24,26 @@ equi-join on the PK — at 100 TB both sides arrive hash-partitioned by key,
 and the source side (one ingest day) is typically broadcastable. Re-running
 any batch converges (idempotency, `README.md:38, 261`).
 
-**Concurrency contract (SINGLE WRITER).** Plain Parquet has no
+**Concurrency contract (SINGLE WRITER, fenced).** Plain Parquet has no
 transaction log: dynamic partition overwrite is atomic per partition
 directory (staged then swapped) but carries no cross-writer coordination —
 two concurrent merges into the same table interleave as last-writer-wins
 per partition, and one writer's read snapshot can miss the other's
 in-flight rows (lost update). The reference sidesteps this with a
 Postgres transaction (`load_parquet_to_postgres_l1.py:143-148`). This
-engine makes the contract EXPLICIT and enforced: ``merge_upsert`` takes a
-filesystem advisory lock (atomic ``O_CREAT|O_EXCL`` marker next to the
-table) for the duration of the merge and raises
-:class:`ConcurrentWriterError` — never silently corrupts — when another
-writer holds it. Crash-orphaned locks older than ``lock_stale_sec`` are
-reclaimed. The lock is a local/NFS/HDFS-semantics guard: object stores
-without atomic create-if-absent (plain S3) need an external coordinator
-or a transactional table format — if Delta/Iceberg is on the classpath
-its native MERGE INTO replaces this whole module; the composed plan keeps
-the engine dependency-free.
+engine makes the contract EXPLICIT and enforced through
+:class:`WriterLease` (r5 — upgrading the r4 single-host advisory lock):
+an exclusive lease with crash-expiry (TTL + heartbeats) and MONOTONIC
+FENCING TOKENS. A second driver raises :class:`ConcurrentWriterError` —
+never silently corrupts; a crashed driver's lease is stolen after its
+TTL; and a stalled-then-resumed zombie writer fails its pre-commit
+``check()`` instead of overwriting the new owner's partitions. The lease
+file needs atomic create-if-absent (POSIX/NFSv4/HDFS/ABFS have it; plain
+S3 needs conditional PUT or an external coordinator). The residual
+unprotected window is the commit itself — closing it needs a CAS on the
+data path, i.e. a transactional table format; if Delta/Iceberg is on the
+classpath its native MERGE INTO replaces this module, and the composed
+plan keeps the engine dependency-free.
 """
 
 from __future__ import annotations
@@ -63,42 +66,153 @@ class ConcurrentWriterError(RuntimeError):
     overwrites from two read snapshots (lost updates)."""
 
 
+class WriterLease:
+    """Fenced writer lease over a storage path — the multi-driver upgrade
+    of the r4 advisory lock (which only excluded writers on ONE host and
+    could not stop a stalled owner from committing after its lock was
+    reclaimed).
+
+    Protocol (works on any store with atomic create-if-absent — POSIX
+    ``O_CREAT|O_EXCL``, HDFS/ABFS ``create(overwrite=false)``; plain S3
+    needs S3 conditional PUT or an external coordinator, documented
+    below):
+
+    - ``acquire()`` atomically creates ``<table>.__writer_lease`` holding
+      ``{owner, token, heartbeat}``. The FENCING TOKEN is monotonic: it
+      persists across releases in ``<table>.__writer_epoch`` and every
+      acquisition (normal or steal) increments it.
+    - A holder whose ``heartbeat`` is older than ``ttl_sec`` is presumed
+      crashed; the next acquirer STEALS the lease with a higher token.
+      Long merges call ``heartbeat()`` between stages.
+    - ``check()`` re-reads the lease and raises
+      :class:`ConcurrentWriterError` unless this acquisition's token
+      still holds. ``merge_upsert`` calls it immediately before the
+      final partition-overwrite commit, so a stalled-then-resumed zombie
+      writer aborts INSTEAD of overwriting the thief's partitions. The
+      residual race is the commit duration itself (between check() and
+      the rename) — leases cannot close that window on a non-CAS data
+      path; a transactional table format (Delta/Iceberg) is the answer
+      where that residue matters, and this module stays dependency-free.
+    """
+
+    def __init__(self, table_path: str, ttl_sec: float = 3600.0, owner: str | None = None):
+        base = table_path.removeprefix("file:").rstrip("/")
+        self.lease_path = base + ".__writer_lease"
+        self.epoch_path = base + ".__writer_epoch"
+        self.ttl_sec = ttl_sec
+        self.owner = owner or f"pid:{os.getpid()}"
+        self.token: int | None = None
+
+    def _read_epoch(self) -> int:
+        try:
+            return int(json.load(open(self.epoch_path))["token"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _bump_epoch(self) -> int:
+        token = self._read_epoch() + 1
+        tmp = f"{self.epoch_path}.{os.getpid()}.{time.monotonic_ns()}"
+        with open(tmp, "w") as f:
+            json.dump({"token": token}, f)
+        os.replace(tmp, self.epoch_path)  # atomic on POSIX
+        return token
+
+    def _read_lease(self) -> dict | None:
+        try:
+            return json.load(open(self.lease_path))
+        except OSError:
+            return None
+        except ValueError:  # torn read of an in-flight write: treat as held
+            return {"owner": "?", "token": -1, "heartbeat": time.time()}
+
+    def acquire(self) -> "WriterLease":
+        os.makedirs(os.path.dirname(self.lease_path) or ".", exist_ok=True)
+        try:
+            fd = os.open(self.lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            cur = self._read_lease()
+            # expiry is judged by the HOLDER's declared ttl (recorded in the
+            # lease), not the acquirer's — each writer promises its own
+            # heartbeat cadence at acquisition time
+            holder_ttl = float(cur.get("ttl", self.ttl_sec)) if cur else self.ttl_sec
+            if cur is not None and time.time() - cur.get("heartbeat", 0) <= holder_ttl:
+                raise ConcurrentWriterError(
+                    f"writer lease {self.lease_path!r} held by "
+                    f"{cur.get('owner')!r} (token {cur.get('token')}); "
+                    "concurrent merges into one plain-Parquet table are "
+                    "last-writer-wins per partition and can lose updates — "
+                    "serialize the pipelines, or adopt a transactional "
+                    "table format for multi-writer"
+                ) from None
+            # expired: steal with a strictly higher fencing token
+            try:
+                os.unlink(self.lease_path)
+            except OSError:
+                pass
+            fd = os.open(self.lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        self.token = self._bump_epoch()
+        os.write(
+            fd,
+            json.dumps(
+                {
+                    "owner": self.owner,
+                    "token": self.token,
+                    "ttl": self.ttl_sec,
+                    "heartbeat": time.time(),
+                }
+            ).encode(),
+        )
+        os.close(fd)
+        return self
+
+    def heartbeat(self) -> None:
+        """Refresh the lease (owner-only; call between long merge stages)."""
+        self.check()
+        tmp = f"{self.lease_path}.{os.getpid()}.{time.monotonic_ns()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "owner": self.owner,
+                    "token": self.token,
+                    "ttl": self.ttl_sec,
+                    "heartbeat": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, self.lease_path)
+
+    def check(self) -> None:
+        """Raise unless this acquisition's fencing token still holds."""
+        cur = self._read_lease()
+        if cur is None or cur.get("token") != self.token or cur.get("owner") != self.owner:
+            raise ConcurrentWriterError(
+                f"fencing check failed for {self.lease_path!r}: this writer "
+                f"holds token {self.token} but the lease now shows "
+                f"{cur and cur.get('token')} ({cur and cur.get('owner')!r}) — "
+                "the lease expired and was stolen while this merge ran; "
+                "aborting before the commit can clobber the new owner's writes"
+            )
+
+    def release(self) -> None:
+        cur = self._read_lease()
+        if cur is not None and cur.get("token") == self.token and cur.get("owner") == self.owner:
+            try:
+                os.unlink(self.lease_path)
+            except OSError:
+                pass
+
+
 @contextmanager
 def writer_lock(target_path: str, stale_sec: float = 3600.0):
-    """Advisory exclusive writer lock for a local-FS Parquet table:
-    atomically creates ``<table>.__writer_lock`` (``O_CREAT|O_EXCL`` —
-    the one FS primitive that is atomic on POSIX and HDFS) holding
-    pid+timestamp for diagnosis. Raises :class:`ConcurrentWriterError` if
-    the lock exists and is younger than ``stale_sec``; older locks are
-    treated as crash orphans and reclaimed."""
-    lock = target_path.rstrip("/") + ".__writer_lock"
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    """Exclusive writer lease for the merge duration (see
+    :class:`WriterLease` — r5 upgraded the r4 single-host advisory lock
+    to a fenced lease with monotonic tokens and crash-expiry). Yields the
+    lease so callers can ``heartbeat()``/``check()`` mid-merge."""
+    lease = WriterLease(target_path, ttl_sec=stale_sec).acquire()
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        try:
-            age = time.time() - os.path.getmtime(lock)
-            holder = open(lock).read()
-        except OSError:  # holder released between our check and read
-            age, holder = 0.0, "?"
-        if age <= stale_sec:
-            raise ConcurrentWriterError(
-                f"writer lock {lock!r} is held ({holder}); concurrent merges "
-                "into one plain-Parquet table are last-writer-wins per "
-                "partition and can lose updates — serialize the pipelines, "
-                "or adopt a transactional table format for multi-writer"
-            ) from None
-        os.unlink(lock)  # crash orphan
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
-        os.close(fd)
-        yield
+        yield lease
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        lease.release()
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -144,12 +258,15 @@ def merge_upsert(
 
     local = "://" not in target_path or target_path.startswith("file:")
     if lock and local:
-        with writer_lock(target_path.removeprefix("file:")):
+        with writer_lock(target_path.removeprefix("file:")) as lease:
             return _merge_impl(
-                spark, target_path, source, keys, update_cols, order_by, partition_col
+                spark, target_path, source, keys, update_cols, order_by,
+                partition_col, lease,
             )
-    # non-local URI (object store): no atomic create-if-absent primitive —
-    # coordination is the deployment's job (see module docstring)
+    # non-local URI: the lease file cannot be created through os.* — object
+    # stores with atomic create-if-absent (HDFS, ABFS) can host the same
+    # protocol via their FileSystem API; plain S3 needs conditional PUT or
+    # an external coordinator (see module docstring)
     return _merge_impl(spark, target_path, source, keys, update_cols, order_by, partition_col)
 
 
@@ -161,11 +278,14 @@ def _merge_impl(
     update_cols: list[str],
     order_by: Sequence[Column | str],
     partition_col: str,
+    lease: WriterLease | None = None,
 ) -> int:
     src = latest_per_key(source, keys=keys, order_by=list(order_by))
     src = src.select(*source.columns)  # canonical column order
 
     if not _exists(spark, target_path):
+        if lease is not None:
+            lease.check()
         src.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
         return -1  # unknown without an extra action; caller can count
 
@@ -197,6 +317,13 @@ def _merge_impl(
     # lineage with a localCheckpoint (kept off the driver, spilled to
     # executor storage).
     result = result.localCheckpoint(eager=True)
+    # FENCING POINT: the read snapshot and the checkpointed result are
+    # final; if our lease expired mid-merge and another driver took over,
+    # abort HERE — committing would overwrite the thief's partitions with
+    # rows derived from a stale snapshot (the lost-update this lease
+    # protocol exists to prevent).
+    if lease is not None:
+        lease.check()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -138,21 +138,127 @@ def test_writer_lock_excludes_concurrent_merges(spark, target_path, tmp_path):
                 spark, path, src, keys=["k"], update_cols=["val"],
                 order_by=["val"], partition_col="date",
             )
-    # lock released → merge proceeds, and releases its own lock after
+    # lock released → merge proceeds, and releases its own lease after
     merge_upsert(
         spark, path, src, keys=["k"], update_cols=["val"],
         order_by=["val"], partition_col="date",
     )
-    assert not os.path.exists(path + ".__writer_lock")
+    assert not os.path.exists(path + ".__writer_lease")
     assert spark.read.parquet(path).count() == 1
 
-    # a crash-orphaned lock older than stale_sec is reclaimed
-    lock = path + ".__writer_lock"
-    open(lock, "w").write("{}")
-    old = time.time() - 7200
-    os.utime(lock, (old, old))
+    # a crash-orphaned lease whose heartbeat is older than stale_sec is
+    # stolen (with a bumped fencing token), and the merge proceeds
+    import json
+
+    lease_file = path + ".__writer_lease"
+    json.dump(
+        {"owner": "pid:dead", "token": 1, "heartbeat": time.time() - 7200},
+        open(lease_file, "w"),
+    )
     merge_upsert(
         spark, path, src, keys=["k"], update_cols=["val"],
         order_by=["val"], partition_col="date",
     )
-    assert not os.path.exists(lock)
+    assert not os.path.exists(lease_file)
+
+
+def test_lease_fencing_token_stops_zombie_writer(tmp_path):
+    """The multi-driver safety property: writer A stalls past its TTL,
+    writer B steals the lease with a strictly higher fencing token, and
+    A's pre-commit check() aborts instead of clobbering B's writes. This
+    is what the r4 single-host advisory lock could not do."""
+    import time
+
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.merge_upsert import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    path = str(tmp_path / "tbl")
+    a = WriterLease(path, ttl_sec=0.2, owner="driver-a").acquire()
+    a.check()  # still valid while fresh
+
+    # a LIVE lease excludes other drivers outright
+    with pytest.raises(ConcurrentWriterError, match="held"):
+        WriterLease(path, ttl_sec=0.2, owner="driver-b").acquire()
+
+    time.sleep(0.3)  # A stalls past its TTL
+    b = WriterLease(path, ttl_sec=60, owner="driver-b").acquire()
+    assert b.token > a.token  # fencing token is monotonic across steals
+
+    with pytest.raises(ConcurrentWriterError, match="stolen"):
+        a.check()  # the zombie writer must abort at the fencing point
+    b.check()  # the new owner is unaffected
+    a.release()  # zombie release is a no-op against the thief's lease
+    b.check()
+    b.release()
+
+
+def test_lease_heartbeat_keeps_short_ttl_alive(tmp_path):
+    """heartbeat() extends a lease across a merge longer than its TTL —
+    the long-stage pattern — while still excluding other drivers."""
+    import time
+
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.merge_upsert import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    path = str(tmp_path / "tbl")
+    a = WriterLease(path, ttl_sec=0.4, owner="driver-a").acquire()
+    for _ in range(3):
+        time.sleep(0.2)
+        a.heartbeat()
+    # 0.6s elapsed > ttl, but the heartbeats kept it live
+    with pytest.raises(ConcurrentWriterError, match="held"):
+        WriterLease(path, ttl_sec=0.4, owner="driver-b").acquire()
+    a.release()
+
+
+def test_merge_aborts_unchanged_when_another_driver_holds_lease(
+    spark, target_path, tmp_path
+):
+    """Reader consistency under contention: when another driver holds the
+    lease, the refused merge leaves the target BYTE-IDENTICAL — readers
+    keep a consistent pre-merge snapshot, nothing half-written."""
+    import os
+
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.merge_upsert import (
+        ConcurrentWriterError,
+        WriterLease,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    src = spark.createDataFrame([(1, "d1", 1.0)], "k int, date string, val double")
+    merge_upsert(
+        spark, path, src, keys=["k"], update_cols=["val"],
+        order_by=["val"], partition_col="date",
+    )
+
+    def snapshot(p):
+        return {
+            os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        }
+
+    before = snapshot(path)
+    other = WriterLease(path, ttl_sec=60, owner="other-driver").acquire()
+    try:
+        upd = spark.createDataFrame([(1, "d1", 9.0)], "k int, date string, val double")
+        with pytest.raises(ConcurrentWriterError):
+            merge_upsert(
+                spark, path, upd, keys=["k"], update_cols=["val"],
+                order_by=["val"], partition_col="date",
+            )
+    finally:
+        other.release()
+    assert snapshot(path) == before
+    assert spark.read.parquet(path).first().val == 1.0
