@@ -8,6 +8,7 @@ Usage: python scripts/render_scale_md.py _scale/sweep_sf1.json _scale/sweep_sf01
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -92,6 +93,54 @@ def main() -> None:
         "and its row count is recorded. Those queries remain value-verified "
         "at sf0.001/0.01/0.1 (three scales) every round.\n"
     )
+    curve_path = "/root/repo/_scale/curve.json"
+    if os.path.exists(curve_path):
+        curve = json.load(open(curve_path))
+        sfs = [s for s in ("sf0.1", "sf1", "sf4") if s in curve]
+        names = sorted(set().union(*[curve[s].keys() for s in sfs]))
+        out.append("## Three-point curve (one warm session, min of 2; sec)\n")
+        out.append(
+            "sf4 = 40× the driver SF; document text carries per-replica "
+            "suffixes, so near-dup OUTPUT grows ~R² while exact-clone "
+            "structure stays sparse — the hard case for dedup operators.\n"
+        )
+        out.append("| query | " + " | ".join(sfs) + " | sf4/sf1 |")
+        out.append("|---|" + "---|" * (len(sfs) + 1))
+        for n in names:
+            vals = [curve[s].get(n) for s in sfs]
+            r = (
+                round(curve.get("sf4", {}).get(n, 0) / curve["sf1"][n], 1)
+                if curve.get("sf1", {}).get(n) and curve.get("sf4", {}).get(n)
+                else None
+            )
+            out.append(
+                "| " + n + " | "
+                + " | ".join("—" if v is None else str(v) for v in vals)
+                + f" | {r if r is not None else '—'} |"
+            )
+        out.append("")
+
+    sf4_path = "/root/repo/_scale/sweep_sf4_llm.json"
+    if os.path.exists(sf4_path):
+        s4 = json.load(open(sf4_path))
+        q4 = s4["queries"]
+        out.append("## sf4 LLM-ops family sweep (40× driver SF, with oracles)\n")
+        out.append(
+            f"- {s4['n_queries']} family queries at sf4: {s4['n_ok']} "
+            f"oracle-green, {s4['n_rows_only']} rows-only, "
+            f"{s4['n_oracle_timeout']} oracle timeouts, {s4['n_bad']} failures; "
+            f"suite wall {s4['suite_sec']}s.\n"
+        )
+        out.append("| query | sf4 spark (s) | status | rows | duckdb (s) |")
+        out.append("|---|---|---|---|---|")
+        for n in sorted(q4):
+            r = q4[n]
+            out.append(
+                f"| {n} | {r.get('spark_sec', '—')} | {r['status']} "
+                f"| {r.get('spark_rows', '—')} | {r.get('oracle_sec') or '—'} |"
+            )
+        out.append("")
+
     with open("/root/repo/SCALE.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote SCALE.md", len(rows), "queries")
