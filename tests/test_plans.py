@@ -430,3 +430,33 @@ def test_u04_cdc_apply_is_one_aggregation(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "u04_cdc_apply")
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_d08_blocking_is_banded_and_dp_is_thresholded(spark, sf_dir):
+    """d08's r5 execution contract: the candidate join keys on the
+    length-band alongside the prefix (the |Δlen| gate prunes BEFORE the
+    join), and every Levenshtein in the plan is the threshold-banded
+    three-argument form — O(len·k) diagonal band, never the full O(len²)
+    DP."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "d08_edit_distance_pairs")
+    assert "__lband" in plan  # band key reached the join
+    assert "levenshtein" in plan
+    assert not re.search(r"levenshtein\([^,)]+, [^,)]+\)", plan), (
+        "two-argument (unbanded) levenshtein found — the full-DP path is back"
+    )
+
+
+def test_d03_verify_runs_in_codegen_not_python(spark, sf_dir):
+    """d03's r5 verification contract: candidate verification is JVM
+    array_intersect (whole-stage codegen) — the per-pair Python verify
+    kernel is gone, and no row-at-a-time Python remains anywhere. (The
+    banding MapInPandas stays: formatted explain re-prints cached
+    subtrees per consumer, so its occurrence count is not assertable.)"""
+    plan = explain_str(spark, sf_dir, "d03_dedup_minhash_lsh")
+    assert "array_intersect" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # the verify join attaches shingle ARRAYS, not texts, so the old
+    # Python-verify projection of raw text into the pair join is gone
+    assert "__text_a" not in plan and "__text_b" not in plan
