@@ -111,6 +111,8 @@ DRIVER_PRIORITY: list[str] = [
     "d05_embedding_neardup_pairs",
     "s11_cosine_histogram",
     "s09_knn_graph",
+    "t21_leakage_safe_split",
+    "t22_epoch_shuffle",
     # stalest greens (last driver row r2)
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
@@ -142,8 +144,6 @@ DRIVER_PRIORITY: list[str] = [
     "q60_first_last_ignore_nulls",
     "q61_sequential_funnel",
     "q62_important_part_values",
-    "q63_supplier_diversity",
-    "q64_heavy_widget_suppliers",
 ]
 
 

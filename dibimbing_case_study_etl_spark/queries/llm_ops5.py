@@ -420,6 +420,155 @@ def s08r_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_SPLIT = (
+    "CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _leakage_split_oracle() -> str:
+    from dibimbing_case_study_etl_spark.functions.text import sql_fingerprint
+    from dibimbing_case_study_etl_spark.queries.llm_ops import _SQL_SHINGLE_CTE
+
+    b = f"({sql_fingerprint('CAST(cluster_id AS VARCHAR)')} % 100)"
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT {_CLUSTER_SPLIT.format(b=b)} AS split,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM clusters GROUP BY split ORDER BY split
+    """
+
+
+@query(
+    "t21_leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    tags=("llm", "text", "sampling", "dedup"),
+)
+def t21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: documents first cluster through the near-dup pair graph
+    (d06's machinery), then the WHOLE cluster is assigned by the
+    fingerprint of its cluster id — t05's content-hash split upgraded to
+    the unit that actually leaks (a paraphrased/duplicated document in
+    train contaminates an eval doc even when their own hashes differ).
+    By construction no cluster straddles splits; the per-split cluster
+    and document counts are the audit.
+
+    Scale: the pair graph and label propagation are d06's shapes; the
+    split assignment adds one integer hash on the cluster id — nothing
+    new shuffles.
+    """
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    b = fingerprint("CAST(cluster_id AS STRING)") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        clusters.select("doc_id", "cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+_EPOCH_A = 1_103_515_245  # LCG multiplier base; +epoch picks the permutation
+_FP_P = 2_147_483_647
+
+
+def _epoch_shuffle_oracle(epoch: int) -> str:
+    from dibimbing_case_study_etl_spark.functions.text import sql_fingerprint
+
+    # NOTE the multiplicative epoch mix: the rolling fingerprint is AFFINE
+    # in a trailing epoch character (appending ':4' instead of ':3' adds a
+    # constant to every key), which would yield the SAME order every epoch.
+    # Multiplying by an epoch-dependent constant mod p is a genuinely
+    # different permutation per epoch.
+    key = (
+        f"(({sql_fingerprint('CAST(doc_id AS VARCHAR)')})"
+        f" * {_EPOCH_A + epoch}) % {_FP_P}"
+    )
+    return f"""
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
+    ORDER BY position
+    """
+
+
+@query(
+    "t22_epoch_shuffle",
+    oracle=_epoch_shuffle_oracle(3),
+    tags=("llm", "text", "sampling", "ordering"),
+)
+def t22_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every document gets a
+    pseudo-random global position keyed by
+    ``fingerprint(doc_id) · (A + epoch) mod p`` — the reproducible
+    shuffle a training loader needs (same corpus + same epoch ⇒
+    byte-identical order on any cluster; next epoch ⇒ a different
+    permutation — the epoch must MULTIPLY, not append: the rolling hash
+    is affine in a trailing suffix, so an appended epoch would shift
+    every key by the same constant and reproduce the identical order).
+    The oracle's naive single-window ROW_NUMBER states the semantics;
+    the Spark side numbers positions with the range-bucketed distributed
+    prefix sum (the q72/t11 machinery), so no single-partition window
+    exists at 100 TB.
+    """
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    t = register(spark, sf_dir, ("documents",))
+    keyed = t["documents"].select(
+        "doc_id",
+        F.pmod(
+            fingerprint("CAST(doc_id AS STRING)") * F.lit(_EPOCH_A + 3), F.lit(_FP_P)
+        ).alias("shuffle_key"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    return (
+        prefix_sum(keyed, "__one", ["shuffle_key", "doc_id"], out_col="position")
+        .select("doc_id", "shuffle_key", "position")
+        .orderBy("position")
+    )
+
+
 _MD5_BITS = 60  # 15 hex chars: fits signed 64-bit on both engines
 
 

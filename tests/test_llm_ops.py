@@ -667,3 +667,72 @@ def test_cosine_zero_vector_contract(spark):
     df = spark.createDataFrame([(z, v)], "a array<double>, b array<double>")
     with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
         df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()
+
+
+def test_t21_no_cluster_straddles_splits(spark, sf_dir):
+    """The property t21 exists for: every near-dup cluster lands entirely
+    in ONE split — zero cross-split leakage edges by construction."""
+    import pyspark.sql.functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    b = fingerprint("CAST(cluster_id AS STRING)") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    assigned = clusters.select("doc_id", "cluster_id", split.alias("split"))
+    straddlers = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # and the near-dup EDGES respect it too (the leakage definition)
+    leaks = (
+        prs.join(assigned.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert leaks == 0
+
+
+def test_t22_epoch_shuffle_is_deterministic_and_epochs_differ(spark, sf_dir):
+    """Same epoch twice ⇒ identical order; different epochs ⇒ different
+    permutations (a loader that accidentally reuses epoch keys trains on
+    one fixed order forever)."""
+    import pyspark.sql.functions as F
+
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def order(epoch):
+        keyed = docs.select(
+            "doc_id",
+            F.pmod(
+                fingerprint("CAST(doc_id AS STRING)") * F.lit(1_103_515_245 + epoch),
+                F.lit(2_147_483_647),
+            ).alias("k"),
+            F.lit(1).cast("bigint").alias("__one"),
+        )
+        ranked = prefix_sum(keyed, "__one", ["k", "doc_id"], out_col="pos")
+        return [r.doc_id for r in ranked.orderBy("pos").collect()]
+
+    o3a, o3b, o4 = order(3), order(3), order(4)
+    assert o3a == o3b
+    assert o3a != o4
+    assert sorted(o3a) == sorted(o4)  # same corpus, different permutation
