@@ -18,9 +18,23 @@ pinning the one non-SQL-expressible ingredient of each path:
 - ``d04r``: the SimHash vote/band/verify machinery on an md5-derived
   60-bit token hash — md5 is the one 64-bit-class hash both engines
   implement identically (xxhash64 has no DuckDB twin).
+- ``d11r``: SemDeDup's cluster-then-compare structure with seeded
+  centroids (only the Lloyd refinement excluded).
+- ``s09r``: the block-pair-GEMM k-NN graph re-ranked on the 6-dp
+  rounding (the s03r recipe, corpus↔corpus).
+- ``q37r`` / ``s08r``: contract audits — per-group/per-component
+  BOOLEANS whose oracle asserts the invariant from the exact side alone
+  (sketch error bounds; whitened-covariance ≈ identity). The pattern for
+  operators whose internal state (HLL registers, LAPACK eigenvectors)
+  has no SQL twin at all.
 
 s02 itself gained a full oracle (hyperplanes inline as SQL literals —
 see ``llm_ops._lsh_oracle_sql``), so it needs no twin.
+
+The module also adds two training-pipeline operators in their own right:
+``t21`` (leakage-safe split: near-dup clusters assigned to train/val/
+test as a unit) and ``t22`` (deterministic per-epoch corpus shuffle on
+the distributed prefix sum).
 
 Reference parity: the reference repo has no vector/ANN surface at all
 (its pipeline is pandas+Postgres, `scripts/` in caesarmario/
