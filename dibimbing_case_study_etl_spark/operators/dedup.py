@@ -90,14 +90,21 @@ def _spread_partitions(df: DataFrame) -> int:
     return max(sc.defaultParallelism, min(est // _SPREAD_TARGET_BYTES, _SPREAD_MAX_PARTS))
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Persist and force an intermediate that the downstream DAG references
     more than once (self-joins, verify-after-candidates). Without this,
     every reference re-executes the full upstream — shingle explode +
     hashing ran 3-4× in the LSH pipeline. At cluster scale the same
-    pattern holds: materialize once, reuse across consumers."""
+    pattern holds: materialize once, reuse across consumers.
+
+    ``eager=False`` skips the forcing count — correct ONLY when some
+    other eager action upstream of every multi-consumer fan-out is
+    guaranteed to populate the cache first (otherwise two sibling stages
+    of one job can scan the unpopulated cache CONCURRENTLY and compute
+    the whole subtree twice — the reason the count exists)."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    if eager:
+        df.count()
     return df
 
 
@@ -267,13 +274,19 @@ def minhash_lsh_pairs(
     size, not row count.
     """
     rows = num_hashes // bands
+    # lazy persist: the EAGER candidates materialization below runs the
+    # banding pass (reps → groups) first, which populates this cache
+    # before any of the fan-out consumers (verify shingle sides, members
+    # expansion, within-group pairs) can race on it — one action instead
+    # of two per build
     groups = _materialize(
         df.select(F.col(id_col).alias("__gid"), F.col(text_col).alias("__gtext"))
         .groupBy(F.xxhash64("__gtext").alias("__gh"), "__gtext")
         .agg(
             F.min("__gid").alias("__rep"),
             F.sort_array(F.collect_list("__gid")).alias("__members"),
-        )
+        ),
+        eager=False,
     )
     reps = groups.select(F.col("__rep").alias(id_col), F.col("__gtext").alias(text_col))
     # Candidate generation runs as ONE shuffle-free mapInPandas pass over
