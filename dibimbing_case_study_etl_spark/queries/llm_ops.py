@@ -193,6 +193,7 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d08_edit_distance_pairs",
+    bench=True,  # r5: banded blocking + thresholded DP — track the win
     oracle="""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
