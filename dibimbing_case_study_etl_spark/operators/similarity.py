@@ -583,19 +583,36 @@ def semdedup_pairs_seeded(
     ``ncells`` lowest-id corpus vectors (cosine is normalization-
     invariant, so unnormalized seeds rank identically), which is the one
     substitution that makes every step SQL-reproducible.
+
+    Exact-duplicate vectors are CANONICALIZED before assignment, exactly
+    like the production :func:`semdedup_pairs`: identical vectors share
+    identical cell assignments and pairwise cosines, so the in-cell
+    quadratic compare runs on DISTINCT vectors and clone groups expand
+    back arithmetically — cross-group pairs inherit the representative
+    pair's cosine, within-group pairs carry cosine(v, v). Without this
+    the twin re-pays the clone-squared cost d11 eliminated in r4 (the
+    sf1 sweep's replicated embeddings are exactly that input).
     """
     from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+    from dibimbing_case_study_etl_spark.operators.dedup import _materialize
 
     cents = (
         corpus.orderBy(id_col)
         .limit(ncells)
         .select(F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("__cent"))
     )
-    scored = (
-        _spread(corpus, id_col)
-        .select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
-        .join(F.broadcast(cents), F.lit(True))
-        .withColumn("__csim", cosine(F.col("__v"), F.col("__cent")))
+    vecs = _spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    groups = _materialize(
+        vecs.groupBy("__v").agg(
+            F.min("__id").alias("__rep"),
+            F.sort_array(F.collect_list("__id")).alias("__members"),
+        )
+    )
+    reps = _spread(groups.select(F.col("__rep").alias("__id"), "__v"), "__id")
+    scored = reps.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "__csim", cosine(F.col("__v"), F.col("__cent"))
     )
     w = W.partitionBy("__id").orderBy(F.desc("__csim"), F.asc("cell"))
     assigned = (
@@ -604,16 +621,58 @@ def semdedup_pairs_seeded(
         .select("__id", "__v", "cell")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")))
+    # broadcast one side of the in-cell self-join: an exchange keyed by
+    # ≤ncells cell ids has at most ncells non-empty partitions (and AQE
+    # coalesces the bytes-tiny rest), which would serialize the quadratic
+    # in-cell scoring onto a handful of tasks; the broadcast keeps the
+    # stream side's _spread partitioning, and the distinct-representative
+    # table is small BY CONSTRUCTION (it is the audit twin's bounded
+    # input — production-scale corpora run d11's semdedup_pairs).
+    rep_pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
-            F.col("a.__id").alias("vec_a"),
-            F.col("b.__id").alias("vec_b"),
+            F.col("a.__id").alias("__ra"),
+            F.col("b.__id").alias("__rb"),
             cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["vec_a", "vec_b"])
+        .dropDuplicates(["__ra", "__rb"])
     )
+
+    members = groups.select("__rep", "__members")
+    cross = (
+        rep_pairs.join(
+            members.withColumnRenamed("__members", "__ma"),
+            rep_pairs["__ra"] == members["__rep"],
+        )
+        .drop("__rep")
+        .join(
+            members.withColumnRenamed("__members", "__mb"),
+            F.col("__rb") == members["__rep"],
+        )
+        .select(F.explode("__ma").alias("__a"), "__mb", "cos_sim")
+        .select("__a", F.explode("__mb").alias("__b"), "cos_sim")
+        .select(
+            F.least("__a", "__b").alias("vec_a"),
+            F.greatest("__a", "__b").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    within = (
+        groups.filter(F.size("__members") >= 2)
+        .select("__members", cosine(F.col("__v"), F.col("__v")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.explode("__members").alias("__a"), "__members", "cos_sim")
+        .select(
+            F.col("__a").alias("vec_a"),
+            F.explode(F.filter("__members", lambda m: m > F.col("__a"))).alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def pca_fit(
