@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops3,
         llm_ops4,
         llm_ops5,
+        llm_ops6,
         relational,
         relational2,
         relational3,
@@ -93,6 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     # the r4 red row, first
     "t20_tokenizer_fertility",
     # never driver-checked (new in r5) + the new s02 oracle
+    "s13_kmeans_lloyd_audit",
+    "s14_dim_truncation_recall",
+    "t23_perplexity_filter",
     "s02_ann_lsh_topk",
     "s03r_ann_blas_rounded_topk",
     "s06r_ann_ivf_seeded_topk",
@@ -141,9 +145,6 @@ DRIVER_PRIORITY: list[str] = [
     "q57_sole_blame_suppliers",
     "q58_map_type_aggregation",
     "q59_null_semantics",
-    "q60_first_last_ignore_nulls",
-    "q61_sequential_funnel",
-    "q62_important_part_values",
 ]
 
 

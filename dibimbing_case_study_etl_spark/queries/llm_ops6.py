@@ -1,0 +1,312 @@
+"""Round-5 additions: the Lloyd-step audit, matryoshka truncation recall,
+and the perplexity quality gate.
+
+Every clustering twin so far (s06r, d11r, s07r) pins the *structure* and
+excludes the Lloyd refinement because distributed centroid means are
+accumulation-order-dependent. ``s13`` closes exactly that gap: one full
+Lloyd update, with the means computed through the order-independent
+scaled-integer sum (``functions/oracle_safe.dsum``), so even the
+refinement step is driver-hash-checkable.
+
+``s14`` audits the matryoshka/dimension-truncation serving pattern (use
+the first d′ ≪ d dimensions at query time, the full vector offline): the
+per-query overlap between truncated-space and full-space exact top-k is
+the recall number an MRL deployment publishes.
+
+``t23`` turns t10's unigram-LM surprisal into the KenLM-style corpus
+quality GATE: per-source counts of boilerplate-flagged (low surprisal),
+gibberish-flagged (high surprisal), and kept documents, with the kept
+mass's mean score — the action a curation pipeline actually takes.
+
+Reference parity: the reference repo (caesarmario/dibimbing-case-study-etl,
+pandas+Postgres `scripts/`) has no vector or corpus-quality surface; this
+family is part of the beyond-reference LLM-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    iround,
+    dsum,
+    sql_dsum,
+    sql_iround,
+)
+from dibimbing_case_study_etl_spark.queries import query
+
+_K_CELLS = 16
+_MEAN_DIMS = 4  # audit the first 4 centroid components (the table stays tiny)
+
+
+def _kmeans_mean_cols() -> str:
+    cols = []
+    for i in range(_MEAN_DIMS):
+        mean = sql_iround(sql_dsum(f"v[{i + 1}]", 6) + " / COUNT(*)", 4)
+        cols.append(f"{mean} AS mean_d{i + 1}")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "s13_kmeans_lloyd_audit",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM vecs ORDER BY vec_id LIMIT {_K_CELLS}
+    ),
+    scored AS (
+      SELECT vecs.vec_id, vecs.v, cents.cell,
+             least(1.0, greatest(-1.0, list_cosine_similarity(v, cv))) AS sim
+      FROM vecs CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cell, COUNT(*) AS n_members,
+           {_kmeans_mean_cols()}
+    FROM assigned GROUP BY cell ORDER BY cell
+    """,
+    tags=("llm", "similarity", "clustering", "audit"),
+)
+def s13_kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd refinement step, driver-hash-checkable: assign every
+    vector to its nearest seeded centroid (s06r's cell structure — the
+    ``ncells`` lowest-id vectors, clamped sequential cosine, ties to the
+    lower cell), then recompute the centroid means. This is the exact step
+    every other clustering audit EXCLUDES as "accumulation-order-
+    dependent"; routing the means through the order-independent
+    scaled-integer sum (per-component 6-dp round → exact BIGINT sum →
+    divide by count, :func:`oracle_safe.dsum`) makes the refinement itself
+    deterministic on any partitioning — which is also the form a 100 TB
+    k-means would want, since the result no longer depends on AQE or
+    partition count.
+
+    Scale: one broadcast of 16 centroids against the corpus scan, one
+    partial-aggregable groupBy(cell) carrying 4 BIGINT sums + a count —
+    nothing wider than the model ever shuffles.
+    """
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+
+    t = register(spark, sf_dir, ("embeddings",))
+    vecs = t["embeddings"].select("vec_id", as_double(F.col("embedding")).alias("__v"))
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(_K_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("__v").alias("__cent"))
+    )
+    scored = vecs.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "__sim", cosine(F.col("__v"), F.col("__cent"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "__v", "cell")
+    )
+    n = F.count(F.lit(1))
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            n.alias("n_members"),
+            *[
+                iround(dsum(F.element_at("__v", i + 1), 6) / n, 4).alias(
+                    f"mean_d{i + 1}"
+                )
+                for i in range(_MEAN_DIMS)
+            ],
+        )
+        .orderBy("cell")
+    )
+
+
+_TRUNC_DIM = 16
+_MRL_K = 10
+_MRL_NQ = 20
+
+_FULL_COS = (
+    "least(1.0, greatest(-1.0, list_cosine_similarity(q.v, c.v)))"
+)
+_TRUNC_COS = (
+    f"least(1.0, greatest(-1.0, list_cosine_similarity("
+    f"q.v[1:{_TRUNC_DIM}], c.v[1:{_TRUNC_DIM}])))"
+)
+
+
+def _mrl_topk_cte(cos: str, alias: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id
+               ) AS rank
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MRL_NQ}
+      ) WHERE rank <= {_MRL_K}
+    )"""
+
+
+@query(
+    "s14_dim_truncation_recall",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_mrl_topk_cte(_FULL_COS, "full_k")},
+    {_mrl_topk_cte(_TRUNC_COS, "trunc_k")}
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           {sql_iround(f"COUNT(t.neighbor_id) / {_MRL_K}.0", 4)} AS recall_at_k
+    FROM full_k f LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+    tags=("llm", "similarity", "audit"),
+)
+def s14_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation serving audit: per query,
+    the overlap between the exact top-k under the first-16-dims cosine
+    and the exact top-k under the full-dimension cosine — the
+    recall@k an MRL deployment (truncated vectors at query time, full
+    vectors offline) publishes before shipping. Both sides run the exact
+    JVM sequential-fold cosine (bitwise-equal to the oracle's
+    ``list_cosine_similarity``), so ranks are deterministic with the id
+    tiebreak and the integer overlap counts are hash-stable.
+
+    Scale: two broadcast-query passes over the corpus scan (s01's shape —
+    the bounded query side is enforced upstream), one tiny join of two
+    (nq·k)-row shortlists.
+    """
+    from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk
+
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < _MRL_NQ)
+    full_k = cosine_topk(q, e, k=_MRL_K).select("query_id", "neighbor_id")
+    trunc = e.select("vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding"))
+    trunc_k = cosine_topk(
+        trunc.filter(F.col("vec_id") < _MRL_NQ), trunc, k=_MRL_K
+    ).select(
+        F.col("query_id").alias("__tq"), F.col("neighbor_id").alias("__tn")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("query_id") == F.col("__tq"))
+            & (F.col("neighbor_id") == F.col("__tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__tn").alias("n_overlap"),
+            iround(F.count("__tn") / float(_MRL_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# KenLM-style gate thresholds on t10's 4-dp mean unigram surprisal: below
+# the low bar → boilerplate/degenerate repetition; above the high bar →
+# gibberish/OCR noise. The synthetic corpus's per-doc score distribution is
+# tight and SF-stable (p05 ≈ 3.394, p95 ≈ 3.423 at both sf0.001 and
+# sf0.01); the bars sit at those tails so all three buckets are populated
+# at every SF. Comparisons run on the already-4-dp-rounded score, so
+# bucket membership is identical on both engines by construction.
+_PPL_LOW = 3.394
+_PPL_HIGH = 3.422
+
+
+@query(
+    "t23_perplexity_filter",
+    oracle=None,  # composed below from t10's oracle — set after def
+    tags=("llm", "text", "quality"),
+)
+def t23_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM quality GATE a curation pipeline actually applies:
+    score every document with t10's mean surprisal (corpus-fit unigram
+    model), bucket into boilerplate (score below the low bar) / kept /
+    gibberish (score above the high bar), and report per-source counts plus the
+    kept mass's mean score — the before/after evidence a data card cites
+    for a KenLM-style perplexity filter. Composes t10 verbatim (its
+    registered builder and its oracle), so the gate can never drift from
+    the published score.
+
+    Scale: t10's two shuffles (vocab agg, word→freq join) plus one
+    source-keyed partial agg over per-doc rows; bucketing is stateless
+    arithmetic on the already-rounded score, so the gate adds no new wide
+    state.
+    """
+    t = register(spark, sf_dir, ("documents",))
+    scored = t23_perplexity_filter.__wrapped_t10__(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source")
+    s = F.col("avg_surprisal")
+    kept = (s >= _PPL_LOW) & (s <= _PPL_HIGH)
+    return (
+        docs.join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((s < _PPL_LOW).cast("bigint")).alias("n_boilerplate"),
+            F.sum((s > _PPL_HIGH).cast("bigint")).alias("n_gibberish"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            # CASE-guarded: a source with zero kept docs yields NULL instead
+            # of a 0/0 (Spark 4 ANSI raises DIVIDE_BY_ZERO on it)
+            F.when(
+                F.sum(kept.cast("bigint")) > 0,
+                iround(dsum(F.when(kept, s), 4) / F.sum(kept.cast("bigint")), 4),
+            ).alias("kept_mean_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+# wire t10 in without a circular import and give t23 a composed oracle
+from dibimbing_case_study_etl_spark.queries.llm_ops2 import (  # noqa: E402
+    t10_unigram_surprisal as _t10,
+)
+
+t23_perplexity_filter.__wrapped_t10__ = staticmethod(_t10)
+
+from dibimbing_case_study_etl_spark.queries import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_t10_oracle = _REG["t10_unigram_surprisal"].oracle
+_REG["t23_perplexity_filter"] = _dc.replace(
+    _REG["t23_perplexity_filter"],
+    oracle=f"""
+    WITH scored AS ({_t10_oracle})
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(avg_surprisal < {_PPL_LOW} AS BIGINT)) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CAST(avg_surprisal > {_PPL_HIGH} AS BIGINT)) AS BIGINT)
+             AS n_gibberish,
+           CAST(SUM(CAST(avg_surprisal BETWEEN {_PPL_LOW} AND {_PPL_HIGH}
+                         AS BIGINT)) AS BIGINT)
+             AS n_kept,
+           CASE WHEN SUM(CAST(avg_surprisal BETWEEN {_PPL_LOW} AND {_PPL_HIGH}
+                             AS BIGINT)) > 0
+                THEN {sql_iround(
+               sql_dsum(
+                   f"CASE WHEN avg_surprisal BETWEEN {_PPL_LOW} AND {_PPL_HIGH}"
+                   " THEN avg_surprisal END",
+                   4,
+               )
+               + f" / SUM(CAST(avg_surprisal BETWEEN {_PPL_LOW} AND {_PPL_HIGH}"
+               " AS BIGINT))",
+               4,
+           )} END AS kept_mean_surprisal
+    FROM scored JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
