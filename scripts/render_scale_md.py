@@ -28,7 +28,7 @@ def main() -> None:
 
     n_ok = s1["n_ok"]
     n_rows_only = s1["n_rows_only"]
-    n_to = s1["n_oracle_timeout"]
+    n_to = s1["n_oracle_timeout"] + s1.get("n_oracle_error", 0)
     n_bad = s1["n_bad"]
     total1 = round(sum(r[2] for r in rows if r[2]), 1)
     total01 = round(sum(r[1] for r in rows if r[1]), 1)
@@ -53,8 +53,9 @@ def main() -> None:
     out.append("## Headline\n")
     out.append(f"- **{len(rows)} queries ran at sf1: {n_ok} oracle-green, "
                f"{n_rows_only} rows-only (no-oracle-by-design), {n_to} oracle "
-               f"timeouts (quadratic EXACT-baseline oracles that DuckDB cannot "
-               f"finish at this SF — the Spark side completed; see below), "
+               f"timeouts/resource-deaths (quadratic EXACT-baseline oracles "
+               f"that single-node DuckDB cannot finish at this SF — timeout or "
+               f"spill-disk exhaustion; the Spark side completed; see below), "
                f"{n_bad} failures.**")
     out.append(f"- Suite wall: **{s1['suite_sec']}s** at sf1 (Spark portions "
                f"{total1}s) vs {total01}s Spark-only at sf0.1 → median "
@@ -88,10 +89,12 @@ def main() -> None:
         "they exist to gate the scalable paths (d03/d13 LSH+bloom, s02/s06/"
         "s07 ANN, m06's banded join), which is exactly the split the ratios "
         "show.\n"
-        "- `oracle_timeout` rows: DuckDB could not finish the quadratic "
-        "oracle within the per-query budget at sf1; the Spark side completed "
-        "and its row count is recorded. Those queries remain value-verified "
-        "at sf0.001/0.01/0.1 (three scales) every round.\n"
+        "- `oracle_timeout` / `oracle_error` rows: single-node DuckDB could "
+        "not finish the quadratic oracle at sf1 — per-query time budget "
+        "exceeded, or the subprocess died spilling to disk (s09r's 20k×20k "
+        "windowed pair join exhausted >70 GB of spill). The Spark side "
+        "completed and its row count is recorded. Those queries remain "
+        "value-verified at sf0.001/0.01/0.1 (three scales) every round.\n"
     )
     curve_path = "/root/repo/_scale/curve.json"
     if os.path.exists(curve_path):
@@ -128,7 +131,8 @@ def main() -> None:
         out.append(
             f"- {s4['n_queries']} family queries at sf4: {s4['n_ok']} "
             f"oracle-green, {s4['n_rows_only']} rows-only, "
-            f"{s4['n_oracle_timeout']} oracle timeouts, {s4['n_bad']} failures; "
+            f"{s4['n_oracle_timeout'] + s4.get('n_oracle_error', 0)} oracle "
+            f"timeouts/resource-deaths, {s4['n_bad']} failures; "
             f"suite wall {s4['suite_sec']}s.\n"
         )
         out.append("| query | sf4 spark (s) | status | rows | duckdb (s) |")
