@@ -329,32 +329,70 @@ def s09r_knn_graph_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37r_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable pin of q37's sketch accuracy: the HLL++ distinct
     count must land within 5× its configured 2% rsd of the exact count,
-    and the KLL median must land inside the exact p40–p60 band — per
-    group, as booleans. Sketches are deterministic for a given dataset,
-    so these flags are stable at every SF; the oracle asserts the
-    CONTRACT (all true) from the exact side alone, which is exactly what
-    makes an approximate operator auditable without reproducing its
+    and the KLL median's RANK POSITION must sit inside the p40–p60 band —
+    per group, as booleans. Sketches are deterministic for a given
+    dataset, so these flags are stable at every SF; the oracle asserts
+    the CONTRACT (all true) from the exact side alone, which is exactly
+    what makes an approximate operator auditable without reproducing its
     internal state. If a Spark upgrade or sketch regression pushes error
-    past the bound, the flags flip and the driver hash catches it."""
+    past the bound, the flags flip and the driver hash catches it.
+
+    Scale (the r5 restructure — 344s → seconds at sf1): the original
+    one-aggregation form mixed ``count_distinct`` (plan-level Expand, a
+    per-distinct-aggregate data multiplication) with EXACT
+    ``percentile`` (an aggregation buffer holding every group value,
+    finalized by ONE reducer per group — with 3 groups, 3 tasks own the
+    whole fact table). Neither survives scale. Now: three partial-
+    aggregable passes over a 3-column pruned scan — (1) sketches +
+    count, (2) exact distinct as a pre-aggregated pair-key count
+    (shuffles unique (flag, orderkey) pairs, no Expand), (3) the band
+    check as rank-position counting against the broadcast 3-row sketch
+    result: ``approx_median`` is inside [p40, p60] iff ≥40% of values
+    are ≤ it and <60% are strictly below it (equivalent up to
+    interpolation at the exact boundary, which the KLL accuracy bound —
+    rank error ~n/10000 around the 50th percentile — never approaches).
+    """
     t = register(spark, sf_dir, ("lineitem",))
-    agg = t["lineitem"].groupBy("l_returnflag").agg(
+    li = t["lineitem"].select("l_returnflag", "l_orderkey", "l_extendedprice")
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
-        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        F.count(F.lit(1)).alias("n"),
     )
-    return agg.select(
-        "l_returnflag",
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= 5 * 0.02 * F.col("exact_orders")
-        ).alias("cardinality_within_rsd"),
-        (
-            (F.col("approx_median") >= F.col("p40"))
-            & (F.col("approx_median") <= F.col("p60"))
-        ).alias("median_within_band"),
-    ).orderBy("l_returnflag")
+    ex = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    pos = (
+        li.join(F.broadcast(sk.select("l_returnflag", "approx_median")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast("bigint")
+            ).alias("c_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast("bigint")
+            ).alias("c_lt"),
+        )
+    )
+    return (
+        sk.join(ex, "l_returnflag")
+        .join(pos, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 5 * 0.02 * F.col("exact_orders")
+            ).alias("cardinality_within_rsd"),
+            (
+                (F.col("c_le") >= 0.4 * F.col("n"))
+                & (F.col("c_lt") <= 0.6 * F.col("n"))
+            ).alias("median_within_band"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 _PCA_K = 8

@@ -39,20 +39,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ORACLE_TIMEOUT_S = int(os.environ.get("SCALE_ORACLE_TIMEOUT_S", "600"))
 
 
-def _oracle_worker(sql: str, sf_dir: str, out_path: str) -> None:
-    from dibimbing_case_study_etl_spark.testing import run_oracle
+def _oracle_worker(sql: str, sf_dir: str, out_path: str, tmp_dir: str) -> None:
+    from dibimbing_case_study_etl_spark.testing import duckdb_connection
 
-    pdf = run_oracle(sql, sf_dir)
+    con = duckdb_connection(sf_dir)
+    # spill into a per-run directory the PARENT owns and deletes: a killed
+    # (timeout) or resource-dead subprocess cannot clean up after itself,
+    # and DuckDB's default cwd-relative .tmp spill accumulated >60 GB of
+    # orphans across killed quadratic oracles at sf4 — enough to ENOSPC
+    # the Spark side of the NEXT query.
+    con.execute(f"SET temp_directory='{tmp_dir}'")
+    pdf = con.execute(sql).df()
+    con.close()
     pdf.to_pickle(out_path)
 
 
 def run_oracle_subprocess(sql: str, sf_dir: str, timeout_s: int):
     """Run the oracle in a killable subprocess; returns (pdf|None, status)."""
+    import shutil
+    import tempfile
+
     import pandas as pd
 
     out_path = f"/tmp/_sweep_oracle_{os.getpid()}_{time.monotonic_ns()}.pkl"
+    tmp_dir = tempfile.mkdtemp(prefix="_sweep_duckdb_spill_")
     ctx = mp.get_context("spawn")
-    p = ctx.Process(target=_oracle_worker, args=(sql, sf_dir, out_path))
+    p = ctx.Process(target=_oracle_worker, args=(sql, sf_dir, out_path, tmp_dir))
     p.start()
     p.join(timeout_s)
     try:
@@ -66,6 +78,7 @@ def run_oracle_subprocess(sql: str, sf_dir: str, timeout_s: int):
     finally:
         if os.path.exists(out_path):
             os.unlink(out_path)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def main() -> None:
