@@ -185,9 +185,18 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component dedup clustering: each document labeled with the
     minimum doc id reachable through the near-dup pair graph (iterative
     min-label propagation — the one genuinely iterative algorithm in the
-    engine; the DuckDB twin is a recursive-CTE transitive closure)."""
+    engine; the DuckDB twin is a recursive-CTE transitive closure).
+
+    Pairs come from the LSH scale path (d03), not the exact inverted
+    index (d02): clustering is a production op, and the inverted index's
+    pre-threshold candidate intermediate is quadratic in shingle fan-out —
+    at sf4 it transiently exceeded 70 GB of shuffle spill and ENOSPC'd the
+    job, while the banded path's intermediates stay bucket-bounded. The
+    pair SET is the same (miss probability (1-0.8⁴)³² ≈ 5e-8 at the 0.8
+    threshold, then exact-Jaccard verification); d03's own driver row
+    hash-checks that equality against the exact SQL oracle every round."""
     t = register(spark, sf_dir, ("documents",))
-    prs = jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+    prs = minhash_lsh_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
     return dedup_clusters(t["documents"], prs, "doc_id")
 
 
@@ -255,10 +264,13 @@ def d07_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical keeper per cluster — longest document, ties to the lowest
     doc id (a deterministic argmax via max-of-struct, never arg_max whose
     tie behavior is engine-defined). The output is exactly what a training
-    -data pipeline feeds the filter stage: keep keeper_id, drop the rest."""
+    -data pipeline feeds the filter stage: keep keeper_id, drop the rest.
+
+    Pair source is the LSH scale path — see d06's docstring for why the
+    exact inverted index cannot feed production clustering at scale."""
     t = register(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
     clusters = dedup_clusters(docs, prs, "doc_id")
     joined = clusters.join(docs.select("doc_id", "text"), "doc_id")
     best = F.max(F.struct(F.length("text").alias("len"), (-F.col("doc_id")).alias("negid")))

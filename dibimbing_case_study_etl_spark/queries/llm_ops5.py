@@ -530,19 +530,20 @@ def t21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     By construction no cluster straddles splits; the per-split cluster
     and document counts are the audit.
 
-    Scale: the pair graph and label propagation are d06's shapes; the
-    split assignment adds one integer hash on the cluster id — nothing
-    new shuffles.
+    Scale: the pair graph and label propagation are d06's shapes (pairs
+    from the LSH scale path — the exact inverted index's pre-threshold
+    intermediate ENOSPC'd at sf4; see d06); the split assignment adds one
+    integer hash on the cluster id — nothing new shuffles.
     """
     from dibimbing_case_study_etl_spark.functions.text import fingerprint
     from dibimbing_case_study_etl_spark.operators.dedup import (
         dedup_clusters,
-        jaccard_pairs,
+        minhash_lsh_pairs,
     )
 
     t = register(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
     clusters = dedup_clusters(docs, prs, "doc_id")
     b = fingerprint("CAST(cluster_id AS STRING)") % 100
     split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
