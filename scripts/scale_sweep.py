@@ -49,6 +49,11 @@ def _oracle_worker(sql: str, sf_dir: str, out_path: str, tmp_dir: str) -> None:
     # orphans across killed quadratic oracles at sf4 — enough to ENOSPC
     # the Spark side of the NEXT query.
     con.execute(f"SET temp_directory='{tmp_dir}'")
+    # cap the oracle's RAM: DuckDB's default limit is 80% of the BOX
+    # (~100 GB here) — d08's quadratic oracle reached 106 GB RSS at sf4
+    # and the kernel OOM killer took the Spark JVM's heartbeats down with
+    # it. 24 GB forces the spill path (bounded above) instead.
+    con.execute("SET memory_limit='24GB'")
     pdf = con.execute(sql).df()
     con.close()
     pdf.to_pickle(out_path)
@@ -71,6 +76,9 @@ def run_oracle_subprocess(sql: str, sf_dir: str, timeout_s: int):
         if p.is_alive():
             p.terminate()
             p.join(10)
+            if p.is_alive():  # stuck in native code: escalate to SIGKILL
+                p.kill()
+                p.join(10)
             return None, "oracle_timeout"
         if p.exitcode != 0:
             return None, "oracle_error"
