@@ -965,10 +965,13 @@ def p01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy plan fuses the keeper anti-join, the quality projection, and the
     split bucketing into one job with a single wide stage per shuffle
     boundary, which is exactly how the production pipeline would run at
-    100 TB (no materialization between stages unless asked)."""
+    100 TB (no materialization between stages unless asked). Pairs come
+    from the LSH scale path — see d06's docstring for why the exact
+    inverted index cannot feed a production pipeline at scale (its
+    pre-threshold intermediate ENOSPC'd this query at sf4)."""
     t = register(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    prs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
     clusters = dedup_clusters(docs, prs, "doc_id")
     joined = clusters.join(docs.select("doc_id", "text"), "doc_id")
     best = F.max(F.struct(F.length("text").alias("len"), (-F.col("doc_id")).alias("negid")))
