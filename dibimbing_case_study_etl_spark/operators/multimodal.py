@@ -374,7 +374,14 @@ def phash_neardup_pairs(
     arithmetic, so the WHOLE operator is exact-oracled including the hash
     itself.
     """
-    sig = df.filter(F.length(text_col) >= min_len).select(
+    # The 64-chunk hash expression is the CPU bottleneck, and a small
+    # parquet input arrives as ONE split — without a spread the whole
+    # signature stage runs on a single core (observed: 13s of m06's 13.1s
+    # at sf0.1 in one task). The narrow-row shuffle is orders of magnitude
+    # cheaper than the per-row work it parallelizes.
+    from dibimbing_case_study_etl_spark.operators.dedup import _spread
+
+    sig = _spread(df.filter(F.length(text_col) >= min_len), id_col).select(
         F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
     )
     sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
@@ -402,6 +409,24 @@ def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFr
     # session don't accumulate pinned cache entries.
     sig = sig.localCheckpoint(eager=True)
 
+    # Canonicalize identical signatures BEFORE banding (the d03/d11 clone
+    # posture): c byte-identical or hash-identical documents would put c
+    # members into every band bucket and the verify would touch c² ordered
+    # candidates per colliding group — on replica-heavy corpora (exactly
+    # what a dedup pipeline ingests) that is the scale-killer (measured:
+    # 280s at sf4 pre-fix). Band-join the DISTINCT signatures only, then
+    # expand member pairs arithmetically: cross-group pairs inherit the
+    # rep pair's hamming (the hash fully determines it), intra-group pairs
+    # are hamming 0 by construction. The pair SET is unchanged.
+    reps = (
+        sig.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    mem = sig.join(
+        reps.select("h1", "h2", F.col("doc_id").alias("rep_id")), ["h1", "h2"]
+    ).select("doc_id", "rep_id")
+
     width = 64 // n_bands  # bits per band, drawn evenly from both halves
     mask = (1 << width) - 1
     bands = [
@@ -409,7 +434,7 @@ def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFr
         for half in (F.col("h1"), F.col("h2"))
         for i in range(n_bands // 2)
     ]
-    stacked = sig.select(
+    stacked = reps.select(
         "doc_id",
         "h1",
         "h2",
@@ -424,24 +449,61 @@ def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFr
     ).select("doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
 
     a, b = stacked.alias("a"), stacked.alias("b")
-    hamming = F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1"))) + F.bit_count(
-        F.col("a.h2").bitwiseXOR(F.col("b.h2"))
-    )
-    return (
+    xh1 = F.col("a.h1").bitwiseXOR(F.col("b.h1"))
+    xh2 = F.col("a.h2").bitwiseXOR(F.col("b.h2"))
+    hamming = F.bit_count(xh1) + F.bit_count(xh2)
+    # Exactly-once emission without a distinct: a pair colliding on k bands
+    # appears k times in the join output; keep only the occurrence on the
+    # LOWEST matching band. Band j matches iff the width-bit slice of the
+    # XOR is zero, so the first matching band is computable from (xh1, xh2)
+    # alone — a codegen'd when-chain per candidate replaces a full shuffle
+    # of the (near-quadratic) candidate set through a distinct.
+    first_match: Column = F.lit(-1)
+    for j in reversed(range(n_bands)):
+        xh = xh1 if j < n_bands // 2 else xh2
+        i = j % (n_bands // 2)
+        slice_zero = F.shiftright(xh, i * width).bitwiseAND(F.lit(mask)) == 0
+        first_match = F.when(slice_zero, F.lit(j)).otherwise(first_match)
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter((F.col("a.band") == first_match) & (hamming <= max_hamming))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
             hamming.cast("bigint").alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+
+    # Expansion is output-bound: one row out per member pair, no verify
+    # work. Cross-group member pairs need least/greatest — rep ids order
+    # the GROUPS, but member ids of the two groups interleave.
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("id_a")), "rep_a"
+        )
+        .join(mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("id_b")), "rep_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    intra = ma.join(
+        mb,
+        (F.col("ma.rep_id") == F.col("mb.rep_id"))
+        & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+    ).select(
+        F.col("ma.doc_id").alias("doc_a"),
+        F.col("mb.doc_id").alias("doc_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    return cross.unionByName(intra)
 
 
 PNG_DECODE_SCHEMA = (
@@ -543,22 +605,21 @@ def decode_phash(images: DataFrame) -> DataFrame:
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        pow2 = (1 << np.arange(32, dtype=np.int64)).astype(np.int64)
+
         def ahash(blob: bytes) -> tuple[int, int]:
+            # Vectorized over the 64 chunks: bounds via integer floor
+            # division, chunk sums from one cumsum, bits packed with a
+            # dot against 2^j. Values stay inside int64 for any image up
+            # to ~10^8 pixels: cs·L ≤ 255·L² < 2^63.
             w = decode_image(blob).reshape(-1).astype(np.int64)
             length = int(w.size)
             total = int(w.sum())
             cum = np.concatenate(([0], np.cumsum(w)))
-            h1 = h2 = 0
-            for j in range(64):
-                lo = (j * length) // 64
-                hi = ((j + 1) * length) // 64
-                cs = int(cum[hi] - cum[lo])
-                bit = 1 if cs * length >= total * (hi - lo) else 0
-                if j < 32:
-                    h1 |= bit << j
-                else:
-                    h2 |= bit << (j - 32)
-            return h1, h2
+            bounds = (np.arange(65, dtype=np.int64) * length) // 64
+            cs = cum[bounds[1:]] - cum[bounds[:-1]]
+            bits = (cs * length >= total * np.diff(bounds)).astype(np.int64)
+            return int(bits[:32] @ pow2), int(bits[32:] @ pow2)
 
         for pdf in batches:
             hashes = [ahash(b) for b in pdf["content"]]

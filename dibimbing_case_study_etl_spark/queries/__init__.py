@@ -85,11 +85,13 @@ def load_all() -> dict[str, QuerySpec]:
 #
 # r5 window: (a) t20's retest — the one red r4 row (oracle HUGEINT cast
 # fix); (b) the 8 never-checked r5 audit twins + s02's brand-new full
-# oracle, which together retire the perpetual no_oracle rows; (c) every
-# r5-changed query (d03 canonicalize+codegen-verify, d08 banded blocking,
-# m01/m05 real decode, m08 empty-image oracle, d05/s11/s09 block-count
-# sizing); then (d) the stalest greens — everything whose last driver row
-# is r2 (q09/q10/q26–q65 block, t07, t08).
+# oracle, which together retire the perpetual no_oracle rows; (c) the two
+# operators added late in r5 (b01 BPE merge learning, t24 weighted
+# sampling); (d) every r5-changed query (d03 canonicalize+codegen-verify,
+# d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
+# dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
+# block-count sizing); then (e) the stalest greens — everything whose
+# last driver row is r2 (q09/q10/q26–q55 block, t07, t08).
 DRIVER_PRIORITY: list[str] = [
     # the r4 red row, first
     "t20_tokenizer_fertility",
@@ -106,7 +108,12 @@ DRIVER_PRIORITY: list[str] = [
     "s09r_knn_graph_rounded",
     "q37r_sketch_error_audit",
     "s08r_pca_whiten_audit",
+    # brand-new this round (registered after the sweep)
+    "b01_bpe_merges",
+    "b02_bpe_token_stats",
+    "t24_quality_weighted_sample",
     # r5-changed implementations/oracles
+    "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
     "d08_edit_distance_pairs",
     "m01_multimodal_features",
@@ -141,10 +148,6 @@ DRIVER_PRIORITY: list[str] = [
     "q53_recursive_month_spine",
     "q54_window_interval_range_frame",
     "q55_cogrouped_order_reconciliation",
-    "q56_variant_semistructured",
-    "q57_sole_blame_suppliers",
-    "q58_map_type_aggregation",
-    "q59_null_semantics",
 ]
 
 

@@ -310,3 +310,135 @@ _REG["t23_perplexity_filter"] = _dc.replace(
     GROUP BY d.source ORDER BY d.source
     """,
 )
+
+
+# --- round-5 late additions: tokenizer training + weighted sampling --------
+
+from dibimbing_case_study_etl_spark.functions.text import (  # noqa: E402
+    EN_STOPWORDS,
+    fingerprint,
+    marker_score,
+    sql_fingerprint,
+    token_count,
+)
+from dibimbing_case_study_etl_spark.operators.bpe import (  # noqa: E402
+    bpe_merges_df,
+    bpe_token_stats,
+    learn_bpe,
+    learn_bpe_merges,
+    sql_bpe_merges,
+    sql_bpe_token_stats,
+)
+from dibimbing_case_study_etl_spark.queries.llm_ops import _sql_marker_score  # noqa: E402
+
+_BPE_MERGES = 8
+
+
+@query(
+    "b01_bpe_merges",
+    oracle=sql_bpe_merges(_BPE_MERGES),
+    tags=("llm", "tokenizer", "iterative"),
+)
+def b01_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING: learn the corpus's first 8 BPE merges
+    (Sennrich-style — count adjacent symbol pairs weighted by word
+    frequency, merge the argmax, repeat). t15/t20 encode with a fixed
+    vocab; this is where that vocab comes from. The corpus is scanned
+    once into a word-frequency table; every iteration is a vocab-sized
+    pair count + TakeOrdered(1) with one argmax row on the driver —
+    bounded state, like the Lloyd step (s13). The oracle replays all 8
+    layers in SQL: same wrapped-symbol strings, same replace-based greedy
+    merge (left-to-right non-overlap is identical in Spark, DuckDB, and
+    Python — see operators/bpe.py)."""
+    t = register(spark, sf_dir, ("documents",))
+    return bpe_merges_df(spark, learn_bpe_merges(t["documents"], "text", _BPE_MERGES))
+
+
+@query(
+    "b02_bpe_token_stats",
+    oracle=sql_bpe_token_stats(_BPE_MERGES),
+    tags=("llm", "tokenizer", "iterative"),
+)
+def b02_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION, closing b01's loop: the tokenizer card a
+    training team publishes after learning the merge table — vocab size,
+    fertility (tokens per word occurrence), chars per token — computed
+    from the post-merge word-frequency state itself, so the corpus is
+    never rescanned (the word table already carries every occurrence
+    count). All sums are partial-aggregable over the vocab-sized table;
+    the distinct symbol count explodes the same table and joins back as a
+    broadcast single-row agg. The oracle replays the identical 8 merge
+    layers and aggregates the final layer."""
+    t = register(spark, sf_dir, ("documents",))
+    merges, words = learn_bpe(t["documents"], "text", _BPE_MERGES)
+    out = bpe_token_stats(words)
+    # materialize before releasing the checkpointed word state
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+@query(
+    "t24_quality_weighted_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             {_sql_marker_score(EN_STOPWORDS)} AS n_stop,
+             {sql_fingerprint('text')} % 10000 AS bucket
+      FROM documents
+    ),
+    thr AS (
+      SELECT source, n_tokens, bucket,
+             CAST(round_even((0.5 * (n_stop / n_tokens)
+                              + 0.5 * LEAST(1.0, n_tokens / 100.0)) * 10000, 0)
+                  AS BIGINT) AS keep_thr
+      FROM base
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CAST(bucket < keep_thr AS BIGINT)) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN bucket < keep_thr THEN n_tokens END), 0)
+                AS BIGINT) AS kept_tokens,
+           {sql_iround('SUM(CAST(bucket < keep_thr AS BIGINT)) / COUNT(*)', 4)}
+             AS sample_rate,
+           {sql_iround('SUM(keep_thr) / 10000.0 / COUNT(*)', 4)} AS target_rate
+    FROM thr
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def t24_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document is kept with
+    probability equal to its t02 quality score, decided by a DETERMINISTIC
+    content-hash bucket (``fingerprint(text) % 10000 < rint(q·10000)``) —
+    no RNG, so the sample is reproducible across runs, engines, and
+    cluster layouts, and any node can re-derive membership locally (the
+    property a 100 TB pipeline needs to re-materialize a sample without a
+    stored id list). Per-source accounting compares the ACHIEVED rate
+    against the target (mean quality) — the drift check a weighted
+    sampler ships with. Single scan, one partial agg; zero shuffle beyond
+    the source-keyed final agg."""
+    t = register(spark, sf_dir, ("documents",))
+    n_tokens = token_count(F.col("text"))
+    n_stop = marker_score(F.col("text"), EN_STOPWORDS)
+    q_raw = 0.5 * (n_stop / n_tokens) + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0)
+    keep_thr = F.call_function("rint", q_raw * 10000).cast("bigint")
+    bucket = F.pmod(fingerprint("text"), F.lit(10000))
+    keep = (bucket < keep_thr).cast("bigint")
+    scored = t["documents"].select(
+        "source", n_tokens.alias("n_tokens"), keep.alias("keep"), keep_thr.alias("keep_thr")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep") == 1, F.col("n_tokens"))), F.lit(0)
+            ).alias("kept_tokens"),
+            iround(F.sum("keep") / F.count(F.lit(1)), 4).alias("sample_rate"),
+            iround(F.sum("keep_thr") / 10000.0 / F.count(F.lit(1)), 4).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
