@@ -388,20 +388,33 @@ def phash_neardup_pairs(
     return band_hamming_pairs(sig, max_hamming=max_hamming, n_bands=n_bands)
 
 
-def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFrame:
+def band_hamming_pairs(
+    sig: DataFrame, max_hamming: int, n_bands: int, probe_bits: int = 0
+) -> DataFrame:
     """Pigeonhole band self-join over a ``(doc_id, h1, h2)`` signature
-    table (two 32-bit halves of a 64-bit hash): pairs agreeing exactly on
-    ≥1 of ``n_bands`` hash slices are candidates; one XOR+bit_count
-    verifies Hamming ≤ ``max_hamming``. Shared by the JVM-hash path
+    table (two 32-bit halves of a 64-bit hash): pairs agreeing on ≥1 of
+    ``n_bands`` hash slices — exactly (``probe_bits=0``) or within
+    ``probe_bits`` flipped bits (multiprobe: the probe side also emits
+    every ≤``probe_bits``-flip variant of each slice) — are candidates;
+    one XOR+bit_count verifies Hamming ≤ ``max_hamming``. Pigeonhole:
+    ``max_hamming`` errors over ``n_bands`` slices leave some slice with
+    ≤ ``floor(max_hamming / n_bands)`` errors, so the guarantee is
+    ``max_hamming ≤ n_bands*(probe_bits+1) - 1``. Fewer, wider bands with
+    multiprobe trade a small per-rep probe fan-out for far more selective
+    buckets: on the sf1 decode corpus, 8-bit bands cut the candidate mass
+    11.6× vs the 4-bit bands the same guarantee would otherwise force
+    (sum c² 3.58e9 → 3.09e8). Shared by the JVM-hash path
     (:func:`phash_neardup_pairs`) and the real-decode path
     (:func:`decode_phash`)."""
     if n_bands not in (4, 8, 16, 32):
         raise ValueError(f"n_bands must divide both 32-bit halves evenly, got {n_bands}")
-    if max_hamming >= n_bands:
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    if max_hamming >= n_bands * (probe_bits + 1):
         raise ValueError(
-            f"pigeonhole guarantee needs max_hamming < n_bands "
-            f"(got {max_hamming} >= {n_bands}): a pair can differ in one bit "
-            f"per band and never share one"
+            f"pigeonhole guarantee needs max_hamming < n_bands*(probe_bits+1) "
+            f"(got {max_hamming} >= {n_bands}*{probe_bits + 1}): a pair can "
+            f"exceed the probe radius in every band and never collide"
         )
     # Materialize once so the 64-bit hash isn't recomputed on both join
     # sides. localCheckpoint (not persist): the blocks are released when the
@@ -418,11 +431,20 @@ def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFr
     # expand member pairs arithmetically: cross-group pairs inherit the
     # rep pair's hamming (the hash fully determines it), intra-group pairs
     # are hamming 0 by construction. The pair SET is unchanged.
+    from dibimbing_case_study_etl_spark.operators.dedup import _spread
+
     reps = (
         sig.groupBy("h1", "h2")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
+    # The checkpoint pins AQE's coalesced layout — for a vocab-sized agg
+    # that is ONE partition, and everything downstream (the band explode
+    # and the probe side of the candidate join) would inherit it, running
+    # the near-quadratic candidate scan on a single core (observed: m08
+    # sf1 went from ~27s to >13min exactly this way). Spread BEFORE the
+    # explosion; the narrow-row shuffle is noise next to the join work.
+    reps = _spread(reps, "doc_id")
     mem = sig.join(
         reps.select("h1", "h2", F.col("doc_id").alias("rep_id")), ["h1", "h2"]
     ).select("doc_id", "rep_id")
@@ -434,39 +456,64 @@ def band_hamming_pairs(sig: DataFrame, max_hamming: int, n_bands: int) -> DataFr
         for half in (F.col("h1"), F.col("h2"))
         for i in range(n_bands // 2)
     ]
-    stacked = reps.select(
-        "doc_id",
-        "h1",
-        "h2",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), b.cast("bigint").alias("val"))
-                    for i, b in enumerate(bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    def emit(row_df: DataFrame, flips: bool) -> DataFrame:
+        structs = []
+        for i, bv in enumerate(bands):
+            structs.append(F.struct(F.lit(i).alias("band"), bv.cast("bigint").alias("val")))
+            if flips:
+                structs.extend(
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        bv.bitwiseXOR(F.lit(1 << p)).cast("bigint").alias("val"),
+                    )
+                    for p in range(width)
+                )
+        return row_df.select(
+            "doc_id", "h1", "h2", F.explode(F.array(*structs)).alias("bv")
+        ).select(
+            "doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+        )
 
-    a, b = stacked.alias("a"), stacked.alias("b")
+    # Build side: exact band values only. Probe side: adds the flipped
+    # variants, so a probe row meets a build row iff their slices differ
+    # in ≤ probe_bits positions — and for probe_bits ≤ 1 EXACTLY ONE probe
+    # variant can match a given build value per band, so no within-band
+    # duplicate candidates exist by construction.
+    a = emit(reps, probe_bits == 1).alias("a")
+    b = emit(reps, False).alias("b")
     xh1 = F.col("a.h1").bitwiseXOR(F.col("b.h1"))
     xh2 = F.col("a.h2").bitwiseXOR(F.col("b.h2"))
     hamming = F.bit_count(xh1) + F.bit_count(xh2)
     # Exactly-once emission without a distinct: a pair colliding on k bands
-    # appears k times in the join output; keep only the occurrence on the
-    # LOWEST matching band. Band j matches iff the width-bit slice of the
-    # XOR is zero, so the first matching band is computable from (xh1, xh2)
-    # alone — a codegen'd when-chain per candidate replaces a full shuffle
-    # of the (near-quadratic) candidate set through a distinct.
+    # appears k times in the join output (once per band — within a band at
+    # most one probe variant matches, see emit()); keep only the occurrence
+    # on the LOWEST matching band. Band j matches iff the width-bit slice
+    # of the XOR has ≤ probe_bits set bits, so the first matching band is
+    # computable from (xh1, xh2) alone — a codegen'd when-chain per
+    # candidate replaces a full shuffle of the (near-quadratic) candidate
+    # set through a distinct.
     first_match: Column = F.lit(-1)
     for j in reversed(range(n_bands)):
         xh = xh1 if j < n_bands // 2 else xh2
         i = j % (n_bands // 2)
-        slice_zero = F.shiftright(xh, i * width).bitwiseAND(F.lit(mask)) == 0
-        first_match = F.when(slice_zero, F.lit(j)).otherwise(first_match)
+        slice_xor = F.shiftright(xh, i * width).bitwiseAND(F.lit(mask))
+        slice_match = (
+            (slice_xor == 0)
+            if probe_bits == 0
+            else (F.bit_count(slice_xor) <= probe_bits)
+        )
+        first_match = F.when(slice_match, F.lit(j)).otherwise(first_match)
+    # Broadcast the build side: the band key space is only
+    # n_bands * 2^width values (256 here), so a shuffled join would hash
+    # the heaviest bucket's entire candidate set into one reducer — the
+    # broadcast plan instead streams every spread partition of the probe
+    # side against an in-memory map, which parallelizes the candidate scan
+    # by PROBE rows, not by key. The build side is the rep signature table
+    # (vocab-sized after canonicalization; ~20 MB at sf1). Past broadcast
+    # range, replicate-the-build-side salting is the same plan by hand.
     rep_pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

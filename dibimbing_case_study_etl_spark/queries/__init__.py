@@ -91,7 +91,7 @@ def load_all() -> dict[str, QuerySpec]:
 # d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
 # dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
 # block-count sizing); then (e) the stalest greens — everything whose
-# last driver row is r2 (q09/q10/q26–q55 block, t07, t08).
+# last driver row is r2 (q09/q10/q26–q53 block, t07, t08).
 DRIVER_PRIORITY: list[str] = [
     # the r4 red row, first
     "t20_tokenizer_fertility",
@@ -112,6 +112,8 @@ DRIVER_PRIORITY: list[str] = [
     "b01_bpe_merges",
     "b02_bpe_token_stats",
     "t24_quality_weighted_sample",
+    "d16_cross_source_contamination",
+    "t25_dedup_token_accounting",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -146,8 +148,6 @@ DRIVER_PRIORITY: list[str] = [
     "q51_python_udtf_sentences",
     "q52_stateful_running_totals",
     "q53_recursive_month_spine",
-    "q54_window_interval_range_frame",
-    "q55_cogrouped_order_reconciliation",
 ]
 
 

@@ -504,9 +504,13 @@ def m08_png_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-oracled because the fixture pixels are reconstructible in SQL.
 
     Scale: decode+hash is one partition-spread Arrow pass (scan-bound);
-    candidates come from 16-bit-band equi-joins via the shared
-    :func:`band_hamming_pairs`, never n²; only the 3-column signature
-    table shuffles.
+    candidates come from 8-bit-band multiprobe equi-joins via the shared
+    :func:`band_hamming_pairs` (radius-1 probes: the same ≤11 guarantee
+    with ~12× more selective buckets than the 4-bit bands a plain
+    16-band join would force — the decode hashes vary with the doc-id-
+    derived geometry, so clone canonicalization alone cannot bound this
+    path's buckets), never n²; only the 3-column signature table
+    shuffles.
     """.format(h=_M08_HAMMING)
     from dibimbing_case_study_etl_spark.operators.multimodal import (
         band_hamming_pairs,
@@ -517,7 +521,7 @@ def m08_png_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     pngs = synth_png_table(t["documents"], "doc_id", "text")
     sig = decode_phash(pngs)
-    return band_hamming_pairs(sig, max_hamming=_M08_HAMMING, n_bands=16)
+    return band_hamming_pairs(sig, max_hamming=_M08_HAMMING, n_bands=8, probe_bits=1)
 
 
 @query(

@@ -442,3 +442,136 @@ def t24_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- provenance + dedup accounting ------------------------------------------
+
+from dibimbing_case_study_etl_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+)
+from dibimbing_case_study_etl_spark.queries.llm_ops import (  # noqa: E402
+    _SQL_SHINGLE_CTE,
+)
+
+
+@query(
+    "d16_cross_source_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    lab AS (
+      SELECT da.source AS sa, db.source AS sb
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "dedup", "provenance"),
+)
+def d16_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which source pairs share
+    near-duplicate documents (word-3-gram Jaccard >= 0.8) — the provenance
+    audit a curation team runs before assigning per-source mixture weights
+    (t12), since two "independent" sources that mirror each other would
+    otherwise be double-weighted. Pairs come from the LSH scale path
+    (d03 — same set as the exact oracle, miss probability ~5e-8, the d06
+    argument); source labels join back on the 8-byte doc id, so the only
+    text-bearing shuffle is the one inside the pair builder. Output is
+    source-pair-bounded (|sources|^2 at worst), orderable and tiny."""
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "source")
+    prs = minhash_lsh_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+    lab = (
+        prs.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "t25_dedup_token_accounting",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (
+      SELECT d.source, d.doc_id,
+             CAST(len(regexp_split_to_array(trim(d.text), ' +')) AS BIGINT) AS nt,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.source, d.doc_id, d.text
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN doc_id = cluster_id THEN nt END), 0)
+                AS BIGINT) AS n_tokens_kept
+    FROM lab GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "accounting", "iterative"),
+)
+def t25_dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware token accounting: per source, how many documents and
+    whitespace tokens survive near-dup clustering (d06's keeper rule —
+    keep a cluster's minimum doc id). This is the budget table a curator
+    reads after a dedup run; the per-source kept-token mass is what
+    actually feeds the mixture weights (t12), and a source whose token
+    mass collapses here is a mirror, not a corpus. Pairs come from the
+    LSH scale path and labels from the distributed min-propagation
+    (the d06 argument); the accounting itself is one narrow id join plus
+    a source-keyed partial agg."""
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    from dibimbing_case_study_etl_spark.operators.dedup import dedup_clusters
+
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    base = docs.select("source", "doc_id", token_count(F.col("text")).alias("nt"))
+    flagged = base.join(clusters, "doc_id")
+    kept = (F.col("doc_id") == F.col("cluster_id")).cast("bigint")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(kept).alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(kept == 1, F.col("nt"))), F.lit(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )

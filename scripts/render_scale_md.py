@@ -107,6 +107,23 @@ def main() -> None:
             "suffixes, so near-dup OUTPUT grows ~R² while exact-clone "
             "structure stays sparse — the hard case for dedup operators.\n"
         )
+        out.append(
+            "m06/m08 here are POST-fix (late r5) and supersede the sf1 sweep "
+            "rows above: signature canonicalization + spread-after-checkpoint "
+            "+ broadcast band join, and (m08) 8-bit radius-1 multiprobe bands "
+            "replacing 4-bit exact bands. Pre-fix sf4 was m06 280.6s / m08 "
+            "403.6s (`_scale/curve_fix2.json`) → 18.97s / 13.03s — the "
+            "r4-verdict clone-quadratic class is closed for the phash "
+            "family too.\n"
+        )
+        out.append(
+            "d03's sf4/sf1 ratio is OUTPUT-bound, not candidate-bound: the "
+            "suffix-perturbed replicas are genuinely distinct near-dups, so "
+            "the emitted pair set itself grows ~R² — measured 248,962 pairs "
+            "@sf1 → 4,279,102 @sf4 (17.2× on 4× data) while a warm "
+            "re-measure took 17.4s → 43.9s (2.5× time for 17.2× output): "
+            "per-pair cost FALLS with scale.\n"
+        )
         out.append("| query | " + " | ".join(sfs) + " | sf4/sf1 |")
         out.append("|---|" + "---|" * (len(sfs) + 1))
         for n in names:
