@@ -91,7 +91,7 @@ def load_all() -> dict[str, QuerySpec]:
 # d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
 # dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
 # block-count sizing); then (e) the stalest greens — everything whose
-# last driver row is r2 (q09/q10/q26–q53 block, t07, t08).
+# last driver row is r2 (q09/q10/q26–q52 block, t07, t08).
 DRIVER_PRIORITY: list[str] = [
     # the r4 red row, first
     "t20_tokenizer_fertility",
@@ -114,6 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     "t24_quality_weighted_sample",
     "d16_cross_source_contamination",
     "t25_dedup_token_accounting",
+    "d17_quality_keeper_resolution",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -147,7 +148,6 @@ DRIVER_PRIORITY: list[str] = [
     "q49_multiset_ops",
     "q51_python_udtf_sentences",
     "q52_stateful_running_totals",
-    "q53_recursive_month_spine",
 ]
 
 

@@ -575,3 +575,88 @@ def t25_dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "d17_quality_keeper_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (
+      SELECT d.doc_id, d.text,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id, d.text
+    ),
+    scored AS (
+      SELECT doc_id, cluster_id,
+             CAST(round_even((0.5 * ({_sql_marker_score(EN_STOPWORDS)}
+                                     / len(regexp_split_to_array(trim(text), ' +')))
+                              + 0.5 * LEAST(1.0, len(regexp_split_to_array(trim(text), ' +')) / 100.0))
+                             * 10000, 0) AS BIGINT) AS q_i
+      FROM lab
+    ),
+    sel AS (
+      SELECT doc_id, cluster_id, q_i,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q_i DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS c
+      FROM scored
+    )
+    SELECT cluster_id, CAST(c AS BIGINT) AS n_members,
+           doc_id AS keeper_id, q_i AS keeper_q_e4
+    FROM sel WHERE rn = 1 AND c >= 2 ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def d17_quality_keeper_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup resolution: within each near-dup cluster keep
+    the HIGHEST-QUALITY member (t02's quality score, scaled to an integer
+    e4 so the argmax is engine-exact; ties to the lower doc id) — the
+    keeper policy a production pipeline actually wants, vs d07's min-id
+    rule which can keep the boilerplate copy and drop the clean one.
+    Clusters come from the LSH pair path + distributed min-label
+    propagation (the d06 argument). The per-cluster argmax is ONE
+    partial-aggregable max_by over a (cluster_id, q_i, doc_id) table —
+    no window over the corpus; the oracle's ROW_NUMBER is the same
+    selection in single-node form."""
+    from dibimbing_case_study_etl_spark.operators.dedup import dedup_clusters
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    clusters = dedup_clusters(docs, prs, "doc_id")
+    n_tokens = token_count(F.col("text"))
+    n_stop = marker_score(F.col("text"), EN_STOPWORDS)
+    q_raw = 0.5 * (n_stop / n_tokens) + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0)
+    q_i = F.call_function("rint", q_raw * 10000).cast("bigint")
+    scored = docs.select("doc_id", q_i.alias("q_i")).join(clusters, "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("q_i"), (-F.col("doc_id")).alias("nd"))
+            ).alias("keeper_id"),
+            F.max("q_i").alias("keeper_q_e4"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select("cluster_id", "n_members", "keeper_id", "keeper_q_e4")
+        .orderBy("cluster_id")
+    )

@@ -108,8 +108,8 @@ def main() -> None:
             "structure stays sparse — the hard case for dedup operators.\n"
         )
         out.append(
-            "m06/m08 here are POST-fix (late r5) and supersede the sf1 sweep "
-            "rows above: signature canonicalization + spread-after-checkpoint "
+            "m06/m08 (here and in the sweep rows above, re-swept late r5) are "
+            "POST-fix: signature canonicalization + spread-after-checkpoint "
             "+ broadcast band join, and (m08) 8-bit radius-1 multiprobe bands "
             "replacing 4-bit exact bands. Pre-fix sf4 was m06 280.6s / m08 "
             "403.6s (`_scale/curve_fix2.json`) → 18.97s / 13.03s — the "

@@ -413,6 +413,42 @@ def test_phash_band_params_enforce_pigeonhole_guarantee(spark):
         phash_neardup_pairs(df, "doc_id", "text", max_hamming=2, n_bands=5)
 
 
+def test_multiprobe_banding_matches_brute_force(spark):
+    """m08's radius-1 multiprobe (8-bit bands) must emit EXACTLY the
+    brute-force Hamming<=11 pair set — same guarantee as the 4-bit exact
+    bands, ~12x fewer candidates. Signatures are a deterministic LCG so
+    the set includes near pairs, far pairs, and exact clones (h XOR 0)."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.multimodal import band_hamming_pairs
+
+    rows = []
+    state = 1234567
+    for i in range(120):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        h1 = state & 0xFFFFFFFF >> 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        h2 = state & 0xFFFFFFFF >> 1
+        rows.append((i, h1, h2))
+        if i % 4 == 0:  # near neighbor: flip ≤3 known bits
+            rows.append((i + 1000, h1 ^ 0b101, h2 ^ 0b1))
+        if i % 7 == 0:  # exact clone
+            rows.append((i + 2000, h1, h2))
+    sig = spark.createDataFrame(rows, "doc_id long, h1 long, h2 long")
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in band_hamming_pairs(sig, max_hamming=11, n_bands=8, probe_bits=1).collect()
+    }
+    want = set()
+    for ia, (da, a1, a2) in enumerate(rows):
+        for db, b1, b2 in rows[ia + 1 :]:
+            hd = bin((a1 ^ b1)).count("1") + bin((a2 ^ b2)).count("1")
+            if hd <= 11:
+                want.add((min(da, db), max(da, db), hd))
+    assert got == want and len(want) > 30
+
+
 def test_s09_knn_graph_agrees_with_exact_baseline(spark, sf_dir):
     """The block-pair GEMM graph must produce the same neighbor sets and
     ranks as the exact JVM cosine_topk baseline run with the whole corpus
