@@ -85,9 +85,11 @@ def load_all() -> dict[str, QuerySpec]:
 #
 # r5 window: (a) t20's retest — the one red r4 row (oracle HUGEINT cast
 # fix); (b) the 8 never-checked r5 audit twins + s02's brand-new full
-# oracle, which together retire the perpetual no_oracle rows; (c) the two
-# operators added late in r5 (b01 BPE merge learning, t24 weighted
-# sampling); (d) every r5-changed query (d03 canonicalize+codegen-verify,
+# oracle, which together retire the perpetual no_oracle rows; (c) the
+# operators added late in r5 (b01/b02 BPE train+card, t24 weighted
+# sampling, d16 cross-source contamination, t25 dedup token accounting,
+# d17 quality-keeper resolution); (d) every r5-changed query (d03
+# canonicalize+codegen-verify,
 # d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
 # dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
 # block-count sizing); then (e) the stalest greens — everything whose
