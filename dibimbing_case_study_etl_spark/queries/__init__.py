@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops4,
         llm_ops5,
         llm_ops6,
+        llm_ops7,
         relational,
         relational2,
         relational3,
@@ -88,8 +89,9 @@ def load_all() -> dict[str, QuerySpec]:
 # oracle, which together retire the perpetual no_oracle rows; (c) the
 # operators added late in r5 (b01/b02 BPE train+card, t24 weighted
 # sampling, d16 cross-source contamination, t25 dedup token accounting,
-# d17 quality-keeper resolution); (d) every r5-changed query (d03
-# canonicalize+codegen-verify,
+# d17 quality-keeper resolution, t26 substring-dedup spans, r01 BM25
+# retrieval, t27 hashed quality classifier, g01 k-NN PageRank); (d) every
+# r5-changed query (d03 canonicalize+codegen-verify,
 # d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
 # dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
 # block-count sizing); then (e) the stalest greens — everything whose
@@ -117,6 +119,13 @@ DRIVER_PRIORITY: list[str] = [
     "d16_cross_source_contamination",
     "t25_dedup_token_accounting",
     "d17_quality_keeper_resolution",
+    "t26_substring_dedup_spans",
+    "r01_bm25_topk",
+    "t27_hashed_quality_classifier",
+    "g01_pagerank_knn_graph",
+    "t28_span_corruption_plan",
+    "q74_attribution_models",
+    "u05_bitemporal_asof",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -143,13 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "q40_top_supplier",
     "q41_not_in_null_aware",
     "q42_large_orders",
-    "q44_datetime_functions",
-    "q45_pandas_udf_scalar",
-    "q46_grouped_pandas_udf",
-    "q48_distribution_windows",
-    "q49_multiset_ops",
-    "q51_python_udtf_sentences",
-    "q52_stateful_running_totals",
 ]
 
 

@@ -422,3 +422,175 @@ def q73_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               o.filter(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))))
         .orderBy("check_name")
     )
+
+
+# --- q74: marketing attribution (first-touch / last-touch) ----------------
+
+_Q74_BODY = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             FIRST_VALUE({ft}) OVER w AS first_touch,
+             LAST_VALUE({lt})  OVER w AS last_touch
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (SELECT * FROM tagged WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model, first_touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST({rnd} AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM p WHERE first_touch IS NOT NULL GROUP BY first_touch
+    UNION ALL
+    SELECT 'last_touch' AS model, last_touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST({rnd} AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM p WHERE last_touch IS NOT NULL GROUP BY last_touch
+"""
+
+
+_Q74_SPARK = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             FIRST_VALUE(touch) IGNORE NULLS OVER w AS first_touch,
+             LAST_VALUE(touch)  IGNORE NULLS OVER w AS last_touch
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (SELECT * FROM tagged WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model, first_touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(rint(value * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+    FROM p WHERE first_touch IS NOT NULL GROUP BY first_touch
+    UNION ALL
+    SELECT 'last_touch' AS model, last_touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(rint(value * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+    FROM p WHERE last_touch IS NOT NULL GROUP BY last_touch
+"""
+
+
+@query(
+    "q74_attribution_models",
+    oracle=_Q74_BODY.format(
+        ft="touch IGNORE NULLS",
+        lt="touch IGNORE NULLS",
+        rnd="round_even(value * 100, 0)",
+    ),
+    tags=("window", "events", "sql-entry"),
+)
+def q74_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch revenue attribution: every purchase's
+    value is credited to the user's earliest (first-touch) and most recent
+    (last-touch) preceding marketing touch (click/view), then rolled up by
+    model × touch type — the two bookend models of marketing analytics,
+    computed side by side for comparison.
+
+    Scale: NO purchase⋈touch join — the classic formulation joins each
+    purchase to the user's touch history with a range predicate
+    (touches × purchases blowup on active users); here one per-user window
+    (ORDER BY ts, event_id / UNBOUNDED PRECEDING..1 PRECEDING with IGNORE
+    NULLS) carries both attributions along the stream, so cost is one
+    user-keyed exchange over events regardless of per-user activity. The
+    revenue roll-up is a ≤|touch types|·2-row aggregate via scaled-integer
+    sums (order-independent)."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(_Q74_SPARK)
+
+
+
+
+# --- u05: bitemporal as-of audit ------------------------------------------
+
+# Valid-time cut V0 and transaction-time cut T0. Each order is a version
+# record for its customer that becomes VALID at o_orderdate but is only
+# RECORDED (transaction time) o_orderkey % 7 days later — deterministic
+# late arrival. T0 sits 2 days after V0, so versions valid before the cut
+# but recorded after it exist: exactly the records a bitemporal audit is
+# for.
+_U05_V0 = "1997-06-30"
+_U05_T0 = "1997-07-02"
+
+
+@query(
+    "u05_bitemporal_asof",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_custkey,
+             o_orderkey,
+             CAST(o_orderdate AS DATE) AS od,
+             CAST(o_orderdate AS DATE) + (o_orderkey % 7) * INTERVAL 1 DAY AS txn,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               * 10000000000 + o_orderkey AS ordkey
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) <= DATE '{_U05_V0}'
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(CASE WHEN txn <= DATE '{_U05_T0}' THEN 1 END) AS BIGINT)
+             AS n_known_then,
+           arg_max(o_orderkey, ordkey)
+             FILTER (WHERE txn <= DATE '{_U05_T0}') AS then_orderkey,
+           arg_max(o_orderkey, ordkey) AS now_orderkey,
+           COALESCE(arg_max(o_orderkey, ordkey)
+                      FILTER (WHERE txn <= DATE '{_U05_T0}'), -1)
+             <> arg_max(o_orderkey, ordkey) AS revised
+    FROM v
+    GROUP BY o_custkey
+    """,
+    tags=("warehouse", "bitemporal", "agg"),
+)
+def u05_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of audit: per customer, the latest version VALID at
+    V0 *as the warehouse knew it* at transaction-time T0 vs as it knows it
+    now — flagging keys whose history was REVISED by late-arriving records
+    (valid before the cut, recorded after it). Valid time and transaction
+    time are independent axes; u02/u03/u04 each handle one, this is the
+    two-axis query a regulated warehouse answers for "what did we report
+    and why did it change".
+
+    Scale: the u03/u04 lesson applied — both temporal reconstructions come
+    from ONE partial-aggregable groupBy: `max_by(key, (od, ok))`
+    unconditionally for the now-state, the same max_by with the ordering
+    key nulled past T0 for the then-state (max_by skips null keys). The
+    valid-time cut pushes to the scan; no window, no self-join, no second
+    shuffle over a 100 TB version feed."""
+    t = register(spark, sf_dir, ("orders",))
+    od = F.col("o_orderdate").cast("date")
+    v = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            od.alias("od"),
+            F.date_add(od, (F.col("o_orderkey") % 7).cast("int")).alias("txn"),
+        )
+        .filter(F.col("od") <= F.lit(_U05_V0).cast("date"))
+    )
+    known_then = F.col("txn") <= F.lit(_U05_T0).cast("date")
+    # composite BIGINT ordering key (epoch-day * 1e10 + orderkey): max_by
+    # over a struct is Spark-only — DuckDB's arg_max needs a scalar
+    ordkey = (
+        F.datediff(F.col("od"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 10_000_000_000
+        + F.col("o_orderkey")
+    )
+    then_key = F.max_by("o_orderkey", F.when(known_then, ordkey))
+    now_key = F.max_by("o_orderkey", ordkey)
+    return v.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(known_then.cast("bigint")).alias("n_known_then"),
+        then_key.alias("then_orderkey"),
+        now_key.alias("now_orderkey"),
+        (F.coalesce(then_key, F.lit(-1)) != now_key).alias("revised"),
+    )

@@ -460,3 +460,86 @@ def test_d03_verify_runs_in_codegen_not_python(spark, sf_dir):
     # the verify join attaches shingle ARRAYS, not texts, so the old
     # Python-verify projection of raw text into the pair join is gone
     assert "__text_a" not in plan and "__text_b" not in plan
+
+
+def test_t26_explodes_once_and_windows_only_by_doc(spark, sf_dir):
+    """t26's execution contract: the positional n-gram explode runs exactly
+    once (at the localCheckpoint — downstream consumers read the
+    materialized occurrence set, so no Generate survives in the plan), the
+    keeper is decided by an aggregate min(struct), and every window in the
+    plan partitions by doc_id (document-bounded interval merge). A window
+    partitioned by GRAM — the oracle's single-node formulation — would put
+    the hottest boilerplate gram's every occurrence in one task."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "t26_substring_dedup_spans")
+    assert len(re.findall(r"Generate \(\d+\)", plan)) == 0
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert spec == "doc_id", f"window partitioned by {spec}, not doc_id"
+
+
+def test_r01_bm25_broadcasts_stats_and_takes_ordered_topk(spark, sf_dir):
+    """r01's execution contract: document frequency and corpus stats are
+    BROADCAST back to the term-frequency side (no shuffle of the corpus on
+    tok), and the global top-k compiles to TakeOrderedAndProject — k rows
+    per partition, never a full sort. Everything stays JVM-side."""
+    plan = explain_str(spark, sf_dir, "r01_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t27_classifier_is_one_exchange_no_python(spark, sf_dir):
+    """t27's execution contract: the hash IS the weight lookup — no vocab
+    join, no Python; the whole classifier is explode → map-side integer
+    partial-agg → ONE doc-keyed exchange."""
+    plan = explain_str(spark, sf_dir, "t27_hashed_quality_classifier")
+    assert plan.count("Exchange (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_g01_final_plan_reads_checkpoints_not_parquet(spark, sf_dir):
+    """g01's execution contract: fixpoint iteration truncates lineage —
+    the returned plan reads the checkpointed rank table and the
+    checkpointed edge set, never re-deriving the GEMM or re-scanning the
+    corpus (no parquet scan may appear; without per-iteration truncation
+    the plan deepens linearly and replans quadratically)."""
+    plan = explain_str(spark, sf_dir, "g01_pagerank_knn_graph")
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_q74_attribution_has_no_touch_join(spark, sf_dir):
+    """q74's execution contract: attribution is carried along the per-user
+    event stream by IGNORE-NULLS bookend windows — the purchase⋈touch
+    range join of the naive formulation (touches × purchases blowup on
+    active users) must not exist anywhere in the plan."""
+    plan = explain_str(spark, sf_dir, "q74_attribution_models")
+    assert "Join" not in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_u05_bitemporal_is_one_aggregation(spark, sf_dir):
+    """u05's execution contract (the u03/u04 shape): both temporal
+    reconstructions — as-known-at-T0 and as-known-now — come out of ONE
+    partial-aggregable groupBy over the version feed. One exchange, no
+    window, no self-join; the valid-time cut pushes to the scan."""
+    plan = explain_str(spark, sf_dir, "u05_bitemporal_asof")
+    assert plan.count("Exchange (") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_t28_mask_is_jvm_and_windows_by_doc(spark, sf_dir):
+    """t28's execution contract: the noise mask is pure JVM codegen (hash
+    arithmetic, no Python anywhere), and the span merge — like t26's —
+    only ever windows by doc_id."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "t28_span_corruption_plan")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert spec == "doc_id", f"window partitioned by {spec}, not doc_id"
