@@ -214,18 +214,33 @@ def t08_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-independent.
     """
     t = register(spark, sf_dir, ("documents",))
-    w = tokens(F.col("text"))
-    n = F.size(w)
-    ng = n - 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(ng, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+
+    # Bind the split ONCE (the `_with_tokens` discipline): referencing
+    # `tokens(text)` from n/grams/array_distinct would textually inline the
+    # regex split into every copy — a pure-map stage that re-splits each
+    # document several times per row.
+    def build(w):
+        n = F.size(w)
+        ng = n - 1
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(ng, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+        return F.struct(
+            n.alias("n"),
+            F.size(F.array_distinct(w)).alias("nw_d"),
+            F.when(ng <= 0, F.lit(0)).otherwise(F.size(F.array_distinct(grams))).alias("ng_d"),
+            F.greatest(ng, F.lit(0)).alias("ng"),
+        )
+
+    st = F.element_at(F.transform(F.array(tokens(F.col("text"))), build), 1)
+    stats = t["documents"].select("doc_id", st.alias("st"))
+    n = F.col("st.n")
+    dup_word = 1.0 - F.col("st.nw_d") / n.cast("double")
+    dup_bigram = F.when(F.col("st.ng") <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.col("st.ng_d") / F.col("st.ng").cast("double")
     )
-    dup_word = 1.0 - F.size(F.array_distinct(w)) / n.cast("double")
-    dup_bigram = F.when(ng <= 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
-    )
-    return t["documents"].select(
+    return stats.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
         iround(dup_word, 6).alias("dup_word_ratio"),
