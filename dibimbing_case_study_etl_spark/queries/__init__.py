@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "t28_span_corruption_plan",
     "q74_attribution_models",
     "u05_bitemporal_asof",
+    "t29_gopher_rules",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -151,7 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "q38_two_nation_volume",
     "q40_top_supplier",
     "q41_not_in_null_aware",
-    "q42_large_orders",
 ]
 
 

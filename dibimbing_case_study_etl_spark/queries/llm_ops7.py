@@ -649,3 +649,88 @@ def t28_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - n_masked + n_spans).alias("encoder_len"),
         (n_masked + n_spans + 1).alias("decoder_len"),
     )
+
+
+# Gopher rule bundle (Rae et al. 2021, Appendix A): published, named
+# filter rules with per-rule audit counters. Thresholds adapted to the
+# synthetic corpus's ranges so every rule has live pass/fail signal.
+_T29_MIN_WORDS = 30
+_T29_MAX_WORDS = 1000
+_T29_MIN_MWL = 4.0
+_T29_MAX_MWL = 5.0
+_T29_STOPWORDS = ("a", "the")
+
+
+@query(
+    "t29_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             (len(w) < {_T29_MIN_WORDS} OR len(w) > {_T29_MAX_WORDS}) AS f_nwords,
+             (length(array_to_string(w, '')) / CAST(len(w) AS DOUBLE) < {_T29_MIN_MWL}
+              OR length(array_to_string(w, '')) / CAST(len(w) AS DOUBLE) > {_T29_MAX_MWL})
+               AS f_mwl,
+             NOT (list_contains(w, 'a') AND list_contains(w, 'the')) AS f_stop
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+           CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+           CAST(SUM(CASE WHEN NOT (f_nwords OR f_mwl OR f_stop) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           {sql_iround(
+               "SUM(CASE WHEN NOT (f_nwords OR f_mwl OR f_stop) THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 6)} AS pass_rate
+    FROM flags
+    GROUP BY source
+    """,
+    tags=("llm", "quality", "text"),
+)
+def t29_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule bundle (Rae et al. 2021): the NAMED,
+    published filter rules — word-count bounds, mean-word-length bounds,
+    stopword presence — each reported as its own per-source failure
+    counter plus the all-rules pass rate. t02 collapses heuristics into
+    one opaque score and t27 into one learned logit; this is the
+    auditable rule table a curation team actually reviews and tunes
+    (thresholds sit in module constants, one per published rule).
+
+    Scale: pure map-stage flags (the split binds once; mean word length
+    is `length(array_join(w,''))/n` on exact ints, so threshold compares
+    are engine-deterministic) into one |sources|-keyed partial agg — the
+    whole audit is one scan and a ~20-row shuffle at any corpus size.
+    """
+    t = register(spark, sf_dir, ("documents",))
+
+    def build(w):
+        n = F.size(w)
+        mwl = F.length(F.array_join(w, "")) / n.cast("double")
+        return F.struct(
+            ((n < _T29_MIN_WORDS) | (n > _T29_MAX_WORDS)).alias("f_nwords"),
+            ((mwl < _T29_MIN_MWL) | (mwl > _T29_MAX_MWL)).alias("f_mwl"),
+            (
+                ~(
+                    F.array_contains(w, _T29_STOPWORDS[0])
+                    & F.array_contains(w, _T29_STOPWORDS[1])
+                )
+            ).alias("f_stop"),
+        )
+
+    st = F.element_at(F.transform(F.array(tokens(F.col("text"))), build), 1)
+    flags = t["documents"].select("source", st.alias("st"))
+    f_nwords, f_mwl, f_stop = (F.col(f"st.{c}") for c in ("f_nwords", "f_mwl", "f_stop"))
+    n_pass = F.sum((~(f_nwords | f_mwl | f_stop)).cast("bigint"))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(f_nwords.cast("bigint")).alias("n_fail_word_count"),
+        F.sum(f_mwl.cast("bigint")).alias("n_fail_mean_word_len"),
+        F.sum(f_stop.cast("bigint")).alias("n_fail_stopword"),
+        n_pass.alias("n_pass"),
+        iround(n_pass / F.count(F.lit(1)).cast("double"), 6).alias("pass_rate"),
+    )
