@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops5,
         llm_ops6,
         llm_ops7,
+        llm_ops8,
         relational,
         relational2,
         relational3,
@@ -127,6 +128,8 @@ DRIVER_PRIORITY: list[str] = [
     "q74_attribution_models",
     "u05_bitemporal_asof",
     "t29_gopher_rules",
+    "r02_item_cooccurrence_lift",
+    "f01_seasonal_naive_backtest",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -150,8 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
     "q38_two_nation_volume",
-    "q40_top_supplier",
-    "q41_not_in_null_aware",
 ]
 
 
