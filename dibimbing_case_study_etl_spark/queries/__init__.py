@@ -91,8 +91,10 @@ def load_all() -> dict[str, QuerySpec]:
 # operators added late in r5 (b01/b02 BPE train+card, t24 weighted
 # sampling, d16 cross-source contamination, t25 dedup token accounting,
 # d17 quality-keeper resolution, t26 substring-dedup spans, r01 BM25
-# retrieval, t27 hashed quality classifier, g01 k-NN PageRank); (d) every
-# r5-changed query (d03 canonicalize+codegen-verify,
+# retrieval, t27 hashed quality classifier, g01 k-NN PageRank, t28 span
+# corruption, q74 attribution, u05 bitemporal, t29 Gopher rules, r02
+# basket lift, f01 forecast backtest, s15 IVF+PQ recall); (d) every
+# r5-changed query (d03 canonicalize+codegen-verify, t08 single-split,
 # d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
 # dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
 # block-count sizing); then (e) the stalest greens — everything whose
@@ -130,6 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "t29_gopher_rules",
     "r02_item_cooccurrence_lift",
     "f01_seasonal_naive_backtest",
+    "s15_ivfpq_serving_recall",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -152,7 +155,6 @@ DRIVER_PRIORITY: list[str] = [
     "q34_string_functions",
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
-    "q38_two_nation_volume",
 ]
 
 

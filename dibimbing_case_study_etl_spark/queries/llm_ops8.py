@@ -183,3 +183,277 @@ def f01_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("rev_c") - F.col("fc_c"))) / F.sum("rev_c").cast("double"), 6
         ).alias("wape"),
     )
+
+
+# --- s15: the full IVF+PQ serving stack, audited end to end ---------------
+
+_S15_NCELLS = 16
+_S15_NPROBE = 8
+_S15_M = 4          # PQ subspaces
+_S15_KSUB = 16      # codewords per subspace
+_S15_DSUB = 16      # dim (64) / m
+_S15_K = 10
+_S15_NQ = 10        # query vectors: vec_id < 10
+
+
+def _s15_oracle() -> str:
+    dsub, m, ksub = _S15_DSUB, _S15_M, _S15_KSUB
+    clamped = "least(1.0, greatest(-1.0, list_cosine_similarity({a}, {b})))"
+    exact_cos = clamped.format(a="q.v", b="c.v")
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM vecs
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM vecs ORDER BY vec_id LIMIT {_S15_NCELLS}
+    ),
+    cell_scores AS (
+      SELECT a.vec_id, a.v, cents.cell,
+             {clamped.format(a="a.v", b="cents.cv")} AS sim
+      FROM vecs a CROSS JOIN cents
+    ),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM cell_scores
+      ) WHERE rn = 1
+    ),
+    q_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM cell_scores WHERE vec_id < {_S15_NQ}
+      ) WHERE rn <= {_S15_NPROBE}
+    ),
+    seeds AS (
+      SELECT nv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM norms ORDER BY vec_id LIMIT {ksub})
+    ),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+    books AS (
+      SELECT j, code, nv[j * {dsub} + 1 : (j + 1) * {dsub}] AS cw
+      FROM seeds CROSS JOIN js
+    ),
+    subs AS (
+      SELECT vec_id, j, nv[j * {dsub} + 1 : (j + 1) * {dsub}] AS sv
+      FROM norms CROSS JOIN js
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, subs.j, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, subs.j
+          ORDER BY list_sum(list_transform(list_zip(sv, cw),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), code) AS rn
+        FROM subs JOIN books ON subs.j = books.j
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q_assign q JOIN c_assign c USING (cell)
+      WHERE c.vec_id <> q.vec_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(SUM(CAST(round_even(list_dot_product(
+                    qn.nv[enc.j * {dsub} + 1 : (enc.j + 1) * {dsub}], b.cw
+                  ) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS s_i
+      FROM cand
+      JOIN enc ON enc.vec_id = cand.neighbor_id
+      JOIN books b ON b.j = enc.j AND b.code = enc.code
+      JOIN norms qn ON qn.vec_id = cand.query_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY s_i DESC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_S15_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_iround(exact_cos, 6)} DESC, c.vec_id) AS rn
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_S15_NQ}
+      ) WHERE rn <= {_S15_K}
+    )
+    SELECT a.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_approx,
+           CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+           {sql_iround(f"COUNT(e.neighbor_id) / CAST({_S15_K} AS DOUBLE)", 6)} AS recall
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+    """
+
+
+@query(
+    "s15_ivfpq_serving_recall",
+    oracle=_s15_oracle(),
+    tags=("llm", "similarity", "ivf", "pq", "audit"),
+)
+def s15_ivfpq_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL approximate-serving stack — IVF cell routing (s06's
+    structure) feeding PQ asymmetric-distance scoring (s07's quantizer) —
+    audited end to end as recall@{k} against the exact top-{k}: the one
+    number an IVF-PQ deployment (the FAISS IVFPQ serving default)
+    publishes. s06r audits routing alone and s07r the quantizer alone;
+    this composes them, so a regression in EITHER stage (or in how they
+    hand off) moves a driver-hashed integer.
+
+    Cross-engine exactness: every float op is the sequential JVM fold that
+    is bitwise-equal to DuckDB's list functions (`functions/vector`
+    contract) — seeded centroids, seeded codebooks (the 16 lowest-id
+    normalized vectors, no Lloyd, no numpy anywhere in this audit path),
+    per-subspace ADC dots rounded to scaled BIGINT before the
+    order-independent sum, ranks on (rounded score, id). The production
+    encode path (numpy/Arrow `pq_encode`) is s07's; here the encode runs
+    as a JVM argmin over the broadcast 64-row codeword table precisely so
+    the oracle can replay it bit for bit.
+
+    Scale: codewords/centroids are model-sized broadcasts; corpus encode
+    is a map-side argmin (64 candidates per subspace row); candidates
+    form per probed cell (never all-pairs); the ADC sum shuffles
+    (query, neighbor, j) triples with partial aggregation; top-k is a
+    bounded per-query window. The exact side is the audit harness, runs
+    on {nq} pinned queries only.
+    """
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine, dot
+
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+
+    v = as_double(F.col("embedding"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    norms = e.select("vec_id", F.transform(v, lambda x: x / nrm).alias("nv"))
+
+    cents = F.broadcast(
+        e.orderBy("vec_id")
+        .limit(_S15_NCELLS)
+        .select(F.col("vec_id").alias("cell"), v.alias("cv"))
+    )
+    scored = (
+        e.select("vec_id", v.alias("v"))
+        .join(cents, F.lit(True))
+        .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+        .select("vec_id", "cell", "sim")
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_cell))
+    c_assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    q_assign = (
+        ranked.filter((F.col("vec_id") < _S15_NQ) & (F.col("rn") <= _S15_NPROBE))
+        .select("vec_id", "cell")
+    )
+
+    # seeded codebooks: 16 lowest-id NORMALIZED vectors, sliced per subspace
+    seeds = (
+        norms.orderBy("vec_id")
+        .limit(_S15_KSUB)
+        .select("nv", (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"))
+    )
+    js = spark.range(_S15_M).select(F.col("id").cast("int").alias("j"))
+    books = F.broadcast(
+        seeds.crossJoin(js).select(
+            "j",
+            "code",
+            F.slice(F.col("nv"), F.col("j") * _S15_DSUB + 1, _S15_DSUB).alias("cw"),
+        )
+    )
+
+    # JVM corpus encode: argmin d2 over the broadcast codeword table
+    subs = norms.crossJoin(js).select(
+        "vec_id",
+        "j",
+        F.slice(F.col("nv"), F.col("j") * _S15_DSUB + 1, _S15_DSUB).alias("sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc = (
+        subs.join(books, "j")
+        .select("vec_id", "j", "code", d2.alias("d2"))
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+    cand = (
+        q_assign.alias("q")
+        .join(c_assign.alias("c"), "cell")
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    qn = norms.filter(F.col("vec_id") < _S15_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+    )
+    adc = (
+        cand.join(enc, cand.neighbor_id == enc.vec_id)
+        .join(books, ["j", "code"])
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.call_function(
+                "rint",
+                dot(F.slice(F.col("qnv"), F.col("j") * _S15_DSUB + 1, _S15_DSUB), F.col("cw"))
+                * 1_000_000_000,
+            )
+            .cast("bigint")
+            .alias("sj"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("sj").alias("s_i"))
+    )
+    w_q = W.partitionBy("query_id").orderBy(F.desc("s_i"), F.asc("neighbor_id"))
+    approx = (
+        adc.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _S15_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = e.filter(F.col("vec_id") < _S15_NQ).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    exact_scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+        .join(F.broadcast(qv), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", iround(cosine(F.col("qv"), F.col("cv")), 6).alias("r")
+        )
+    )
+    w_e = W.partitionBy("query_id").orderBy(F.desc("r"), F.asc("neighbor_id"))
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(w_e))
+        .filter(F.col("rn") <= _S15_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.sum(F.coalesce("hit", F.lit(0)).cast("bigint")).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_approx",
+            "n_hits",
+            iround(F.col("n_hits") / float(_S15_K), 6).alias("recall"),
+        )
+    )
