@@ -49,13 +49,14 @@ _SPAN_K = 8
     ),
     occ AS (
       SELECT doc_id, i AS pos,
-             array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS gram
+             CAST(('0x' || substr(md5(
+               array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ')), 1, 15)) AS BIGINT) AS g
       FROM d, LATERAL unnest(generate_series(1, greatest(len(w) - {_SPAN_K - 1}, 0))) AS u(i)
     ),
     ranked AS (
       SELECT doc_id, pos,
-             COUNT(*) OVER (PARTITION BY gram) AS n_occ,
-             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             COUNT(*) OVER (PARTITION BY g) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
       FROM occ
     ),
     rem AS (
@@ -137,15 +138,22 @@ def t26_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id",
         F.posexplode(word_ngrams(F.col("text"), _SPAN_K)).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        # shuffle the 60-bit md5 gram key, not the gram string (Lee et al.
+        # hash their windows too): 8-byte shuffle rows, measured 2x at
+        # sf1, collision odds ~2^-60 per pair — the d04r cross-engine hash
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),
+    )
     occ = occ.localCheckpoint(eager=True)
 
-    info = occ.groupBy("gram").agg(
+    info = occ.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
     )
     rem = (
-        occ.join(info.filter(F.col("n_occ") >= 2), "gram")
+        occ.join(info.filter(F.col("n_occ") >= 2), "g")
         .filter(
             ~(
                 (F.col("doc_id") == F.col("keeper.doc_id"))
