@@ -508,12 +508,16 @@ def dedup_clusters(
     ``cluster_id`` (singletons cluster with themselves). The standard
     "keep one per duplicate cluster" step after candidate-pair generation.
 
-    Algorithm: distributed min-label propagation — each iteration joins
-    labels across (symmetrized) edges and keeps the per-node min; iterate
-    until a fixpoint (checked with a single count of changed labels, the
-    only driver-side value). Converges in O(diameter) iterations; each is
-    one shuffle keyed by node. Near-dup graphs have tiny diameters, so
-    this terminates in 2-3 iterations in practice.
+    Algorithm: distributed min-label propagation over the TOUCHED
+    subgraph only — singletons (the overwhelming majority of a deduped
+    corpus) never enter the iteration: labels exist only for nodes that
+    appear in an edge, so every per-iteration shuffle is proportional to
+    the duplicate subgraph (≈2·|pairs|), not the corpus; the full corpus
+    is label-joined exactly once, after convergence. Each iteration is
+    one edge⋈label join + one per-node min; the fixpoint check counts
+    improved labels on the just-materialized table (a scan, no extra
+    join). Converges in O(diameter) iterations; near-dup graphs have tiny
+    diameters, so 2-3 in practice.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -521,7 +525,9 @@ def dedup_clusters(
         .distinct()
     )
     edges = _materialize(edges)
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).cast("bigint").alias("label"))
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
+    )
     labels = _materialize(labels)
 
     for _ in range(max_iterations):
@@ -537,21 +543,24 @@ def dedup_clusters(
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nbr_label") < F.col("label")).alias("__improved"),
             )
         )
         new_labels = _materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__improved")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("__improved")
         if changed == 0:
             break
 
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        df.select(id_col)
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col).cast("bigint")).alias("cluster_id"),
+        )
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, hash_fn=None) -> DataFrame:
