@@ -53,6 +53,13 @@ def prefix_sum(
     bucket count, not the data."""
     import pandas as pd
 
+    # Three passes read this input (quantile estimation, bucket totals,
+    # the bucketed shuffle) — materialize it once. Callers hand in narrow
+    # projections (id, ordering key, value), so the checkpoint stores a
+    # few longs per row; without it, an expensive ordering key (t11's
+    # per-character rolling-hash fingerprint) is recomputed per pass.
+    df = df.localCheckpoint(eager=True)
+
     key = order_cols[0]
     n_buckets = num_buckets or max(df.rdd.getNumPartitions(), 8)
     probs = [i / n_buckets for i in range(1, n_buckets)]
