@@ -133,6 +133,7 @@ DRIVER_PRIORITY: list[str] = [
     "r02_item_cooccurrence_lift",
     "f01_seasonal_naive_backtest",
     "s15_ivfpq_serving_recall",
+    "q75_position_attribution",
     # r5-changed implementations/oracles
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -154,7 +155,6 @@ DRIVER_PRIORITY: list[str] = [
     "q32_correlated_avg_subquery",
     "q34_string_functions",
     "q36_scalar_subquery_anti",
-    "q37_approx_aggregates",
 ]
 
 

@@ -594,3 +594,101 @@ def u05_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         now_key.alias("now_orderkey"),
         (F.coalesce(then_key, F.lit(-1)) != now_key).alias("revised"),
     )
+
+
+# --- q75: position-based (U-shaped) multi-touch attribution ---------------
+
+_Q75_SPARK_RND = "rint({x} * 10000)"
+_Q75_DUCK_RND = "round_even({x} * 10000, 0)"
+
+
+def _q75_body(rnd: str) -> str:
+    # credit share per touch type, computed IN-ROW per purchase from the
+    # bookend types and running per-type counts — no touch explode:
+    #   n = 1  -> 1.0 to the only touch
+    #   n = 2  -> 0.5 / 0.5 to first and last
+    #   n >= 3 -> 0.4 first + 0.4 last + 0.2 split over the middles
+    # credit = num/den as EXACT BIGINT fractions (n=1 -> [f]/1; n=2 ->
+    # ([f]+[l])/2; n>=3 -> (4(n-2)([f]+[l]) + 2·middles) / (10(n-2))):
+    # the only float ops are value * num / den, which both engines
+    # evaluate identically — decimal literals like 0.4 would run DECIMAL
+    # intermediates with engine-specific precision and drift the hash
+    credit_num = """
+        CASE WHEN n_t = 1 THEN (CASE WHEN first_touch = '{ty}' THEN 1 ELSE 0 END)
+             WHEN n_t = 2 THEN
+               (CASE WHEN first_touch = '{ty}' THEN 1 ELSE 0 END)
+               + (CASE WHEN last_touch = '{ty}' THEN 1 ELSE 0 END)
+             ELSE
+               4 * (n_t - 2) * ((CASE WHEN first_touch = '{ty}' THEN 1 ELSE 0 END)
+                                + (CASE WHEN last_touch = '{ty}' THEN 1 ELSE 0 END))
+               + 2 * (n_{ty}
+                      - (CASE WHEN first_touch = '{ty}' THEN 1 ELSE 0 END)
+                      - (CASE WHEN last_touch = '{ty}' THEN 1 ELSE 0 END))
+        END"""
+    credit_den = "CASE WHEN n_t = 1 THEN 1 WHEN n_t = 2 THEN 2 ELSE 10 * (n_t - 2) END"
+    c_click = f"({credit_num.format(ty='click')}) / CAST(({credit_den}) AS DOUBLE)"
+    c_view = f"({credit_num.format(ty='view')}) / CAST(({credit_den}) AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             {{fv}} OVER w AS first_touch,
+             {{lv}} OVER w AS last_touch,
+             SUM(CASE WHEN touch IS NOT NULL THEN 1 ELSE 0 END) OVER w AS n_t,
+             SUM(CASE WHEN touch = 'click' THEN 1 ELSE 0 END) OVER w AS n_click,
+             SUM(CASE WHEN touch = 'view' THEN 1 ELSE 0 END) OVER w AS n_view
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT value, first_touch, last_touch, n_t, n_click, n_view
+      FROM tagged WHERE event_type = 'purchase' AND n_t >= 1
+    ),
+    credited AS (
+      SELECT CAST({rnd.format(x=f"value * ({c_click})")} AS BIGINT) AS click_c,
+             CAST({rnd.format(x=f"value * ({c_view})")} AS BIGINT) AS view_c
+      FROM p
+    )
+    SELECT 'position_based' AS model, 'click' AS touch_type,
+           CAST(SUM(CASE WHEN click_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(SUM(click_c) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue
+    FROM credited
+    UNION ALL
+    SELECT 'position_based' AS model, 'view' AS touch_type,
+           CAST(SUM(CASE WHEN view_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(SUM(view_c) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue
+    FROM credited
+    """
+
+
+@query(
+    "q75_position_attribution",
+    oracle=_q75_body(_Q75_DUCK_RND).format(
+        fv="FIRST_VALUE(touch IGNORE NULLS)", lv="LAST_VALUE(touch IGNORE NULLS)"
+    ),
+    tags=("window", "events", "sql-entry"),
+)
+def q75_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase's
+    value splits 40% / 20% / 40% across the user's first touch, middle
+    touches (shared evenly), and last touch — the multi-touch model
+    between q74's two single-touch bookends. Degenerate paths follow the
+    published convention (one touch takes 100%, two touches split 50/50).
+
+    Scale: the whole credit computation is IN-ROW per purchase — bookend
+    types via IGNORE-NULLS windows plus per-type running counts over the
+    same frame give exact middle-touch counts with NO touch explode and
+    NO purchase⋈touch join; per-type credits round to scaled BIGINT
+    before the order-independent roll-up. One user-keyed exchange over
+    events, then a 2-row aggregate."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        _q75_body(_Q75_SPARK_RND).format(
+            fv="FIRST_VALUE(touch) IGNORE NULLS", lv="LAST_VALUE(touch) IGNORE NULLS"
+        )
+    )
