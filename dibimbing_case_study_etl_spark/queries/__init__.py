@@ -134,7 +134,16 @@ DRIVER_PRIORITY: list[str] = [
     "f01_seasonal_naive_backtest",
     "s15_ivfpq_serving_recall",
     "q75_position_attribution",
-    # r5-changed implementations/oracles
+    # r5-changed implementations/oracles (incl. the session-3 perf
+    # restructures: dedup_clusters touched-subgraph propagation feeds
+    # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
+    # t08 single-split; t26 hashed gram keys)
+    "d06_dedup_clusters",
+    "d07_dedup_resolution",
+    "p01_training_data_pipeline",
+    "t11_sequence_packing",
+    "q72_revenue_pareto",
+    "t08_repetition_score",
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
     "d08_edit_distance_pairs",
@@ -147,12 +156,6 @@ DRIVER_PRIORITY: list[str] = [
     "t21_leakage_safe_split",
     "t22_epoch_shuffle",
     # stalest greens (last driver row r2)
-    "q09_nation_year_profit",
-    "q10_returned_revenue_topk",
-    "q26_events_hourly",
-    "q28_events_json_props",
-    "q31_percentiles",
-    "q32_correlated_avg_subquery",
     "q34_string_functions",
     "q36_scalar_subquery_anti",
 ]
