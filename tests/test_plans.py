@@ -543,3 +543,49 @@ def test_t28_mask_is_jvm_and_windows_by_doc(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
         assert spec == "doc_id", f"window partitioned by {spec}, not doc_id"
+
+
+def test_t29_rules_are_map_flags_into_one_agg(spark, sf_dir):
+    """t29's execution contract: the rule flags are pure map-stage
+    expressions (no Python, no join); the only exchange is the
+    |sources|-keyed aggregate."""
+    plan = explain_str(spark, sf_dir, "t29_gopher_rules")
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_r02_broadcasts_totals_and_takes_ordered_topk(spark, sf_dir):
+    """r02's execution contract: item totals and the user count broadcast
+    back to the surviving pairs (no shuffle of the pair table on item),
+    and the lift ranking compiles to TakeOrderedAndProject."""
+    plan = explain_str(spark, sf_dir, "r02_item_cooccurrence_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_f01_lags_over_the_aggregated_table(spark, sf_dir):
+    """f01's execution contract: the event feed reduces to (type, day)
+    totals BEFORE the seasonal-lag window — partial aggregation must
+    appear below the window, and the window partitions by event_type."""
+    plan = explain_str(spark, sf_dir, "f01_seasonal_naive_backtest")
+    assert "windowspecdefinition(event_type" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "Join" not in plan
+
+
+def test_q75_position_attribution_has_no_touch_join(spark, sf_dir):
+    """q75's execution contract: like q74, the U-shaped credit split is
+    carried along the per-user event stream — no purchase⋈touch join."""
+    plan = explain_str(spark, sf_dir, "q75_position_attribution")
+    assert "Join" not in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_s15_models_broadcast_and_no_python(spark, sf_dir):
+    """s15's execution contract: centroids, codebooks, and query vectors
+    ride broadcasts (model-sized), the corpus-side encode/score stays in
+    JVM codegen (no Python anywhere in the audit path)."""
+    plan = explain_str(spark, sf_dir, "s15_ivfpq_serving_recall")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
