@@ -134,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "f01_seasonal_naive_backtest",
     "s15_ivfpq_serving_recall",
     "q75_position_attribution",
+    "q76_frequent_event_paths",
     # r5-changed implementations/oracles (incl. the session-3 perf
     # restructures: dedup_clusters touched-subgraph propagation feeds
     # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
@@ -156,7 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "t21_leakage_safe_split",
     "t22_epoch_shuffle",
     # stalest greens (last driver row r2)
-    "q34_string_functions",
     "q36_scalar_subquery_anti",
 ]
 

@@ -692,3 +692,49 @@ def q75_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fv="FIRST_VALUE(touch) IGNORE NULLS", lv="LAST_VALUE(touch) IGNORE NULLS"
         )
     )
+
+
+# --- q76: frequent path mining over the event stream ----------------------
+
+_Q76_STEPS = 3
+_Q76_TOPK = 25
+
+_Q76_BODY = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS step2,
+             LEAD(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || step2 || ' > ' || step3 AS path
+      FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM paths
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {topk}
+""".format(topk=_Q76_TOPK)
+
+
+@query(
+    "q76_frequent_event_paths",
+    oracle=_Q76_BODY,
+    tags=("window", "events", "paths", "sql-entry"),
+)
+def q76_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent path mining: the top {k} three-step event-type sequences
+    users actually take, in event-time order — the product-analytics
+    "path analysis" view (q61 checks ONE prescribed funnel; this
+    discovers which paths dominate). Identical SQL text runs on both
+    engines.
+
+    Scale: consecutive steps come from LEAD windows over the per-user
+    stream (one user-keyed exchange — no self-join chain, which would
+    shuffle the feed once per step); the path space is |event_types|³
+    (tiny), so the count aggregate combines map-side into almost nothing,
+    and the final ranking is TakeOrderedAndProject."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(_Q76_BODY)
