@@ -135,6 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "s15_ivfpq_serving_recall",
     "q75_position_attribution",
     "q76_frequent_event_paths",
+    "p03_incremental_refresh_pipeline",
     # r5-changed implementations/oracles (incl. the session-3 perf
     # restructures: dedup_clusters touched-subgraph propagation feeds
     # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
@@ -156,8 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "s09_knn_graph",
     "t21_leakage_safe_split",
     "t22_epoch_shuffle",
-    # stalest greens (last driver row r2)
-    "q36_scalar_subquery_anti",
 ]
 
 

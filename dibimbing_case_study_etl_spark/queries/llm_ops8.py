@@ -457,3 +457,147 @@ def s15_ivfpq_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             iround(F.col("n_hits") / float(_S15_K), 6).alias("recall"),
         )
     )
+
+
+# --- p03: incremental corpus-refresh pipeline -----------------------------
+
+_P03_Q_MIN = 0.5  # admission threshold on t02's composite quality score
+
+
+def _p03_oracle() -> str:
+    from dibimbing_case_study_etl_spark.functions.text import EN_STOPWORDS
+    from dibimbing_case_study_etl_spark.queries.llm_ops import _sql_marker_score
+    from dibimbing_case_study_etl_spark.queries.llm_ops4 import (
+        _D14_INCOMING,
+        _D14_JACCARD,
+        _D14_K,
+    )
+
+    sh = (
+        "unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(regexp_split_to_array(trim(text), ' +')) - {_D14_K - 1}, 0)), "
+        f"idx -> array_to_string(list_slice(regexp_split_to_array(trim(text), ' +'), idx, idx + {_D14_K - 1}), ' ')"
+        "))) AS s"
+    )
+    q = (
+        "round_even((0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)"
+        " + 0.5 * LEAST(1.0, n_tokens / 100.0)) * 10000, 0) / 10000.0"
+    )
+    return f"""
+    WITH existing AS (SELECT * FROM documents WHERE NOT ({_D14_INCOMING})),
+    incoming AS (SELECT * FROM documents WHERE {_D14_INCOMING}),
+    exact AS (
+      SELECT i.doc_id FROM incoming i JOIN existing e ON md5(i.text) = md5(e.text)
+      GROUP BY i.doc_id
+    ),
+    ish AS (SELECT doc_id, {sh} FROM incoming),
+    esh AS (SELECT doc_id, {sh} FROM existing),
+    sizes_i AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY doc_id),
+    sizes_e AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+    common AS (
+      SELECT ish.doc_id AS di, esh.doc_id AS de, COUNT(*) AS c
+      FROM ish JOIN esh USING (s) GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT di AS doc_id FROM common
+      JOIN sizes_i ON sizes_i.doc_id = common.di
+      JOIN sizes_e ON sizes_e.doc_id = common.de
+      WHERE CAST(c AS DOUBLE) / (sizes_i.n + sizes_e.n - c) >= {_D14_JACCARD}
+      GROUP BY di
+    ),
+    verdicts AS (
+      SELECT i.doc_id, i.source,
+             CAST(len(regexp_split_to_array(trim(i.text), ' +')) AS BIGINT) AS n_tokens,
+             {_sql_marker_score(EN_STOPWORDS).replace("text", "i.text")} AS n_stop,
+             CASE WHEN exact.doc_id IS NOT NULL THEN 'exact'
+                  WHEN near.doc_id IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS verdict
+      FROM incoming i
+      LEFT JOIN exact ON exact.doc_id = i.doc_id
+      LEFT JOIN near ON near.doc_id = i.doc_id
+    ),
+    scored AS (SELECT source, verdict, n_tokens, {q} AS qs FROM verdicts)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN verdict = 'new' AND qs < {_P03_Q_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lowq,
+           CAST(SUM(CASE WHEN verdict = 'new' AND qs >= {_P03_Q_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           CAST(SUM(CASE WHEN verdict = 'new' AND qs >= {_P03_Q_MIN} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_accepted,
+           {sql_iround(f"SUM(CASE WHEN verdict = 'new' AND qs >= {_P03_Q_MIN} THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 6)}
+             AS accept_rate
+    FROM scored
+    GROUP BY source
+    """
+
+
+@query(
+    "p03_incremental_refresh_pipeline",
+    oracle=_p03_oracle(),
+    tags=("llm", "pipeline", "incremental", "dedup", "quality"),
+)
+def p03_incremental_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL corpus refresh — the daily-ingest
+    counterpart of p01's from-scratch build: the incoming batch is
+    classified against the existing corpus (d14's exact-hash and
+    shingle-Jaccard arms), survivors pass t02's composite quality gate,
+    and the output is the per-source admission report (exact/near/low-
+    quality rejections, accepted docs + their token mass, accept rate) —
+    the table a continuously-ingesting pipeline publishes after every
+    batch.
+
+    Scale: composes the already-audited incremental shapes — d14's
+    incoming×existing-only comparison (no incoming self-join, no corpus
+    self-join) feeds verdicts; the quality gate is map-side expressions
+    on the incoming batch alone; the report is one |sources|-keyed
+    partial agg. The whole pipeline is one lazy plan: nothing
+    materializes between stages except d14's two shingle-index
+    checkpoints (shared by its size aggregate and candidate join).
+    """
+    from dibimbing_case_study_etl_spark.functions.text import (
+        EN_STOPWORDS,
+        marker_score,
+        token_count,
+    )
+    from dibimbing_case_study_etl_spark.queries.llm_ops4 import (
+        _D14_INCOMING,
+        d14_incremental_dedup,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    verdicts = d14_incremental_dedup(spark, sf_dir).select("doc_id", "verdict")
+
+    n_tokens = token_count(F.col("text"))
+    qs = iround(
+        0.5 * (marker_score(F.col("text"), EN_STOPWORDS) / n_tokens)
+        + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0),
+        4,
+    )
+    incoming = (
+        t["documents"]
+        .filter(F.expr(_D14_INCOMING))
+        .select("doc_id", "source", n_tokens.alias("n_tokens"), qs.alias("qs"))
+    )
+    new_ok = (F.col("verdict") == "new") & (F.col("qs") >= _P03_Q_MIN)
+    return (
+        incoming.join(verdicts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum((F.col("verdict") == "exact").cast("bigint")).alias("n_exact"),
+            F.sum((F.col("verdict") == "near").cast("bigint")).alias("n_near"),
+            F.sum(((F.col("verdict") == "new") & (F.col("qs") < _P03_Q_MIN)).cast("bigint")).alias(
+                "n_lowq"
+            ),
+            F.sum(new_ok.cast("bigint")).alias("n_accepted"),
+            F.sum(F.when(new_ok, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_accepted"
+            ),
+            iround(
+                F.sum(new_ok.cast("bigint")) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accept_rate"),
+        )
+    )
