@@ -1,26 +1,27 @@
-"""Round-5 late additions II: exact duplicated-substring removal and BM25
-keyword retrieval.
+"""Round-5 late additions II: span-level dedup, retrieval, model-based
+quality, graph centrality, and seq2seq data prep.
 
-``t26`` closes the last gap in the dedup family's *granularity* ladder:
-d01 removes identical documents, d03/d05 near-identical documents, d15
-finds CDC-chunk verbatim *pairs*, d12 scores cross-document n-gram
-overlap — but nothing yet produces the span-level REMOVAL accounting of
-Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-Better"), where any ≥K-token window that occurs more than once in the
-corpus is deleted everywhere except its globally-first occurrence. t26
-emits, per document, the merged removal spans and the token savings — the
-numbers a substring-dedup pass reports before rewriting the corpus.
-
-``r01`` opens a family no other query covers: retrieval. t17 ranks a
-document's own terms by TF-IDF; r01 answers a *query* — Okapi BM25
-(k1=1.2, b=0.75) over a fixed term set, returning the global top-k
-documents. This is the keyword-search surface (the Elasticsearch/Lucene
-scoring function) an analytics engine needs for corpus exploration and
-hard-negative mining.
+- ``t26`` closes the dedup family's *granularity* ladder: the span-level
+  REMOVAL accounting of Lee et al. 2022 ("Deduplicating Training Data
+  Makes Language Models Better") — every ≥K-token window occurring more
+  than once is deleted everywhere except its globally-first occurrence;
+  per-document merged spans + token savings.
+- ``r01`` opens the retrieval class: Okapi BM25 (the Lucene/Elasticsearch
+  practical scoring function) top-k for a query term set — t17 ranks a
+  document's own terms; r01 answers a QUERY.
+- ``t27`` is the learned-classifier quality gate (fastText/VW hashing
+  trick — the weight is a function of the token hash, so inference is a
+  map-side integer dot product with no vocab join).
+- ``g01`` is the registry's first fixpoint graph algorithm: PageRank over
+  the deterministic k-NN embedding graph in exact BIGINT mass arithmetic.
+- ``t28`` plans T5 span corruption (the md5 position hash IS the noise
+  stream): per-document encoder/decoder lengths for seq2seq packing.
+- ``t29`` is the Gopher rule bundle (Rae et al. 2021): named filter rules
+  as per-source audit counters.
 
 Reference parity: the reference repo (caesarmario/dibimbing-case-study-etl,
-pandas+Postgres `scripts/`) has no text-retrieval or dedup surface; both
-operators belong to the beyond-reference LLM-data-pipeline mandate.
+pandas+Postgres `scripts/`) has none of these surfaces; the family
+belongs to the beyond-reference LLM-data-pipeline mandate.
 """
 
 from __future__ import annotations
