@@ -312,46 +312,75 @@ def q54_window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFra
 def q55_cogrouped_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-grouped ``applyInPandas`` — the two-table half of the pandas UDF
     surface (q46 covers one table): orders and lineitem are each shuffled
-    once on the order key, then the Python function sees the pair of
-    aligned pandas frames per key and reconciles the order against its
-    items. ``np.rint`` is IEEE half-even on the binary double — the exact
-    twin of the oracle's ``round_even`` — so the cents totals are
-    bit-identical. The orders side carries a quarter's date slice and the
-    items side is semi-join-pruned to it before the Python stage (cogroup
-    invokes Python once per key, so unpruned item keys would each pay a
-    call just to produce an empty group); the empty-orders guard still
-    covers cogroup's either-side key semantics if the pruning is removed."""
+    once on a shared key, and the Python function sees the pair of aligned
+    pandas frames per key and reconciles orders against their items.
+
+    The cogroup KEY is a hash bucket of the order key, not the order key
+    itself: cogroup invokes Python once per key, so keying by o_orderkey
+    costs O(orders) interpreter round-trips (measured 42.9s at sf1) while
+    keying by pmod(xxhash64(o_orderkey), B) costs O(B) invocations with
+    the per-order reconciliation done vectorized (pandas groupby + left
+    merge) inside each bucket — the only cogroup shape that survives a
+    100 TB corpus. B scales with the session's shuffle parallelism so
+    per-bucket frames stay bounded as the cluster grows. ``np.rint`` is
+    IEEE half-even on the binary double — the exact twin of the oracle's
+    ``round_even`` — so the cents totals are bit-identical. The orders
+    side carries a quarter's date slice and the items side is
+    semi-join-pruned to it before the Python stage (the SF-proportional
+    order slice carries no broadcast hint — AQE broadcasts it at bench SF
+    and shuffles at cluster scale)."""
     import numpy as np
     import pandas as pd
 
     t = register(spark, sf_dir, ("orders", "lineitem"))
-    orders = t["orders"].filter(
-        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
-    ).select("o_orderkey")
-    # prune the items side to the order slice BEFORE the Python stage: an
-    # unpruned cogroup pays one Python invocation per item key (measured
-    # ~30s vs ~2s at sf0.01). The quarter-of-orders side is SF-proportional
-    # so the semi-join carries no broadcast hint — AQE broadcasts it at
-    # bench SF and shuffles at cluster scale.
-    items = t["lineitem"].select("l_orderkey", "l_extendedprice").join(
-        orders, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200")) * 4
+    bucket = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(nbuckets)).alias("bucket")
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select("o_orderkey", bucket)
+    )
+    items = (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi")
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(nbuckets)).alias("bucket"),
+        )
     )
 
     def reconcile(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(opdf):
+            # items whose orders fall outside the date slice are pruned
+            # upstream, but cogroup's either-side key semantics still
+            # require the guard
             return pd.DataFrame({"o_orderkey": [], "n_items": [], "lineitem_cents": []})
-        cents = (
-            int(np.rint(lpdf["l_extendedprice"].to_numpy() * 100).astype("int64").sum())
-            if len(lpdf)
-            else 0
-        )
-        return pd.DataFrame(
-            {"o_orderkey": [key[0]], "n_items": [len(lpdf)], "lineitem_cents": [cents]}
-        )
+        if len(lpdf):
+            cents = pd.DataFrame(
+                {
+                    "l_orderkey": lpdf["l_orderkey"],
+                    "c": np.rint(lpdf["l_extendedprice"].to_numpy() * 100).astype("int64"),
+                }
+            )
+            per_order = cents.groupby("l_orderkey", sort=False).agg(
+                n_items=("c", "size"), lineitem_cents=("c", "sum")
+            )
+            out = opdf[["o_orderkey"]].merge(
+                per_order, left_on="o_orderkey", right_index=True, how="left"
+            )
+        else:
+            out = opdf[["o_orderkey"]].copy()
+            out["n_items"] = 0
+            out["lineitem_cents"] = 0
+        out["n_items"] = out["n_items"].fillna(0).astype("int64")
+        out["lineitem_cents"] = out["lineitem_cents"].fillna(0).astype("int64")
+        return out
 
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(items.groupBy("l_orderkey"))
+        orders.groupBy("bucket")
+        .cogroup(items.groupBy("bucket"))
         .applyInPandas(reconcile, schema="o_orderkey bigint, n_items bigint, lineitem_cents bigint")
     )
 
