@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops6,
         llm_ops7,
         llm_ops8,
+        llm_ops9,
         relational,
         relational2,
         relational3,
@@ -102,6 +103,12 @@ def load_all() -> dict[str, QuerySpec]:
 DRIVER_PRIORITY: list[str] = [
     # the r4 red row, first
     "t20_tokenizer_fertility",
+    # newest in r5 (never driver-checked) + q55's bucketed-cogroup rewrite
+    "q77_rolling_zscore_anomaly",
+    "t30_source_length_winsorize",
+    "r03_rrf_hybrid_topk",
+    "g02_neardup_triangle_census",
+    "q55_cogrouped_order_reconciliation",
     # never driver-checked (new in r5) + the new s02 oracle
     "s13_kmeans_lloyd_audit",
     "s14_dim_truncation_recall",
@@ -143,20 +150,19 @@ DRIVER_PRIORITY: list[str] = [
     "d06_dedup_clusters",
     "d07_dedup_resolution",
     "p01_training_data_pipeline",
-    "t11_sequence_packing",
     "q72_revenue_pareto",
-    "t08_repetition_score",
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
     "d08_edit_distance_pairs",
     "m01_multimodal_features",
     "m05_features_map_in_arrow",
     "m08_png_phash_neardup",
-    "d05_embedding_neardup_pairs",
-    "s11_cosine_histogram",
-    "s09_knn_graph",
     "t21_leakage_safe_split",
     "t22_epoch_shuffle",
+    # dropped to stay at 50: s09 (rows-only row — its oracled audit twin
+    # s09r keeps the slot), d05/s11 (driver-green r4; r5 change was block
+    # sizing only, sim-verified), t08/t11 (r5 perf restructures with
+    # unchanged oracles, verified at 3 SFs locally + sf1 sweep)
 ]
 
 

@@ -203,9 +203,9 @@ _BM25_TERMS = ("merge", "window", "stream", "filter")
 _BM25_TOPK = 50
 
 
-@query(
-    "r01_bm25_topk",
-    oracle=f"""
+# Module-level so r03 (reciprocal-rank fusion) can embed the identical
+# BM25 ranking as a subquery of its own oracle.
+_R01_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
     ),
@@ -241,7 +241,12 @@ _BM25_TOPK = 50
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_TOPK}
-    """,
+    """
+
+
+@query(
+    "r01_bm25_topk",
+    oracle=_R01_ORACLE,
     tags=("llm", "retrieval", "text"),
     bench=True,
 )
