@@ -109,6 +109,8 @@ DRIVER_PRIORITY: list[str] = [
     "r03_rrf_hybrid_topk",
     "g02_neardup_triangle_census",
     "q55_cogrouped_order_reconciliation",
+    "q78_rfm_segmentation",
+    "t31_mixture_annealing_plan",
     # never driver-checked (new in r5) + the new s02 oracle
     "s13_kmeans_lloyd_audit",
     "s14_dim_truncation_recall",
@@ -150,19 +152,19 @@ DRIVER_PRIORITY: list[str] = [
     "d06_dedup_clusters",
     "d07_dedup_resolution",
     "p01_training_data_pipeline",
-    "q72_revenue_pareto",
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
     "d08_edit_distance_pairs",
     "m01_multimodal_features",
-    "m05_features_map_in_arrow",
     "m08_png_phash_neardup",
     "t21_leakage_safe_split",
     "t22_epoch_shuffle",
     # dropped to stay at 50: s09 (rows-only row — its oracled audit twin
     # s09r keeps the slot), d05/s11 (driver-green r4; r5 change was block
     # sizing only, sim-verified), t08/t11 (r5 perf restructures with
-    # unchanged oracles, verified at 3 SFs locally + sf1 sweep)
+    # unchanged oracles, verified at 3 SFs locally + sf1 sweep), q72 (same
+    # prefix_sum class), m05 (shares m01's decode path and oracle shape —
+    # m01 keeps the slot)
 ]
 
 

@@ -521,3 +521,181 @@ def g02_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("closure_rate"),
         )
     )
+
+
+# --- q78: RFM customer segmentation --------------------------------------
+
+_Q78_NT = 5  # quintiles
+
+
+@query(
+    "q78_rfm_segmentation",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round_even(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM p),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', MAX(CAST(ts AS DATE)), (SELECT a FROM anchor))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(c) AS BIGINT) AS cents
+      FROM p GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, freq, cents,
+             NTILE({_Q78_NT}) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             NTILE({_Q78_NT}) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             NTILE({_Q78_NT}) OVER (ORDER BY cents DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS monetary_total,
+           {sql_iround("SUM(freq) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_frequency
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("events", "segmentation", "window"),
+)
+def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: every purchasing user scored into
+    recency / frequency / monetary quintiles (NTILE with user_id
+    tiebreaks — identical bucket boundaries on both engines), then the
+    segment report (users, revenue, mean purchase count per R×F×M cell)
+    that drives lifecycle campaigns ("champions", "at-risk", ...).
+
+    Scale: the corpus-sized work is one user-keyed partial agg of the
+    purchase feed; the three NTILEs run on the per-USER table (orders of
+    magnitude smaller than events — this is why the aggregation must come
+    first, not a window over raw purchases). The quintile windows are
+    unpartitioned (global sort of the user table); past ~10⁹ users the
+    drop-in is q72's range-bucketed distributed prefix sum to derive
+    ranks, with NTILE as ceil(NT·rank/n). Revenue stays integer cents
+    until the report."""
+    t = register(spark, sf_dir, ("events",))
+    p = t["events"].filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.call_function("rint", F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    anchor = F.broadcast(p.agg(F.max("d").alias("a")))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("c").alias("cents"),
+        )
+        .crossJoin(anchor)
+        .select(
+            "user_id",
+            F.datediff("a", "last_d").alias("recency_days"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = per_user.select(
+        "freq",
+        "cents",
+        F.ntile(_Q78_NT).over(W.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(_Q78_NT).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(_Q78_NT).over(W.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("cents") / F.lit(100.0)).alias("monetary_total"),
+            iround(F.sum("freq") / F.count(F.lit(1)).cast("double"), 4).alias("avg_frequency"),
+        )
+    )
+
+
+# --- t31: mixture annealing plan ------------------------------------------
+
+_T31_EPOCHS = 4          # interpolation steps: epoch 0 (natural) .. E (uniform)
+_T31_BUDGET = 1_000_000  # tokens sampled per epoch
+
+
+@query(
+    "t31_mixture_annealing_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+    e AS (SELECT unnest(generate_series(0, {_T31_EPOCHS})) AS epoch),
+    plan AS (
+      SELECT s.source, e.epoch, s.toks,
+             CAST(s.toks * tot.ns * ({_T31_EPOCHS} - e.epoch) + tot.t * e.epoch AS BIGINT) AS num,
+             CAST(tot.t * tot.ns * {_T31_EPOCHS} AS BIGINT) AS den
+      FROM s CROSS JOIN e CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(epoch AS BIGINT) AS epoch,
+           toks AS n_tokens,
+           {sql_iround("CAST(num AS DOUBLE) / den", 6)} AS weight,
+           CAST(floor({_T31_BUDGET} * (CAST(num AS DOUBLE) / den)) AS BIGINT)
+             AS planned_tokens
+    FROM plan
+    """,
+    tags=("llm", "mixing", "curriculum"),
+)
+def t31_mixture_annealing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-annealing schedule: per-epoch source sampling weights that
+    interpolate linearly from the NATURAL mixture (each source's token
+    share — epoch 0) to the UNIFORM mixture (1/|sources| — epoch {e}),
+    the standard end-of-training anneal that upweights small high-quality
+    sources as the learning rate decays; plus each source's planned token
+    draw from a fixed per-epoch budget. Complements t12 (one static
+    temperature-scaled mixture) with the full schedule.
+
+    Cross-engine exactness: the interpolated weight is the exact integer
+    rational [toks·S·(E−e) + T·e] / (T·S·E) — numerator and denominator
+    are BIGINTs on both engines, so the published weight is one identical
+    double division (rounded 6 dp) and the planned draw one identical
+    floor. Per epoch the numerators sum to the denominator, so planned
+    tokens sum to the budget up to |sources| floors.
+
+    Scale: one source-keyed partial agg of the corpus; everything after
+    runs on the |sources|×(E+1) plan table (broadcast totals, no second
+    corpus pass)."""
+    t = register(spark, sf_dir, ("documents",))
+    s = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("toks"))
+    )
+    tot = F.broadcast(
+        s.agg(F.sum("toks").cast("bigint").alias("t"), F.count(F.lit(1)).alias("ns"))
+    )
+    epochs = spark.range(0, _T31_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    plan = s.crossJoin(F.broadcast(epochs)).crossJoin(tot).select(
+        "source",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("toks").alias("n_tokens"),
+        (
+            F.col("toks") * F.col("ns") * (F.lit(_T31_EPOCHS) - F.col("epoch"))
+            + F.col("t") * F.col("epoch")
+        ).alias("num"),
+        (F.col("t") * F.col("ns") * _T31_EPOCHS).alias("den"),
+    )
+    ratio = F.col("num").cast("double") / F.col("den")
+    return plan.select(
+        "source",
+        "epoch",
+        "n_tokens",
+        iround(ratio, 6).alias("weight"),
+        F.floor(_T31_BUDGET * ratio).cast("bigint").alias("planned_tokens"),
+    )
