@@ -111,6 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     "q55_cogrouped_order_reconciliation",
     "q78_rfm_segmentation",
     "t31_mixture_annealing_plan",
+    "t32_classifier_calibration",
     # never driver-checked (new in r5) + the new s02 oracle
     "s13_kmeans_lloyd_audit",
     "s14_dim_truncation_recall",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: list[str] = [
     # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
     # t08 single-split; t26 hashed gram keys)
     "d06_dedup_clusters",
-    "d07_dedup_resolution",
     "p01_training_data_pipeline",
     "m06_phash_neardup",
     "d03_dedup_minhash_lsh",
@@ -164,7 +164,8 @@ DRIVER_PRIORITY: list[str] = [
     # sizing only, sim-verified), t08/t11 (r5 perf restructures with
     # unchanged oracles, verified at 3 SFs locally + sf1 sweep), q72 (same
     # prefix_sum class), m05 (shares m01's decode path and oracle shape —
-    # m01 keeps the slot)
+    # m01 keeps the slot), d07 (its r5 change is the shared cluster-label
+    # path that d06/p01/t21/t25 slots re-check; keeper logic itself via d17)
 ]
 
 

@@ -699,3 +699,119 @@ def t31_mixture_annealing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         iround(ratio, 6).alias("weight"),
         F.floor(_T31_BUDGET * ratio).cast("bigint").alias("planned_tokens"),
     )
+
+
+# --- t32: classifier calibration audit ------------------------------------
+
+_T32_NBINS = 10
+_T32_LABEL_MIN = 0.5  # heuristic-quality threshold defining the "true" label
+
+
+def _t32_oracle() -> str:
+    from dibimbing_case_study_etl_spark.functions.text import EN_STOPWORDS
+    from dibimbing_case_study_etl_spark.queries.llm_ops import _sql_marker_score
+    from dibimbing_case_study_etl_spark.queries.llm_ops7 import _CLF_WRANGE
+
+    qs = (
+        "round_even((0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)"
+        " + 0.5 * LEAST(1.0, n_tokens / 100.0)) * 10000, 0) / 10000.0"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        FROM documents
+      )
+    ),
+    pred AS (
+      SELECT doc_id,
+             {sql_iround(f"1.0 / (1.0 + exp(-(SUM((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CLF_WRANGE}) - 1000) / (1000.0 * sqrt(COUNT(*))))))", 4)}
+               AS score
+      FROM feats GROUP BY doc_id
+    ),
+    lab AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             {_sql_marker_score(EN_STOPWORDS)} AS n_stop
+      FROM documents
+    ),
+    joined AS (
+      SELECT p.score,
+             CASE WHEN ({qs}) >= {_T32_LABEL_MIN} THEN 1 ELSE 0 END AS y
+      FROM pred p JOIN lab ON lab.doc_id = p.doc_id
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor(score * {_T32_NBINS}) AS BIGINT), {_T32_NBINS - 1})
+               AS conf_bin,
+             CAST(round_even(score * 10000, 0) AS BIGINT) AS s_i,
+             y
+      FROM joined
+    )
+    SELECT conf_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           {sql_iround("SUM(s_i) / (10000.0 * COUNT(*))", 4)} AS avg_confidence,
+           {sql_iround("SUM(y) / CAST(COUNT(*) AS DOUBLE)", 4)} AS positive_rate,
+           {sql_iround("abs(SUM(s_i) / (10000.0 * COUNT(*)) - SUM(y) / CAST(COUNT(*) AS DOUBLE))", 4)}
+             AS calibration_gap
+    FROM binned
+    GROUP BY conf_bin
+    """
+
+
+@query(
+    "t32_classifier_calibration",
+    oracle=_t32_oracle(),
+    tags=("llm", "quality", "audit", "calibration"),
+)
+def t32_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the learned quality gate: t27's hashed
+    linear classifier scores every document, the heuristic composite
+    (p03's t02-style score ≥ {m}) stands in as the reference label, and
+    each confidence decile reports predicted confidence vs realized
+    positive rate plus the per-bin calibration gap — the table behind an
+    expected-calibration-error (ECE) check, which is what decides whether
+    a classifier's 0.9 actually means 90% before its threshold gates a
+    corpus. No other registry query audits a model's probabilities
+    against outcomes.
+
+    Cross-engine exactness: predictions are t27's 4-dp-rounded sigmoid,
+    so binning (floor(score·{b}), top bin closed) and the scaled-integer
+    confidence sums are decisions on identical doubles; labels derive
+    from exact integer token/stopword counts through one rounded
+    composite. Scale: two corpus passes that fuse into map-side work — the
+    explode→distinct→partial-agg dot product (t27's shape) and a
+    flat label scan — joined on doc_id, then a {b}-row partial agg."""
+    from dibimbing_case_study_etl_spark.functions.text import EN_STOPWORDS, marker_score
+    from dibimbing_case_study_etl_spark.queries.llm_ops7 import (
+        t27_hashed_quality_classifier,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    pred = t27_hashed_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    n_tokens = token_count(F.col("text"))
+    qs = iround(
+        0.5 * (marker_score(F.col("text"), EN_STOPWORDS) / n_tokens)
+        + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0),
+        4,
+    )
+    lab = t["documents"].select(
+        "doc_id", (qs >= _T32_LABEL_MIN).cast("int").alias("y")
+    )
+    binned = pred.join(lab, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * _T32_NBINS).cast("bigint"),
+            F.lit(_T32_NBINS - 1).cast("bigint"),
+        ).alias("conf_bin"),
+        F.call_function("rint", F.col("score") * 10000).cast("bigint").alias("s_i"),
+        "y",
+    )
+    avg_conf = F.sum("s_i") / (10000.0 * F.count(F.lit(1)))
+    pos_rate = F.sum("y") / F.count(F.lit(1)).cast("double")
+    return binned.groupBy("conf_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_positive"),
+        iround(avg_conf, 4).alias("avg_confidence"),
+        iround(pos_rate, 4).alias("positive_rate"),
+        iround(F.abs(avg_conf - pos_rate), 4).alias("calibration_gap"),
+    )
