@@ -466,8 +466,14 @@ def g02_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles the id-ordered way; the counts
     agree because both enumerate each triangle exactly once."""
     t = register(spark, sf_dir, ("documents",))
-    pairs = minhash_lsh_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8).select(
-        "doc_a", "doc_b"
+    # The pair set feeds FIVE consumers (deg, two orientation joins, the
+    # e1/e2/e3 self-joins, n_edges): checkpoint it once or Catalyst inlines
+    # the whole LSH pipeline into every branch (the un-checkpointed plan
+    # replayed the shingle/band/verify stages 9×).
+    pairs = (
+        minhash_lsh_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -486,8 +492,13 @@ def g02_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("deg_b") * _G02_KEY_SHIFT + F.col("doc_b")).alias("kb"),
         )
     )
-    oriented = keyed.select(
-        F.least("ka", "kb").alias("src"), F.greatest("ka", "kb").alias("dst")
+    # oriented is consumed three times (e1/e2/e3); checkpoint so the deg
+    # joins run once, and re-spread afterwards (trap: checkpoint pins a
+    # coalesced layout AND loses stats — the self-joins go sort-merge,
+    # which is the right shape for an edge table at scale anyway).
+    oriented = (
+        keyed.select(F.least("ka", "kb").alias("src"), F.greatest("ka", "kb").alias("dst"))
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge = e1.join(
@@ -535,18 +546,16 @@ _Q78_NT = 5  # quintiles
       SELECT user_id, ts, CAST(round_even(value * 100, 0) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase'
     ),
-    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM p),
     per_user AS (
       SELECT user_id,
-             date_diff('day', MAX(CAST(ts AS DATE)), (SELECT a FROM anchor))
-               AS recency_days,
+             MAX(CAST(ts AS DATE)) AS last_d,
              CAST(COUNT(*) AS BIGINT) AS freq,
              CAST(SUM(c) AS BIGINT) AS cents
       FROM p GROUP BY user_id
     ),
     scored AS (
       SELECT user_id, freq, cents,
-             NTILE({_Q78_NT}) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             NTILE({_Q78_NT}) OVER (ORDER BY last_d DESC, user_id) AS r_score,
              NTILE({_Q78_NT}) OVER (ORDER BY freq DESC, user_id) AS f_score,
              NTILE({_Q78_NT}) OVER (ORDER BY cents DESC, user_id) AS m_score
       FROM per_user
@@ -570,7 +579,9 @@ def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     that drives lifecycle campaigns ("champions", "at-risk", ...).
 
     Scale: the corpus-sized work is one user-keyed partial agg of the
-    purchase feed; the three NTILEs run on the per-USER table (orders of
+    purchase feed — ONE scan: recency ordering is last-purchase-date
+    descending, so no corpus-wide anchor date (a second scan) is ever
+    needed. The three NTILEs run on the per-USER table (orders of
     magnitude smaller than events — this is why the aggregation must come
     first, not a window over raw purchases). The quintile windows are
     unpartitioned (global sort of the user table); past ~10⁹ users the
@@ -583,26 +594,15 @@ def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"),
         F.call_function("rint", F.col("value") * 100).cast("bigint").alias("c"),
     )
-    anchor = F.broadcast(p.agg(F.max("d").alias("a")))
-    per_user = (
-        p.groupBy("user_id")
-        .agg(
-            F.max("d").alias("last_d"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum("c").alias("cents"),
-        )
-        .crossJoin(anchor)
-        .select(
-            "user_id",
-            F.datediff("a", "last_d").alias("recency_days"),
-            "freq",
-            "cents",
-        )
+    per_user = p.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("c").alias("cents"),
     )
     scored = per_user.select(
         "freq",
         "cents",
-        F.ntile(_Q78_NT).over(W.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(_Q78_NT).over(W.orderBy(F.desc("last_d"), F.asc("user_id"))).alias("r_score"),
         F.ntile(_Q78_NT).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
         F.ntile(_Q78_NT).over(W.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m_score"),
     )
@@ -670,12 +670,14 @@ def t31_mixture_annealing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one source-keyed partial agg of the corpus; everything after
     runs on the |sources|×(E+1) plan table (broadcast totals, no second
-    corpus pass)."""
+    corpus pass — the per-source table is checkpointed so the totals
+    aggregate reads it, not the corpus lineage twice)."""
     t = register(spark, sf_dir, ("documents",))
     s = (
         t["documents"]
         .groupBy("source")
         .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("toks"))
+        .localCheckpoint(eager=False)  # two consumers: totals + plan rows
     )
     tot = F.broadcast(
         s.agg(F.sum("toks").cast("bigint").alias("t"), F.count(F.lit(1)).alias("ns"))

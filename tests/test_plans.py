@@ -589,3 +589,63 @@ def test_s15_models_broadcast_and_no_python(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "s15_ivfpq_serving_recall")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q77_single_window_shuffle_then_partial_agg(spark, sf_dir):
+    """The anomaly scan must shuffle events ONCE (the event_type window)
+    and aggregate the day report with a map-side partial."""
+    plan = explain_str(spark, sf_dir, "q77_rolling_zscore_anomaly")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "WindowExec" in plan or "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_t30_broadcasts_cut_table(spark, sf_dir):
+    """The per-source P5/P95 cut table (~|sources| rows) must broadcast
+    back onto the corpus scan, never shuffle it."""
+    plan = explain_str(spark, sf_dir, "t30_source_length_winsorize")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_r03_broadcasts_model_side_tables(spark, sf_dir):
+    """Corpus stats, the query-term table, and the cf table are model-sized
+    and must broadcast; the ranked-list fusion join is bounded and must not
+    trigger a cartesian product."""
+    plan = explain_str(spark, sf_dir, "r03_rrf_hybrid_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_g02_triangle_join_is_equi_keyed(spark, sf_dir):
+    """Wedge enumeration and the closing-edge check must run as equi-joins
+    on the oriented edge keys (degree-ordered node iterator) — a cartesian
+    or nested-loop pair scan would be quadratic in edges."""
+    plan = explain_str(spark, sf_dir, "g02_neardup_triangle_census")
+    assert "CartesianProduct" not in plan
+    # the only nested-loops allowed are the two single-row summary
+    # crossJoins (formatted explain prints each node in the tree AND the
+    # detail section, so count tree lines only)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+    # the LSH pair pipeline must be checkpointed, not inlined per consumer
+    assert "Scan parquet" not in plan
+
+
+def test_q78_windows_run_on_aggregated_user_table(spark, sf_dir):
+    """The three NTILE windows must consume the per-user aggregate, not raw
+    purchases: exactly one scan of events feeding one user-keyed partial
+    agg before any window."""
+    plan = explain_str(spark, sf_dir, "q78_rfm_segmentation")
+    assert plan.count("Scan parquet") <= 2  # events + broadcast anchor scan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_t31_single_corpus_pass(spark, sf_dir):
+    """The annealing plan derives everything from ONE source-keyed agg of
+    the corpus; epochs and totals join in as broadcasts."""
+    plan = explain_str(spark, sf_dir, "t31_mixture_annealing_plan")
+    # the corpus scan lives INSIDE the checkpointed per-source agg, so the
+    # downstream plan must show no parquet scan at all — both consumers
+    # (totals + plan rows) read the checkpoint
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny epoch/total crossJoins
