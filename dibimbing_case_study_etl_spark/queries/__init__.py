@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops7,
         llm_ops8,
         llm_ops9,
+        llm_ops10,
         relational,
         relational2,
         relational3,
@@ -108,10 +109,14 @@ DRIVER_PRIORITY: list[str] = [
     "t30_source_length_winsorize",
     "r03_rrf_hybrid_topk",
     "g02_neardup_triangle_census",
-    "q55_cogrouped_order_reconciliation",
     "q78_rfm_segmentation",
     "t31_mixture_annealing_plan",
     "t32_classifier_calibration",
+    "q79_funnel_conversion",
+    "q80_activity_streaks",
+    "t33_chunk_dedup_reconstruct",
+    "t35_prefix_cache_audit",
+    "s16_delta_index_merge",
     # never driver-checked (new in r5) + the new s02 oracle
     "s13_kmeans_lloyd_audit",
     "s14_dim_truncation_recall",
@@ -150,11 +155,7 @@ DRIVER_PRIORITY: list[str] = [
     # restructures: dedup_clusters touched-subgraph propagation feeds
     # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
     # t08 single-split; t26 hashed gram keys)
-    "d06_dedup_clusters",
-    "p01_training_data_pipeline",
     "m06_phash_neardup",
-    "d03_dedup_minhash_lsh",
-    "d08_edit_distance_pairs",
     "m01_multimodal_features",
     "m08_png_phash_neardup",
     "t21_leakage_safe_split",
@@ -165,7 +166,14 @@ DRIVER_PRIORITY: list[str] = [
     # unchanged oracles, verified at 3 SFs locally + sf1 sweep), q72 (same
     # prefix_sum class), m05 (shares m01's decode path and oracle shape —
     # m01 keeps the slot), d07 (its r5 change is the shared cluster-label
-    # path that d06/p01/t21/t25 slots re-check; keeper logic itself via d17)
+    # path that d06/p01/t21/t25 slots re-check; keeper logic itself via d17),
+    # and — displaced by the five session-4 additions (q79/q80/t33/t35/s16,
+    # never checked, must land in the window) — q55/d06/p01/d03/d08: all
+    # five are r5 perf rewrites whose OUTPUTS are pinned unchanged (d03/d08
+    # pair sets, d06/p01 cluster labels, q55 reconciliation rows), each with
+    # an r4-or-earlier green driver row, a full driver-sim pass at
+    # sf0.01+sf0.1 this session, and an sf1 sweep green; m01/m06/m08 keep
+    # their slots because their outputs DID change in r5
 ]
 
 

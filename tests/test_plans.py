@@ -649,3 +649,49 @@ def test_t31_single_corpus_pass(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny epoch/total crossJoins
+
+
+def test_q79_no_cartesian_and_no_per_user_window(spark, sf_dir):
+    """The funnel must run as user-keyed joins + aggregates: no window over
+    raw events (the funnel anti-pattern) and no cartesian; the only
+    nested-loop joins are the two single-row stage-metric crossJoins."""
+    plan = explain_str(spark, sf_dir, "q79_funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+
+
+def test_q80_distinct_is_partial_aggregable(spark, sf_dir):
+    """The DISTINCT (user, day) stage must partial-aggregate map-side
+    before the shuffle; the island window partitions by user."""
+    plan = explain_str(spark, sf_dir, "q80_activity_streaks")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_t33_checkpoints_occurrences_once(spark, sf_dir):
+    """Both consumers (keeper aggregate + join-back) must read the
+    checkpointed occurrence set — an inlined lineage would tokenize and
+    explode the corpus twice."""
+    plan = explain_str(spark, sf_dir, "t33_chunk_dedup_reconstruct")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_t35_topk_never_global_sorts(spark, sf_dir):
+    """Top-20 prefixes must run as TakeOrderedAndProject over the partial
+    aggregate — never a global Sort of the group table."""
+    plan = explain_str(spark, sf_dir, "t35_prefix_cache_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_s16_broadcasts_centroids_all_jvm(spark, sf_dir):
+    """Centroids must broadcast against the corpus scan, the argmax must
+    be an aggregate (partial rows fold map-side), and no Python ever runs
+    in the loop."""
+    plan = explain_str(spark, sf_dir, "s16_delta_index_merge")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
