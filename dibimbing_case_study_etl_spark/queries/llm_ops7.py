@@ -244,13 +244,33 @@ _R01_ORACLE = f"""
     """
 
 
+def bm25_term_freq(docs: DataFrame) -> DataFrame:
+    """Query-term frequency table ``(doc_id, dl, tok, tf)``: ONE corpus
+    explode, term filter immediately after (only query-term occurrences
+    reach the shuffle), doc length riding along. Shared by r01 and r03 —
+    the fusion query computes it once, checkpoints it, and feeds BOTH
+    rankers, instead of each ranker re-exploding the corpus."""
+    return (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("dl"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 @query(
     "r01_bm25_topk",
     oracle=_R01_ORACLE,
     tags=("llm", "retrieval", "text"),
     bench=True,
 )
-def r01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r01_bm25_topk(
+    spark: SparkSession, sf_dir: str, tf_table: DataFrame | None = None
+) -> DataFrame:
     """Okapi BM25 top-{k} retrieval for a fixed query term set — the
     Lucene/Elasticsearch practical scoring function (idf = ln((N-df+0.5)/
     (df+0.5)+1), tf saturation k1={k1}, length normalization b={b}).
@@ -283,16 +303,7 @@ def r01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(token_count(F.col("text"))).alias("sum_dl"),
         )
     )
-    tf = (
-        docs.select(
-            "doc_id",
-            token_count(F.col("text")).alias("dl"),
-            F.explode(tokens(F.col("text"))).alias("tok"),
-        )
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_table if tf_table is not None else bm25_term_freq(docs)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

@@ -99,10 +99,21 @@ def q77_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     even the z > {z} threshold decision is deterministic. A constant
     window (variance 0) scores z = 0 rather than ±inf.
 
-    Scale: one shuffle on event_type (a date-bucketed composite key would
-    split a hot type at 100 TB — the frame only needs {w} rows of carry-in
-    per bucket boundary); the frame scan is a single ordered pass; the
-    day report is a partial-aggregable groupBy."""
+    Scale — the HALO-BUCKETED window (the decisive shape choice): a
+    window partitioned by bare ``event_type`` has one task per type — a
+    hot type serializes its entire history through a single sort at
+    100 TB, and AQE can split a skewed join but never a skewed WINDOW.
+    Instead the frame runs inside ``(event_type, day)`` buckets with
+    carry-in: each bucket imports, as flagged halo rows, the TAIL (≤{w}
+    rows/day, ranked inside the same bounded bucket) of just enough
+    preceding days that every own row sees ≥{w} predecessors — the walk
+    over "enough days" happens on the types×days COUNT table (tiny,
+    broadcast), exactly a streaming engine's ghost-cell/watermark shard.
+    Halo rows feed frames but are never scored, so results are
+    bit-identical to the global window (exact BIGINT frame sums) while
+    parallelism scales with types×days instead of types; day granularity
+    is the knob (hour for hotter feeds). The day report stays a
+    partial-aggregable groupBy."""
     t = register(spark, sf_dir, ("events",))
     c = F.call_function("rint", F.col("value") * 100).cast("bigint")
     base = t["events"].select(
@@ -112,19 +123,58 @@ def q77_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.alias("c"),
         "event_id",
     )
+    # tiny per-(type, day) census → which earlier days each bucket must
+    # import: carry day S into bucket T while the days strictly between
+    # them hold < W rows (cum is a running per-type total; the window runs
+    # on a types×days table, never the corpus)
+    wd = W.partitionBy("event_type").orderBy("d")
+    cnt = (
+        base.groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("cum", F.sum("m").over(wd))
+        # types×days rows; BOTH sides of the carry self-join read it — an
+        # inlined lineage would aggregate the corpus once per side
+        .localCheckpoint(eager=False)
+    )
+    s, tt = cnt.alias("s"), cnt.alias("tt")
+    halo_days = F.broadcast(
+        s.join(
+            tt,
+            (F.col("s.event_type") == F.col("tt.event_type"))
+            & (F.col("s.d") < F.col("tt.d"))
+            & (F.col("tt.cum") - F.col("tt.m") - F.col("s.cum") < _Q77_WIN),
+        ).select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.d").alias("sd"),
+            F.col("tt.d").alias("bucket"),
+        )
+    )
+    # only a day's last W rows can ever be needed downstream; rank inside
+    # the same bounded (type, day) bucket the main frame uses
+    wtail = W.partitionBy("event_type", "d").orderBy(F.desc("ts"), F.desc("event_id"))
+    halo = (
+        base.withColumn("__rt", F.row_number().over(wtail))
+        .filter(F.col("__rt") <= _Q77_WIN)
+        .drop("__rt")
+        .join(halo_days.withColumnRenamed("sd", "d"), ["event_type", "d"])
+        .withColumn("is_halo", F.lit(True))
+    )
+    own = base.withColumn("bucket", F.col("d")).withColumn("is_halo", F.lit(False))
+    u = own.unionByName(halo)
     w = (
-        W.partitionBy("event_type")
+        W.partitionBy("event_type", "bucket")
         .orderBy("ts", "event_id")
         .rowsBetween(-_Q77_WIN, -1)
     )
-    framed = base.select(
+    framed = u.select(
         "event_type",
         "d",
         "c",
+        "is_halo",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("c").over(w).alias("s1"),
         F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
-    ).filter(F.col("n") == _Q77_WIN)
+    ).filter((~F.col("is_halo")) & (F.col("n") == _Q77_WIN))
     var = (
         F.col("s2").cast("double")
         - (F.col("s1").cast("double") * F.col("s1").cast("double")) / float(_Q77_WIN)
@@ -319,36 +369,28 @@ def r03_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     break ties on doc_id, and the fused score is the same two-term double
     sum of exact rank reciprocals on both engines.
 
-    Scale: the QL side is |terms| dense rows per document (explode →
-    term-filter → partial agg, with corpus stats and the ≤|terms|-row cf
-    table broadcast) — linear in the corpus like r01, with the per-term
-    zero-tf baseline folded in by a broadcast left join rather than a
-    sparse-delta rewrite (worth it only when |Q| is large). Both top
+    Scale: BOTH rankers feed from ONE corpus explode — the shared
+    ``bm25_term_freq`` table (term-filtered at the explode, so only
+    query-term occurrences shuffle) is checkpointed and consumed four
+    times (BM25's tf+df, QL's cf+tf); un-shared, r03 cost 3 corpus
+    explodes and ran 4× r01 (10.5s vs 2.55s at sf1). cf is Σtf — no
+    second pass. The per-term zero-tf baseline folds in by an explicitly
+    broadcast left join (the checkpoint loses Catalyst stats, so without
+    the hint the corpus side would sort-merge-shuffle on (doc_id, tok));
+    the tf table is bounded by docs-matching-terms × |terms|. Both top
     lists are bounded windows; the fusion join touches ≤2·{n} rows."""
+    from dibimbing_case_study_etl_spark.queries.llm_ops7 import bm25_term_freq
+
     t = register(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "text")
 
     stats = F.broadcast(docs.agg(F.sum(token_count(F.col("text"))).alias("sum_dl")))
-    qt = spark.createDataFrame([(tm,) for tm in _BM25_TERMS], "tok string")
-    toks = docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    )
-    cf = (
-        toks.join(F.broadcast(qt), "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cf"))
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = bm25_term_freq(docs).localCheckpoint(eager=False)
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
     dense = (
         docs.select("doc_id", token_count(F.col("text")).alias("dl"))
         .join(F.broadcast(cf), F.lit(True))
-        .join(tf.drop("dl"), ["doc_id", "tok"], "left")
+        .join(F.broadcast(tf.drop("dl")), ["doc_id", "tok"], "left")
         .crossJoin(stats)
     )
     comp = F.log(
@@ -368,7 +410,7 @@ def r03_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rb") <= _R03_LIST)
         .select("doc_id", "rb")
     )
-    bm25_rank = r01_bm25_topk(spark, sf_dir).select(
+    bm25_rank = r01_bm25_topk(spark, sf_dir, tf_table=tf).select(
         "doc_id",
         F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))).alias("ra"),
     )

@@ -591,13 +591,28 @@ def test_s15_models_broadcast_and_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_q77_single_window_shuffle_then_partial_agg(spark, sf_dir):
-    """The anomaly scan must shuffle events ONCE (the event_type window)
-    and aggregate the day report with a map-side partial."""
+def test_q77_windows_are_day_bucketed_with_broadcast_halo(spark, sf_dir):
+    """The scoring window must partition by (event_type, bucket) — never
+    bare event_type, whose per-type single sort task is the unsplittable
+    skew at 100 TB. The halo-day assignment table (types×days) must
+    broadcast onto the tail rows, and the day report keeps its map-side
+    partial."""
     plan = explain_str(spark, sf_dir, "q77_rolling_zscore_anomaly")
-    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
-    assert "WindowExec" in plan or "Window" in plan
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    # every event_type-keyed exchange must carry a second (day) key
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keys = [k for k in exchanges if "event_type" in k]
+    assert keys, "expected event_type-keyed exchanges"
+    # the scoring window must carry the composite (event_type, bucket) key
+    assert any("bucket#" in k for k in keys), keys
+    # bare event_type exchanges may exist ONLY for the types×days census
+    # (its per-type running total + the halo-day self-join) — tiny tables;
+    # the corpus-sized tail-rank and scoring windows are both composite
+    bare = [k for k in keys if k.count("#") < 2]
+    assert len(bare) <= 2, f"unexpected bare event_type exchanges: {bare}"
+    assert "BroadcastHashJoin" in plan  # halo-day table broadcasts
+    assert plan.count("HashAggregate") >= 2  # partial + final day report
 
 
 def test_t30_broadcasts_cut_table(spark, sf_dir):
