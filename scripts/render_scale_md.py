@@ -120,9 +120,11 @@ def main() -> None:
             "d03's sf4/sf1 ratio is OUTPUT-bound, not candidate-bound: the "
             "suffix-perturbed replicas are genuinely distinct near-dups, so "
             "the emitted pair set itself grows ~R² — measured 248,962 pairs "
-            "@sf1 → 4,279,102 @sf4 (17.2× on 4× data) while a warm "
-            "re-measure took 17.4s → 43.9s (2.5× time for 17.2× output): "
-            "per-pair cost FALLS with scale.\n"
+            "@sf1 → 4,279,102 @sf4 (17.2× on 4× data) while the curve row "
+            "(post clone-canonicalization + codegen array_intersect verify) "
+            "runs 2.59s → 9.9s (3.8× time for 17.2× output): per-pair cost "
+            "FALLS with scale. Pre-fix the same row read 5.55s → 70.17s "
+            "(12.6×, the r4 verdict's one scale-killer — closed).\n"
         )
         out.append("| query | " + " | ".join(sfs) + " | sf4/sf1 |")
         out.append("|---|" + "---|" * (len(sfs) + 1))
