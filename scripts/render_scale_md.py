@@ -122,7 +122,7 @@ def main() -> None:
             "the emitted pair set itself grows ~R² — measured 248,962 pairs "
             "@sf1 → 4,279,102 @sf4 (17.2× on 4× data) while the curve row "
             "(post clone-canonicalization + codegen array_intersect verify) "
-            "runs 2.59s → 9.9s (3.8× time for 17.2× output): per-pair cost "
+            "runs 2.39s → 12.22s (5.1× time for 17.2× output): per-pair cost "
             "FALLS with scale. Pre-fix the same row read 5.55s → 70.17s "
             "(12.6×, the r4 verdict's one scale-killer — closed).\n"
         )
