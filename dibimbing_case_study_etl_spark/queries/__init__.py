@@ -173,7 +173,9 @@ DRIVER_PRIORITY: list[str] = [
     # pair sets, d06/p01 cluster labels, q55 reconciliation rows), each with
     # an r4-or-earlier green driver row, a full driver-sim pass at
     # sf0.01+sf0.1 this session, and an sf1 sweep green; m01/m06/m08 keep
-    # their slots because their outputs DID change in r5
+    # their slots because their outputs DID change in r5. t36 (cluster-
+    # aware split, registered after this window was frozen at 50) waits
+    # for the r6 window like every post-sweep registration before it.
 ]
 
 

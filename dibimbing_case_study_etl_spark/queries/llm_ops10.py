@@ -16,6 +16,14 @@ rewrite reconstruction, and serving-cache audits.
   reconstructed from its surviving blocks (C4-style span dedup applied,
   not just measured). The md5 of the rebuilt text makes the
   transformation itself hash-verifiable against the oracle.
+- ``t36`` closes the SPLIT side of dedup: t05/t21 assign documents to
+  train/val/test independently, so the two sides of a near-duplicate
+  pair can land in different splits — eval contamination that document-
+  level hashing cannot prevent. Cluster-aware assignment (every member
+  inherits its d06 cluster representative's split) keeps near-dup
+  clusters atomic, and the query MEASURES the difference: leaked
+  cross-split pairs under the naive policy vs zero under the
+  cluster-aware one.
 - ``s16`` audits incremental ANN-index maintenance: a delta of new
   vectors is routed onto the BASE corpus's (seeded) IVF centroids and
   each cell reports its growth — the freshness/rebalance report an index
@@ -342,6 +350,172 @@ def t33_chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5(rebuilt).alias("rebuilt_md5"),
         F.length(rebuilt).cast("bigint").alias("n_chars_kept"),
+    )
+
+
+# --- t36: near-dup-cluster-aware train/val/test split ----------------------
+
+
+def _t36_oracle() -> str:
+    from dibimbing_case_study_etl_spark.functions.text import sql_fingerprint
+    from dibimbing_case_study_etl_spark.queries.llm_ops import _SQL_SHINGLE_CTE
+
+    split_case = (
+        f"CASE WHEN {sql_fingerprint('text')} % 100 < 80 THEN 'train' "
+        f"WHEN {sql_fingerprint('text')} % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    prs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sp AS (SELECT doc_id, {split_case} AS s FROM documents),
+    asn AS (
+      SELECT l.doc_id, n.s AS naive_s, c.s AS cl_s
+      FROM labels l
+      JOIN sp n ON n.doc_id = l.doc_id
+      JOIN sp c ON c.doc_id = l.cluster_id
+    ),
+    nv AS (SELECT naive_s AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_naive
+           FROM asn GROUP BY naive_s),
+    cl AS (SELECT cl_s AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_cluster
+           FROM asn GROUP BY cl_s),
+    lk AS (
+      SELECT a.naive_s AS split,
+             CAST(SUM(CASE WHEN a.naive_s <> b.naive_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_pairs_naive,
+             CAST(SUM(CASE WHEN a.cl_s <> b.cl_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_pairs_cluster
+      FROM prs p JOIN asn a ON a.doc_id = p.doc_a JOIN asn b ON b.doc_id = p.doc_b
+      GROUP BY a.naive_s
+    )
+    SELECT nv.split, nv.n_docs_naive,
+           COALESCE(cl.n_docs_cluster, 0) AS n_docs_cluster,
+           COALESCE(lk.leaked_pairs_naive, 0) AS leaked_pairs_naive,
+           COALESCE(lk.leaked_pairs_cluster, 0) AS leaked_pairs_cluster
+    FROM nv LEFT JOIN cl ON cl.split = nv.split LEFT JOIN lk ON lk.split = nv.split
+    ORDER BY nv.split
+    """
+
+
+@query(
+    "t36_cluster_aware_split",
+    oracle=_t36_oracle(),
+    tags=("llm", "dedup", "sampling", "decontamination"),
+)
+def t36_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: every document
+    inherits the split of its d06 cluster REPRESENTATIVE (the min-id
+    member), so a near-dup cluster is assigned atomically — the leakage
+    t21's document-level hash split cannot prevent (the two sides of a
+    near-dup pair hash independently). The query measures both policies:
+    per-split document counts AND cross-split near-dup pairs — nonzero
+    under the naive t05 rule, structurally zero under the cluster-aware
+    rule (both pair members share a representative by construction; the
+    measured zero is the audit).
+
+    Scale: the pair set comes from the LSH scale path (d03's banded
+    candidates, exact-Jaccard-verified; the pair-set equality against the
+    quadratic oracle is d03's own hash-checked claim) and is checkpointed
+    once for its two consumers (label propagation + leakage count — the
+    g02 lesson). Labels propagate over the touched subgraph only (d06's
+    pruned fixpoint). The split rule stays the cross-engine fingerprint,
+    so even the assignment is oracle-checked; the rep's split reaches
+    members through one cluster_id-keyed equi-join, and every report
+    table after that is 3 rows."""
+    from dibimbing_case_study_etl_spark.functions.text import fingerprint
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = (
+        minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # consumers: label prop + leakage count
+    )
+    labels = dedup_clusters(docs, pairs, "doc_id")
+    bucket = fingerprint("text") % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("s"),
+    )
+    asn = (
+        labels.join(sp, "doc_id")
+        .withColumnRenamed("s", "naive_s")
+        .join(
+            sp.select(F.col("doc_id").alias("cluster_id"), F.col("s").alias("cl_s")),
+            "cluster_id",
+        )
+        .select("doc_id", "naive_s", "cl_s")
+        .localCheckpoint(eager=False)  # consumers: nv, cl, both leakage sides
+    )
+    nv = asn.groupBy(F.col("naive_s").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs_naive")
+    )
+    cl = asn.groupBy(F.col("cl_s").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs_cluster")
+    )
+    lk = (
+        pairs.join(
+            asn.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("naive_s").alias("a_n"),
+                F.col("cl_s").alias("a_c"),
+            ),
+            "doc_a",
+        )
+        .join(
+            asn.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("naive_s").alias("b_n"),
+                F.col("cl_s").alias("b_c"),
+            ),
+            "doc_b",
+        )
+        .groupBy(F.col("a_n").alias("split"))
+        .agg(
+            F.sum((F.col("a_n") != F.col("b_n")).cast("bigint")).alias(
+                "leaked_pairs_naive"
+            ),
+            F.sum((F.col("a_c") != F.col("b_c")).cast("bigint")).alias(
+                "leaked_pairs_cluster"
+            ),
+        )
+    )
+    return (
+        nv.join(cl, "split", "left")
+        .join(lk, "split", "left")
+        .select(
+            "split",
+            "n_docs_naive",
+            F.coalesce("n_docs_cluster", F.lit(0)).alias("n_docs_cluster"),
+            F.coalesce("leaked_pairs_naive", F.lit(0)).alias("leaked_pairs_naive"),
+            F.coalesce("leaked_pairs_cluster", F.lit(0)).alias("leaked_pairs_cluster"),
+        )
+        .orderBy("split")
     )
 
 

@@ -710,3 +710,13 @@ def test_s16_broadcasts_centroids_all_jvm(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_t36_checkpoints_pairs_and_assignment(spark, sf_dir):
+    """The LSH pair set and the per-doc split assignment each feed
+    multiple consumers — both must be checkpointed (an inlined lineage
+    would replay LSH banding / label propagation per consumer), and no
+    join may degrade to a cartesian."""
+    plan = explain_str(spark, sf_dir, "t36_cluster_aware_split")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
