@@ -24,6 +24,9 @@ rewrite reconstruction, and serving-cache audits.
   clusters atomic, and the query MEASURES the difference: leaked
   cross-split pairs under the naive policy vs zero under the
   cluster-aware one.
+- ``s17`` sweeps the IVF latency/recall knob: recall@10 at every
+  nprobe setting from ONE shared corpus assignment — the tuning curve
+  that sizes an ANN deployment (s06r proves one operating point).
 - ``s16`` audits incremental ANN-index maintenance: a delta of new
   vectors is routed onto the BASE corpus's (seeded) IVF centroids and
   each cell reports its growth — the freshness/rebalance report an index
@@ -637,6 +640,201 @@ def s16_delta_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("resplit_flag"),
         )
         .orderBy("cell")
+    )
+
+
+# --- s17: IVF nprobe→recall tuning curve -----------------------------------
+
+_S17_PROBES = (1, 2, 4, 8)
+_S17_K = 10
+
+
+@query(
+    "s17_ivf_nprobe_recall_curve",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM vecs ORDER BY vec_id LIMIT {_S16_NCELLS}
+    ),
+    q_assign AS (
+      SELECT vec_id, v, cell, rn FROM (
+        SELECT vecs.vec_id, vecs.v, cents.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY least(1.0, greatest(-1.0, list_cosine_similarity(v, cv))) DESC,
+                          cell) AS rn
+        FROM vecs CROSS JOIN cents WHERE vecs.vec_id < {_S17_K}
+      ) WHERE rn <= {max(_S17_PROBES)}
+    ),
+    c_assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vecs.vec_id, vecs.v, cents.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY least(1.0, greatest(-1.0, list_cosine_similarity(v, cv))) DESC,
+                          cell) AS rn
+        FROM vecs CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(MIN(q.rn) AS BIGINT) AS crank,
+             MAX(least(1.0, greatest(-1.0, list_cosine_similarity(q.v, c.v)))) AS sim
+      FROM q_assign q JOIN c_assign c USING (cell)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY least(1.0, greatest(-1.0, list_cosine_similarity(q.v, c.v))) DESC,
+                          c.vec_id) AS r
+        FROM (SELECT * FROM vecs WHERE vec_id < {_S17_K}) q
+        JOIN vecs c ON c.vec_id <> q.vec_id
+      ) WHERE r <= {_S17_K}
+    ),
+    nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact),
+    per_p AS (
+      SELECT pr.p AS nprobe, query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY pr.p, query_id ORDER BY sim DESC, neighbor_id) AS r
+      FROM cand, unnest([{", ".join(str(p) for p in _S17_PROBES)}]) AS pr(p)
+      WHERE crank <= pr.p
+    ),
+    ov AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS overlap_sum
+      FROM per_p JOIN exact USING (query_id, neighbor_id)
+      WHERE r <= {_S17_K} GROUP BY nprobe
+    ),
+    ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in _S17_PROBES)}]) AS BIGINT) AS nprobe)
+    SELECT ps.nprobe,
+           COALESCE(ov.overlap_sum, 0) AS overlap_sum,
+           nq.n_queries,
+           {sql_iround(f"CAST(COALESCE(ov.overlap_sum, 0) AS DOUBLE) / ({_S17_K} * nq.n_queries)", 4)}
+             AS mean_recall
+    FROM ps CROSS JOIN nq LEFT JOIN ov ON ov.nprobe = ps.nprobe
+    ORDER BY ps.nprobe
+    """,
+    tags=("llm", "similarity", "ivf", "tuning"),
+)
+def s17_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving tuning curve: recall@{k} at nprobe ∈ {probes}
+    against the exact cosine top-{k} — the measurement that sizes an ANN
+    deployment's latency/recall trade (s06r proves one operating point;
+    this sweeps the knob).
+
+    Scale — one corpus pass for ALL nprobe settings: the corpus assigns
+    to its nearest seeded cell ONCE (broadcast centroids; partial-
+    aggregable ``max(struct)`` argmax, one row per vector to the
+    shuffle), each candidate pair is tagged with the MINIMUM probe rank
+    that discovers it, and every nprobe setting derives by FILTER on that
+    tag — no per-setting re-scan, no per-setting shuffle of the corpus.
+    The exact side is one brute-force pass for the bounded query set
+    (s01's contract). Everything after runs on the candidate table
+    (queries × probed-cell members).
+    """.format(k=_S17_K, probes=list(_S17_PROBES))
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_S16_NCELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("__cent"))
+    )
+    scored = e.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "v", "cell", cosine(F.col("v"), F.col("__cent")).alias("sim")
+    )
+    c_assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", (-F.col("b.nc")).alias("cell"))
+    )
+    qs = e.filter(F.col("vec_id") < _S17_K)
+    wq = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    q_assign = (
+        qs.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "v", "cell", cosine(F.col("v"), F.col("__cent")).alias("sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(_S17_PROBES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("__qv"),
+            "cell",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+    cand = (
+        c_assign.join(F.broadcast(q_assign), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rn",
+            cosine(F.col("__qv"), F.col("v")).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("rn").alias("crank"), F.max("sim").alias("sim"))
+    )
+    wx = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    exact = (
+        e.join(
+            F.broadcast(qs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("__qv"))),
+            F.lit(True),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col("v")).alias("sim"),
+        )
+        .withColumn("r", F.row_number().over(wx))
+        .filter(F.col("r") <= _S17_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # consumers: overlap join + n_queries
+    )
+    nq = F.broadcast(
+        exact.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+    )
+    wp = W.partitionBy("nprobe", "query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    per_p = (
+        cand.select(
+            "*",
+            F.explode(F.array([F.lit(p).cast("bigint") for p in _S17_PROBES])).alias(
+                "nprobe"
+            ),
+        )
+        .filter(F.col("crank") <= F.col("nprobe"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= _S17_K)
+    )
+    ov = per_p.join(exact, ["query_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("overlap_sum")
+    )
+    ps = nq.select(
+        F.explode(F.array([F.lit(p).cast("bigint") for p in _S17_PROBES])).alias("nprobe"),
+        "n_queries",
+    )
+    return (
+        ps.join(ov, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("overlap_sum", F.lit(0)).alias("overlap_sum"),
+            "n_queries",
+            iround(
+                F.coalesce("overlap_sum", F.lit(0)).cast("double")
+                / (_S17_K * F.col("n_queries")),
+                4,
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
     )
 
 

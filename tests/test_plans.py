@@ -720,3 +720,14 @@ def test_t36_checkpoints_pairs_and_assignment(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "t36_cluster_aware_split")
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s17_one_corpus_assignment_all_jvm(spark, sf_dir):
+    """All four nprobe settings must derive from one corpus cell
+    assignment: broadcast centroids, an aggregate argmax (no corpus-wide
+    per-vector window beyond the bounded query/exact sides), and zero
+    Python in the loop."""
+    plan = explain_str(spark, sf_dir, "s17_ivf_nprobe_recall_curve")
+    assert "BroadcastNestedLoopJoin" in plan  # centroid / query-vector broadcasts
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
