@@ -1,0 +1,256 @@
+"""Transactional commit-log table (operators/txlog.py).
+
+Covers the ACID contract the reference delegates to Postgres
+(``scripts/load_parquet_to_postgres_l1.py:124-149``): atomic visibility,
+snapshot isolation / time travel, optimistic-concurrency races without
+lost updates, stats-pruned copy-on-write merge, exactly-once replayed
+streaming batches, and vacuum safety.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.operators.txlog import (
+    ConflictError,
+    TxLogTable,
+    foreach_batch_merge,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k bigint, v string")
+
+
+def _state(table, spark, as_of=None) -> dict[int, str]:
+    return {
+        r["k"]: r["v"] for r in table.read(spark, as_of=as_of).collect()
+    }
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return TxLogTable.create(tmp_path / "t")
+
+
+def test_append_merge_delete_roundtrip(spark, table):
+    v1 = table.append(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]), key_col="k", target_files=1)
+    assert v1 == 0
+    v2 = table.merge(spark, _rows(spark, [(2, "B"), (4, "d")]), "k", target_files=1)
+    assert v2 == 1
+    assert _state(table, spark) == {1: "a", 2: "B", 3: "c", 4: "d"}
+    v3 = table.merge(spark, _rows(spark, [(1, "x"), (4, "x")]), "k", delete=True, target_files=1)
+    assert v3 == 2
+    assert _state(table, spark) == {2: "B", 3: "c"}
+
+
+def test_time_travel_snapshots_are_stable(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    table.merge(spark, _rows(spark, [(1, "A"), (2, "b")]), "k", target_files=1)
+    before = _state(table, spark, as_of=0)
+    table.merge(spark, _rows(spark, [(1, "zz")]), "k", delete=True, target_files=1)
+    # version 0 still reads exactly the original content after later commits
+    assert _state(table, spark, as_of=0) == before == {1: "a"}
+    assert _state(table, spark, as_of=1) == {1: "A", 2: "b"}
+    assert _state(table, spark) == {2: "b"}
+
+
+def test_merge_prunes_nonoverlapping_files(spark, table):
+    # two disjoint key-range files from two appends
+    table.append(_rows(spark, [(1, "a"), (2, "b")]), key_col="k", target_files=1)
+    table.append(_rows(spark, [(100, "x"), (200, "y")]), key_col="k", target_files=1)
+    low_file = {f.path for f in table.live_files() if f.max_key is not None and f.max_key <= 2}
+    assert len(low_file) == 1
+    table.merge(spark, _rows(spark, [(150, "X")]), "k", target_files=1)
+    # the low-range file was carried over untouched (COW pruned it out)
+    live = {f.path for f in table.live_files()}
+    assert low_file <= live
+    removed = set(table.commits()[-1]["removed"])
+    assert low_file.isdisjoint(removed) and removed  # only the high file rewritten
+    assert _state(table, spark) == {1: "a", 2: "b", 100: "x", 150: "X", 200: "y"}
+
+
+def test_commit_publish_is_atomic_no_partial_log(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    # every log entry is complete, parseable JSON (no torn writes visible)
+    for p in sorted(table.log_dir.glob("*.json")):
+        c = json.loads(p.read_text())
+        assert {"version", "op", "added", "removed"} <= set(c)
+    assert not list(table.log_dir.glob("*.tmp"))
+
+
+def test_concurrent_appends_no_lost_update(spark, table):
+    table.append(_rows(spark, [(0, "seed")]), key_col="k", target_files=1)
+    errs: list[Exception] = []
+
+    def worker(i: int):
+        try:
+            table.append(_rows(spark, [(10 + i, f"w{i}")]), key_col="k", target_files=1)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    # all four appends landed under distinct versions; nothing lost
+    assert table.latest_version() == 4
+    assert _state(table, spark) == {0: "seed", 10: "w0", 11: "w1", 12: "w2", 13: "w3"}
+
+
+def test_merge_conflict_recomputes_against_new_snapshot(spark, table):
+    """A merge that loses the publish race must fold the winner's rows in
+    (no lost update). Simulated by injecting a competing commit between
+    the loser's snapshot read and its publish."""
+    table.append(_rows(spark, [(1, "a"), (2, "b")]), key_col="k", target_files=1)
+
+    real_publish = table._try_publish
+    raced = {"done": False}
+
+    def racing_publish(payload, version):
+        if not raced["done"]:
+            raced["done"] = True
+            # competitor lands first: updates k=1 to "WINNER"
+            t2 = TxLogTable(table.root)
+            t2.merge(spark, _rows(spark, [(1, "WINNER")]), "k", target_files=1)
+        return real_publish(payload, version)
+
+    table._try_publish = racing_publish  # type: ignore[method-assign]
+    try:
+        table.merge(spark, _rows(spark, [(2, "B2"), (3, "c")]), "k", target_files=1)
+    finally:
+        table._try_publish = real_publish  # type: ignore[method-assign]
+    # both writers' effects survive
+    assert _state(table, spark) == {1: "WINNER", 2: "B2", 3: "c"}
+
+
+def test_merge_gives_up_after_max_retries(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    table._try_publish = lambda payload, version: False  # type: ignore[method-assign]
+    with pytest.raises(ConflictError):
+        TxLogTable.merge(
+            table, spark, _rows(spark, [(1, "x")]), "k", target_files=1, max_retries=1
+        )
+
+
+def test_txn_batch_replay_is_idempotent(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    v = table.merge(spark, _rows(spark, [(2, "b")]), "k", txn=("app1", 7), target_files=1)
+    # replay of the same (app, batch) — and of an EARLIER batch — is a no-op
+    assert table.merge(spark, _rows(spark, [(2, "DUP")]), "k", txn=("app1", 7)) == v
+    assert table.merge(spark, _rows(spark, [(2, "OLD")]), "k", txn=("app1", 3)) == v
+    assert _state(table, spark) == {1: "a", 2: "b"}
+    # a NEW batch applies
+    table.merge(spark, _rows(spark, [(2, "b8")]), "k", txn=("app1", 8), target_files=1)
+    assert _state(table, spark)[2] == "b8"
+
+
+def test_foreach_batch_sink_exactly_once(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    sink = foreach_batch_merge(table, "k", app="stream1", target_files=1)
+    b0 = _rows(spark, [(2, "s0")])
+    sink(b0, 0)
+    sink(b0, 0)  # Structured Streaming at-least-once replay
+    sink(_rows(spark, [(3, "s1")]), 1)
+    assert table.last_txn_batch("stream1") == 1
+    assert _state(table, spark) == {1: "a", 2: "s0", 3: "s1"}
+    # exactly one merge commit per distinct batch
+    ops = [c["op"] for c in table.commits()]
+    assert ops == ["append", "merge", "merge"]
+
+
+def test_vacuum_removes_only_unreferenced(spark, table):
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    table.merge(spark, _rows(spark, [(1, "A")]), "k", target_files=1)  # rewrites v0's file
+    all_files = {
+        f"{sub.name}/{p.name}"
+        for sub in table.root.glob("data-*/")
+        for p in sub.glob("*.parquet")
+    }
+    live_now = {f.path for f in table.live_files()}
+    # retain only the latest version → v0's rewritten-away file goes
+    removed = set(table.vacuum(as_of_retained=table.latest_version()))
+    assert removed == all_files - live_now and removed
+    assert _state(table, spark) == {1: "A"}
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    t = TxLogTable.create(tmp_path / "empty")
+    with pytest.raises(ValueError):
+        t.read(spark)
+
+
+def test_schema_and_values_roundtrip_types(spark, table):
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    table.append(df, key_col="k", target_files=2)
+    table.merge(
+        spark,
+        spark.range(25, 60).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")),
+        "k",
+        target_files=2,
+    )
+    got = table.read(spark)
+    assert got.schema["v"].dataType.simpleString() == "double"
+    agg = got.agg(
+        F.count("*").alias("n"), F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("neg")
+    ).first()
+    assert (agg["n"], agg["neg"]) == (60, 35)
+
+
+def test_structured_streaming_foreach_batch_exactly_once(spark, table, tmp_path):
+    """Real readStream → foreachBatch(txlog merge) drain, then a FULL
+    checkpoint wipe and re-drain (Structured Streaming's worst-case
+    replay): the (app, batch) txn ids make the second pass a no-op, so
+    table state is exactly-once even when the stream layer forgets."""
+    src = tmp_path / "src"
+    chk1, chk2 = str(tmp_path / "chk1"), str(tmp_path / "chk2")
+    _rows(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(str(src))
+    table.append(_rows(spark, [(0, "seed")]), key_col="k", target_files=1)
+    sink = foreach_batch_merge(table, "k", app="etl-stream", target_files=1)
+
+    def drain(checkpoint):
+        q = (
+            spark.readStream.schema("k bigint, v string")
+            .parquet(str(src) + "/*.parquet")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(chk1)
+    assert _state(table, spark) == {0: "seed", 1: "a", 2: "b"}
+    v_after_first = table.latest_version()
+    # fresh checkpoint → the batch REPLAYS from scratch; txn id absorbs it
+    drain(chk2)
+    assert table.latest_version() == v_after_first
+    assert _state(table, spark) == {0: "seed", 1: "a", 2: "b"}
+
+
+def test_compact_is_data_identical_and_preserves_history(spark, table):
+    for i in range(3):
+        table.append(_rows(spark, [(i, f"v{i}")]), key_col="k", target_files=1)
+    before = _state(table, spark)
+    pre_compact_version = table.latest_version()
+    table.compact(spark, key_col="k", target_files=1)
+    assert len(table.live_files()) == 1
+    assert _state(table, spark) == before  # data-identical
+    # history before compaction still reads (files linger until vacuum)
+    assert _state(table, spark, as_of=pre_compact_version) == before
+    table.vacuum(as_of_retained=table.latest_version())
+    assert _state(table, spark) == before
+
+
+def test_merge_schema_evolution_backfills_null(spark, table):
+    table.append(_rows(spark, [(1, "a"), (2, "b")]), key_col="k", target_files=1)
+    src = spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)], "k bigint, v string, score double")
+    table.merge(spark, src, "k", target_files=1, allow_schema_evolution=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in table.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
