@@ -56,6 +56,31 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def wrap_word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table in wrapped-symbol form ``(s, n)`` — the BPE
+    working representation, one character per ``\\x01…\\x02`` cell."""
+    symstr = F.expr(
+        "concat_ws('', transform(sequence(1, length(word)), "
+        f"i -> concat('{SEP_L}', substr(word, i, 1), '{SEP_R}')))"
+    )
+    return _word_vocab(df, text_col).select(symstr.alias("s"), "n")
+
+
+def apply_merges(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply a learned merge table to a wrapped word table ``(s, n)`` —
+    tokenizer INFERENCE: the same greedy left-to-right literal replaces
+    that training used, chained in merge-rank order inside one projection
+    (no per-merge materialization; the whole chain is one codegen stage)."""
+    s = F.col("s")
+    for _, pa, pb, _ in sorted(merges):
+        s = F.replace(
+            s,
+            F.lit(SEP_L + pa + SEP_R + SEP_L + pb + SEP_R),
+            F.lit(SEP_L + pa + pb + SEP_R),
+        )
+    return words.select(s.alias("s"), "n")
+
+
 def learn_bpe(
     df: DataFrame, text_col: str, n_merges: int = 6
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
@@ -70,13 +95,8 @@ def learn_bpe(
     Ties on pair count break lexicographically on (pa, pb) ascending —
     total and engine-neutral (symbols are lowercase ASCII, so binary and
     collation order agree)."""
-    vocab = _word_vocab(df, text_col)
     # wrap each character: "ab" -> "\x01a\x02\x01b\x02"
-    symstr = F.expr(
-        "concat_ws('', transform(sequence(1, length(word)), "
-        f"i -> concat('{SEP_L}', substr(word, i, 1), '{SEP_R}')))"
-    )
-    words = vocab.select(symstr.alias("s"), "n").localCheckpoint(eager=True)
+    words = wrap_word_vocab(df, text_col).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -158,11 +178,13 @@ def bpe_merges_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) 
     )
 
 
-def _sql_bpe_parts(n_merges: int) -> list[str]:
-    """The shared CTE layers ``w0 … w{n}`` (see :func:`sql_bpe_merges`)."""
+def _sql_bpe_parts(n_merges: int, where: str = "") -> list[str]:
+    """The shared CTE layers ``w0 … w{n}`` (see :func:`sql_bpe_merges`).
+    ``where`` optionally restricts the training corpus (e.g. a held-out
+    split audit trains on ``WHERE doc_id % 10 <> 7``)."""
     parts = [
-        """tok AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
-               FROM documents),
+        f"""tok AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+               FROM documents {where}),
     words AS (SELECT word, COUNT(*) AS n FROM tok
               WHERE word <> '' AND word NOT LIKE '%' || chr(1) || '%'
                 AND word NOT LIKE '%' || chr(2) || '%'
@@ -204,6 +226,77 @@ def sql_bpe_merges(n_merges: int = 6) -> str:
         for i in range(n_merges)
     )
     return "WITH " + ",\n    ".join(_sql_bpe_parts(n_merges)) + f"\n    {union}"
+
+
+def sql_bpe_heldout_stats(
+    n_merges: int, train_where: str, holdout_where: str
+) -> str:
+    """DuckDB twin of the tokenizer GENERALIZATION audit: re-learn the
+    merge table on the ``train_where`` split (the b01 layers, filtered),
+    apply the learned merges ``m0…m{n-1}`` to the ``holdout_where``
+    split's word vocabulary, and compare fertility plus the
+    occurrence-weighted rate of held-out symbols absent from the trained
+    symbol vocabulary (OOV under this merge table)."""
+    from dibimbing_case_study_etl_spark.functions.oracle_safe import sql_iround
+
+    parts = _sql_bpe_parts(n_merges, where=train_where)
+    parts.append(
+        f"""htok AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+               FROM documents {holdout_where}),
+    hwords AS (SELECT word, COUNT(*) AS n FROM htok
+               WHERE word <> '' AND word NOT LIKE '%' || chr(1) || '%'
+                 AND word NOT LIKE '%' || chr(2) || '%'
+               GROUP BY word),
+    h0 AS (SELECT list_reduce(list_prepend('', list_transform(
+                    generate_series(1, length(word)),
+                    i -> chr(1) || substr(word, i, 1) || chr(2))),
+                  (a, b) -> a || b) AS s, n
+           FROM hwords)"""
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"""h{i + 1} AS (
+      SELECT replace(s, chr(1) || pa || chr(2) || chr(1) || pb || chr(2),
+                     chr(1) || pa || pb || chr(2)) AS s, n
+      FROM h{i} CROSS JOIN m{i}
+    )"""
+        )
+    w, h = f"w{n_merges}", f"h{n_merges}"
+    sym_split = "string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1))"
+    parts.append(
+        f"""tvocab AS (SELECT DISTINCT unnest({sym_split}) AS sym FROM {w}),
+    tstats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t_occ,
+             CAST(SUM(n * (length(s) - length(replace(s, chr(1), '')))) AS BIGINT)
+               AS t_tok
+      FROM {w}
+    ),
+    hsym AS (SELECT n, unnest({sym_split}) AS sym FROM {h}),
+    hoov AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN t.sym IS NULL THEN hsym.n END), 0) AS BIGINT)
+               AS oov_occ,
+             CAST(COUNT(DISTINCT CASE WHEN t.sym IS NULL THEN hsym.sym END) AS BIGINT)
+               AS oov_symbols
+      FROM hsym LEFT JOIN tvocab t ON hsym.sym = t.sym
+    ),
+    hstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words_heldout,
+             CAST(SUM(n) AS BIGINT) AS h_occ,
+             CAST(SUM(n * (length(s) - length(replace(s, chr(1), '')))) AS BIGINT)
+               AS h_tok
+      FROM {h}
+    )
+    SELECT n_words_heldout,
+           h_occ AS word_occurrences_heldout,
+           h_tok AS n_tokens_heldout,
+           {sql_iround("h_tok * 1.0 / h_occ", 4)} AS fertility_heldout,
+           {sql_iround("t_tok * 1.0 / t_occ", 4)} AS fertility_train,
+           {sql_iround("h_tok * 1.0 / h_occ - t_tok * 1.0 / t_occ", 4)} AS fertility_gap,
+           oov_symbols,
+           {sql_iround("oov_occ * 1.0 / h_tok", 6)} AS oov_token_rate
+    FROM hstats CROSS JOIN tstats CROSS JOIN hoov"""
+    )
+    return "WITH " + ",\n    ".join(parts)
 
 
 def sql_bpe_token_stats(n_merges: int = 6) -> str:

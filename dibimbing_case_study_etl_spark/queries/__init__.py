@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops8,
         llm_ops9,
         llm_ops10,
+        llm_ops11,
         relational,
         relational2,
         relational3,
@@ -87,95 +88,71 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r5 window: (a) t20's retest — the one red r4 row (oracle HUGEINT cast
-# fix); (b) the 8 never-checked r5 audit twins + s02's brand-new full
-# oracle, which together retire the perpetual no_oracle rows; (c) the
-# operators added late in r5 (b01/b02 BPE train+card, t24 weighted
-# sampling, d16 cross-source contamination, t25 dedup token accounting,
-# d17 quality-keeper resolution, t26 substring-dedup spans, r01 BM25
-# retrieval, t27 hashed quality classifier, g01 k-NN PageRank, t28 span
-# corruption, q74 attribution, u05 bitemporal, t29 Gopher rules, r02
-# basket lift, f01 forecast backtest, s15 IVF+PQ recall); (d) every
-# r5-changed query (d03 canonicalize+codegen-verify, t08 single-split,
-# d08 banded blocking, m01/m05 real decode, m06 spread + first-match-band
-# dedup, m08 empty-image oracle + vectorized hash, d05/s11/s09
-# block-count sizing); then (e) the stalest greens — everything whose
-# last driver row is r2 (q09/q10/q26–q52 block, t07, t08).
+# r6 window: (a) t36 + s17, registered after the r5 window froze at 50 —
+# the only queries with no driver row at all; (b) the r6-new operators
+# (u06 txlog ACID lifecycle, q81 Markov entropy, d18 MinHash estimator
+# calibration, t38 hard-negative mining); (c) the 35 stalest greens —
+# every query whose latest driver row is r2 (the q26–q65 relational
+# block, q09/q10, t07/t08); (d) fill to 50 with the oldest r3 greens,
+# dedup family first since its shared shingle/cluster path saw the most
+# r5 restructuring. r5's 50 rows were ALL green (CORRECTNESS_r05), so
+# nothing needs a retest slot this round.
 DRIVER_PRIORITY: list[str] = [
-    # the r4 red row, first
-    "t20_tokenizer_fertility",
-    # newest in r5 (never driver-checked) + q55's bucketed-cogroup rewrite
-    "q77_rolling_zscore_anomaly",
-    "t30_source_length_winsorize",
-    "r03_rrf_hybrid_topk",
-    "g02_neardup_triangle_census",
-    "q78_rfm_segmentation",
-    "t31_mixture_annealing_plan",
-    "t32_classifier_calibration",
-    "q79_funnel_conversion",
-    "q80_activity_streaks",
-    "t33_chunk_dedup_reconstruct",
-    "t35_prefix_cache_audit",
-    "s16_delta_index_merge",
-    # never driver-checked (new in r5) + the new s02 oracle
-    "s13_kmeans_lloyd_audit",
-    "s14_dim_truncation_recall",
-    "t23_perplexity_filter",
-    "s02_ann_lsh_topk",
-    "s03r_ann_blas_rounded_topk",
-    "s06r_ann_ivf_seeded_topk",
-    "s07r_pq_code_histogram",
-    "d04r_simhash_md5_pairs",
-    "d11r_semdedup_seeded_pairs",
-    "s09r_knn_graph_rounded",
-    "q37r_sketch_error_audit",
-    "s08r_pca_whiten_audit",
-    # brand-new this round (registered after the sweep)
-    "b01_bpe_merges",
-    "b02_bpe_token_stats",
-    "t24_quality_weighted_sample",
-    "d16_cross_source_contamination",
-    "t25_dedup_token_accounting",
-    "d17_quality_keeper_resolution",
-    "t26_substring_dedup_spans",
-    "r01_bm25_topk",
-    "t27_hashed_quality_classifier",
-    "g01_pagerank_knn_graph",
-    "t28_span_corruption_plan",
-    "q74_attribution_models",
-    "u05_bitemporal_asof",
-    "t29_gopher_rules",
-    "r02_item_cooccurrence_lift",
-    "f01_seasonal_naive_backtest",
-    "s15_ivfpq_serving_recall",
-    "q75_position_attribution",
-    "q76_frequent_event_paths",
-    "p03_incremental_refresh_pipeline",
-    # r5-changed implementations/oracles (incl. the session-3 perf
-    # restructures: dedup_clusters touched-subgraph propagation feeds
-    # d06/d07/p01/t21/t25; prefix_sum materialization feeds t11/t22/q72;
-    # t08 single-split; t26 hashed gram keys)
-    "m06_phash_neardup",
-    "m01_multimodal_features",
-    "m08_png_phash_neardup",
-    "t21_leakage_safe_split",
-    "t22_epoch_shuffle",
-    # dropped to stay at 50: s09 (rows-only row — its oracled audit twin
-    # s09r keeps the slot), d05/s11 (driver-green r4; r5 change was block
-    # sizing only, sim-verified), t08/t11 (r5 perf restructures with
-    # unchanged oracles, verified at 3 SFs locally + sf1 sweep), q72 (same
-    # prefix_sum class), m05 (shares m01's decode path and oracle shape —
-    # m01 keeps the slot), d07 (its r5 change is the shared cluster-label
-    # path that d06/p01/t21/t25 slots re-check; keeper logic itself via d17),
-    # and — displaced by the five session-4 additions (q79/q80/t33/t35/s16,
-    # never checked, must land in the window) — q55/d06/p01/d03/d08: all
-    # five are r5 perf rewrites whose OUTPUTS are pinned unchanged (d03/d08
-    # pair sets, d06/p01 cluster labels, q55 reconciliation rows), each with
-    # an r4-or-earlier green driver row, a full driver-sim pass at
-    # sf0.01+sf0.1 this session, and an sf1 sweep green; m01/m06/m08 keep
-    # their slots because their outputs DID change in r5. t36 (cluster-
-    # aware split, registered after this window was frozen at 50) waits
-    # for the r6 window like every post-sweep registration before it.
+    # registered AFTER the r5 window froze at 50 — never driver-checked
+    "t36_cluster_aware_split",
+    "s17_ivf_nprobe_recall_curve",
+    # brand-new in r6 (never driver-checked)
+    "u06_txlog_merge_timetravel",
+    "q81_markov_transition_entropy",
+    "d18_minhash_estimator_calibration",
+    "t38_hard_negative_mining",
+    "b03_bpe_heldout_generalization",
+    "f02_ols_price_on_quantity",
+    "r04_prf_query_expansion",
+    # the 35 stalest greens — every query whose last driver row is r2
+    "q09_nation_year_profit",
+    "q10_returned_revenue_topk",
+    "q26_events_hourly",
+    "q28_events_json_props",
+    "q31_percentiles",
+    "q32_correlated_avg_subquery",
+    "q34_string_functions",
+    "q36_scalar_subquery_anti",
+    "q37_approx_aggregates",
+    "q38_two_nation_volume",
+    "q40_top_supplier",
+    "q41_not_in_null_aware",
+    "q42_large_orders",
+    "q44_datetime_functions",
+    "q45_pandas_udf_scalar",
+    "q46_grouped_pandas_udf",
+    "q48_distribution_windows",
+    "q49_multiset_ops",
+    "q51_python_udtf_sentences",
+    "q52_stateful_running_totals",
+    "q53_recursive_month_spine",
+    "q54_window_interval_range_frame",
+    "q55_cogrouped_order_reconciliation",
+    "q56_variant_semistructured",
+    "q57_sole_blame_suppliers",
+    "q58_map_type_aggregation",
+    "q59_null_semantics",
+    "q60_first_last_ignore_nulls",
+    "q61_sequential_funnel",
+    "q62_important_part_values",
+    "q63_supplier_diversity",
+    "q64_heavy_widget_suppliers",
+    "q65_nation_revenue_share",
+    "t07_stratified_sample",
+    "t08_repetition_score",
+    # fill to 50 with the oldest r3 greens (dedup family first — its
+    # shared shingle/cluster path saw the most r5 perf restructuring)
+    "d01_dedup_exact",
+    "d02_dedup_jaccard_pairs",
+    "d10_containment_pairs",
+    "d11_semdedup_pairs",
+    "d13_bloom_decontamination",
+    "q01_pricing_summary",
 ]
 
 
