@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops9,
         llm_ops10,
         llm_ops11,
+        llm_ops12,
         relational,
         relational2,
         relational3,
@@ -91,7 +92,8 @@ def load_all() -> dict[str, QuerySpec]:
 # r6 window: (a) t36 + s17, registered after the r5 window froze at 50 —
 # the only queries with no driver row at all; (b) the r6-new operators
 # (u06 txlog ACID lifecycle, q81 Markov entropy, d18 MinHash estimator
-# calibration, t38 hard-negative mining); (c) the 35 stalest greens —
+# calibration, t38 hard-negative mining, b03 BPE held-out audit, f02
+# OLS, r04 PRF expansion, x01 CUPED, x02 SRM); (c) the 35 stalest greens —
 # every query whose latest driver row is r2 (the q26–q65 relational
 # block, q09/q10, t07/t08); (d) fill to 50 with the oldest r3 greens,
 # dedup family first since its shared shingle/cluster path saw the most
@@ -109,6 +111,8 @@ DRIVER_PRIORITY: list[str] = [
     "b03_bpe_heldout_generalization",
     "f02_ols_price_on_quantity",
     "r04_prf_query_expansion",
+    "x01_cuped_ab_lift",
+    "x02_srm_check",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
@@ -151,8 +155,6 @@ DRIVER_PRIORITY: list[str] = [
     "d02_dedup_jaccard_pairs",
     "d10_containment_pairs",
     "d11_semdedup_pairs",
-    "d13_bloom_decontamination",
-    "q01_pricing_summary",
 ]
 
 

@@ -319,6 +319,7 @@ def _d18_oracle() -> str:
     "d18_minhash_estimator_calibration",
     oracle=_d18_oracle(),
     tags=("llm", "dedup", "lsh", "audit"),
+    bench=True,
 )
 def d18_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the MinHash resemblance estimator (Broder):
