@@ -93,12 +93,11 @@ def load_all() -> dict[str, QuerySpec]:
 # the only queries with no driver row at all; (b) the r6-new operators
 # (u06 txlog ACID lifecycle, q81 Markov entropy, d18 MinHash estimator
 # calibration, t38 hard-negative mining, b03 BPE held-out audit, f02
-# OLS, r04 PRF expansion, x01 CUPED, x02 SRM); (c) the 35 stalest greens —
+# OLS, r04 PRF expansion, x01 CUPED, x02 SRM, x03 MDE, r05 NDCG eval,
+# d19 bloom FPR, m09 shot boundaries); (c) the 35 stalest greens —
 # every query whose latest driver row is r2 (the q26–q65 relational
-# block, q09/q10, t07/t08); (d) fill to 50 with the oldest r3 greens,
-# dedup family first since its shared shingle/cluster path saw the most
-# r5 restructuring. r5's 50 rows were ALL green (CORRECTNESS_r05), so
-# nothing needs a retest slot this round.
+# block, q09/q10, t07/t08) — together exactly 50. r5's 50 rows were ALL
+# green (CORRECTNESS_r05), so nothing needs a retest slot this round.
 DRIVER_PRIORITY: list[str] = [
     # registered AFTER the r5 window froze at 50 — never driver-checked
     "t36_cluster_aware_split",
@@ -113,6 +112,10 @@ DRIVER_PRIORITY: list[str] = [
     "r04_prf_query_expansion",
     "x01_cuped_ab_lift",
     "x02_srm_check",
+    "x03_experiment_power_mde",
+    "r05_ranking_quality_eval",
+    "d19_bloom_fpr_audit",
+    "m09_video_shot_boundaries",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
@@ -149,12 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "q65_nation_revenue_share",
     "t07_stratified_sample",
     "t08_repetition_score",
-    # fill to 50 with the oldest r3 greens (dedup family first — its
-    # shared shingle/cluster path saw the most r5 perf restructuring)
-    "d01_dedup_exact",
-    "d02_dedup_jaccard_pairs",
-    "d10_containment_pairs",
-    "d11_semdedup_pairs",
 ]
 
 
