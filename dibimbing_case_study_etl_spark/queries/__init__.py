@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops10,
         llm_ops11,
         llm_ops12,
+        llm_ops13,
         relational,
         relational2,
         relational3,
@@ -96,7 +97,9 @@ def load_all() -> dict[str, QuerySpec]:
 # OLS, r04 PRF expansion, x01 CUPED, x02 SRM, x03 MDE, r05 NDCG eval,
 # d19 bloom FPR, m09 shot boundaries); (c) the 35 stalest greens —
 # every query whose latest driver row is r2 (the q26–q65 relational
-# block, q09/q10, t07/t08) — together exactly 50. r5's 50 rows were ALL
+# block, q09/q10, t07/t08) — exactly 50 after q62/q63/q64 (r2-green,
+# unchanged, lowest-risk of the stale block) yield their slots to the
+# last three r6 ops; they lead the r7 window. r5's 50 rows were ALL
 # green (CORRECTNESS_r05), so nothing needs a retest slot this round.
 DRIVER_PRIORITY: list[str] = [
     # registered AFTER the r5 window froze at 50 — never driver-checked
@@ -116,6 +119,9 @@ DRIVER_PRIORITY: list[str] = [
     "r05_ranking_quality_eval",
     "d19_bloom_fpr_audit",
     "m09_video_shot_boundaries",
+    "u07_txlog_incremental_rollup",
+    "d20_dedup_threshold_sensitivity",
+    "t39_weighted_reservoir_sample",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
@@ -146,9 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "q59_null_semantics",
     "q60_first_last_ignore_nulls",
     "q61_sequential_funnel",
-    "q62_important_part_values",
-    "q63_supplier_diversity",
-    "q64_heavy_widget_suppliers",
     "q65_nation_revenue_share",
     "t07_stratified_sample",
     "t08_repetition_score",
