@@ -97,9 +97,10 @@ def load_all() -> dict[str, QuerySpec]:
 # OLS, r04 PRF expansion, x01 CUPED, x02 SRM, x03 MDE, r05 NDCG eval,
 # d19 bloom FPR, m09 shot boundaries); (c) the 35 stalest greens —
 # every query whose latest driver row is r2 (the q26–q65 relational
-# block, q09/q10, t07/t08) — exactly 50 after q62/q63/q64 (r2-green,
-# unchanged, lowest-risk of the stale block) yield their slots to the
-# last three r6 ops; they lead the r7 window. r5's 50 rows were ALL
+# block, q09/q10, t07/t08) — exactly 50 after q60/q61/q62/q63/q64
+# (r2-green, unchanged, lowest-risk of the stale block — q61's funnel
+# semantics are additionally re-proven via q79, green r5) yield their
+# slots to the last five r6 ops; they lead the r7 window. r5's 50 rows were ALL
 # green (CORRECTNESS_r05), so nothing needs a retest slot this round.
 DRIVER_PRIORITY: list[str] = [
     # registered AFTER the r5 window froze at 50 — never driver-checked
@@ -122,6 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "u07_txlog_incremental_rollup",
     "d20_dedup_threshold_sensitivity",
     "t39_weighted_reservoir_sample",
+    "s18_cluster_label_purity",
+    "t40_heldout_lm_perplexity",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
@@ -150,8 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "q57_sole_blame_suppliers",
     "q58_map_type_aggregation",
     "q59_null_semantics",
-    "q60_first_last_ignore_nulls",
-    "q61_sequential_funnel",
     "q65_nation_revenue_share",
     "t07_stratified_sample",
     "t08_repetition_score",

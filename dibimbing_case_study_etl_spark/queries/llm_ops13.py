@@ -329,3 +329,283 @@ def t39_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 t39_weighted_reservoir_sample.__doc__ = t39_weighted_reservoir_sample.__doc__.format(
     k=_T39_K
 )
+
+
+# --- s18: clustering evaluated against labels (purity + NMI) ---------------
+
+
+def _s18_oracle() -> str:
+    from dibimbing_case_study_etl_spark.queries.llm_ops6 import SQL_SEEDED_ASSIGNMENT
+
+    ent = lambda p: f"CAST(round_even((-({p}) * ln({p})) * 1000000000, 0) AS BIGINT)"  # noqa: E731
+    return f"""
+    WITH {SQL_SEEDED_ASSIGNMENT},
+    lab AS (
+      SELECT a.vec_id, a.cell, e.label
+      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    ct AS (
+      SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY cell, label
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+                   CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+            FROM ct),
+    marg_c AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS nc FROM ct GROUP BY cell),
+    marg_l AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM ct GROUP BY label),
+    purity AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS pure_n FROM (
+        SELECT cell, MAX(n) AS mx FROM ct GROUP BY cell
+      )
+    ),
+    hc AS (SELECT CAST(SUM({ent("CAST(nc AS DOUBLE) / t.nn")}) AS BIGINT) AS s
+           FROM marg_c CROSS JOIN tot t),
+    hl AS (SELECT CAST(SUM({ent("CAST(nl AS DOUBLE) / t.nn")}) AS BIGINT) AS s
+           FROM marg_l CROSS JOIN tot t),
+    mi AS (
+      SELECT CAST(SUM(CAST(round_even(
+               (CAST(ct.n AS DOUBLE) / t.nn)
+               * ln(CAST(ct.n AS DOUBLE) * t.nn
+                    / (CAST(mc.nc AS DOUBLE) * ml.nl)) * 1000000000, 0)
+             AS BIGINT)) AS BIGINT) AS s
+      FROM ct
+      JOIN marg_c mc ON mc.cell = ct.cell
+      JOIN marg_l ml ON ml.label = ct.label
+      CROSS JOIN tot t
+    )
+    SELECT t.nn AS n_vecs, t.n_cells, t.n_labels,
+           {sql_iround("CAST(p.pure_n AS DOUBLE) / t.nn", 6)} AS purity,
+           {sql_iround("hc.s / 1000000000.0", 6)} AS h_cluster,
+           {sql_iround("hl.s / 1000000000.0", 6)} AS h_label,
+           {sql_iround("mi.s / 1000000000.0", 6)} AS mutual_info,
+           {sql_iround("(mi.s / 1000000000.0) / sqrt((hc.s / 1000000000.0) * (hl.s / 1000000000.0))", 6)}
+             AS nmi
+    FROM tot t CROSS JOIN purity p CROSS JOIN hc CROSS JOIN hl CROSS JOIN mi
+    """
+
+
+@query(
+    "s18_cluster_label_purity",
+    oracle=_s18_oracle(),
+    tags=("llm", "similarity", "clustering", "evaluation"),
+)
+def s18_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation: purity and normalized mutual
+    information of the seeded k-means assignment (s13's exact cell
+    structure) against the embedding table's ground-truth labels — the
+    standard does-the-geometry-match-the-semantics check run before
+    trusting cluster-based curation (d11's SemDeDup cells, s06's IVF
+    routing). Entropy and MI terms are scaled-int-rounded per cell/label
+    pair then exactly summed, so the information arithmetic is
+    accumulation-order-free.
+
+    Scale: the assignment is one broadcast-16-centroids scan; everything
+    after runs on the |cells|×|labels| contingency table (tiny), its two
+    marginals, and single-row cross joins."""
+    from dibimbing_case_study_etl_spark.functions.vector import as_double
+    from dibimbing_case_study_etl_spark.queries.llm_ops6 import (
+        seeded_kmeans_assignment,
+    )
+
+    t = register(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    vecs = e.select("vec_id", as_double(F.col("embedding")).alias("__v"))
+    lab = seeded_kmeans_assignment(vecs).join(e.select("vec_id", "label"), "vec_id")
+    ct = lab.groupBy("cell", "label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ct = ct.localCheckpoint(eager=False)  # tiny; feeds 5 downstream aggs
+    tot = F.broadcast(
+        ct.agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.count_distinct("cell").cast("bigint").alias("n_cells"),
+            F.count_distinct("label").cast("bigint").alias("n_labels"),
+        )
+    )
+    marg_c = ct.groupBy("cell").agg(F.sum("n").cast("bigint").alias("nc"))
+    marg_l = ct.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    purity = F.broadcast(
+        ct.groupBy("cell")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("pure_n"))
+    )
+    scl = F.lit(1_000_000_000)
+    ent_term = lambda p: F.call_function("rint", (-p * F.log(p)) * scl).cast(  # noqa: E731
+        "bigint"
+    )
+    hc = F.broadcast(
+        marg_c.crossJoin(tot).select(
+            ent_term(F.col("nc").cast("double") / F.col("nn")).alias("t")
+        ).agg(F.sum("t").cast("bigint").alias("hc_s"))
+    )
+    hl = F.broadcast(
+        marg_l.crossJoin(tot).select(
+            ent_term(F.col("nl").cast("double") / F.col("nn")).alias("t")
+        ).agg(F.sum("t").cast("bigint").alias("hl_s"))
+    )
+    mi = F.broadcast(
+        ct.join(marg_c, "cell")
+        .join(marg_l, "label")
+        .crossJoin(tot)
+        .select(
+            F.call_function(
+                "rint",
+                (F.col("n").cast("double") / F.col("nn"))
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("nn")
+                    / (F.col("nc").cast("double") * F.col("nl"))
+                )
+                * scl,
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("mi_s"))
+    )
+    div = F.lit(1_000_000_000.0)
+    return (
+        tot.crossJoin(purity)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .crossJoin(mi)
+        .select(
+            F.col("nn").alias("n_vecs"),
+            "n_cells",
+            "n_labels",
+            iround(F.col("pure_n").cast("double") / F.col("nn"), 6).alias("purity"),
+            iround(F.col("hc_s") / div, 6).alias("h_cluster"),
+            iround(F.col("hl_s") / div, 6).alias("h_label"),
+            iround(F.col("mi_s") / div, 6).alias("mutual_info"),
+            iround(
+                (F.col("mi_s") / div)
+                / F.sqrt((F.col("hc_s") / div) * (F.col("hl_s") / div)),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+# --- t40: held-out n-gram LM perplexity ------------------------------------
+
+_T40_HOLD = 7  # doc_id % 10 == 7 is the held-out split (b03's convention)
+
+
+def _t40_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ),
+    train_pairs AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM tok WHERE doc_id % 10 <> {_T40_HOLD})
+      GROUP BY w1, w2
+    ),
+    train_uni AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM train_pairs GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS v FROM (
+        SELECT unnest(w) AS x FROM tok WHERE doc_id % 10 <> {_T40_HOLD}
+      )
+    ),
+    hold_pairs AS (
+      SELECT source, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM tok WHERE doc_id % 10 = {_T40_HOLD})
+    ),
+    scored AS (
+      SELECT h.source,
+             CAST(round_even(
+               -ln((COALESCE(tp.c2, 0) + 1.0)
+                   / (COALESCE(tu.c1, 0) + v.v)) * 1000000, 0) AS BIGINT) AS nll
+      FROM hold_pairs h
+      LEFT JOIN train_pairs tp ON tp.w1 = h.w1 AND tp.w2 = h.w2
+      LEFT JOIN train_uni tu ON tu.w1 = h.w1
+      CROSS JOIN vocab v
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_iround("CAST(SUM(nll) AS BIGINT) / 1000000.0 / COUNT(*)", 6)}
+             AS mean_nll,
+           {sql_iround("exp(CAST(SUM(nll) AS BIGINT) / 1000000.0 / COUNT(*))", 4)}
+             AS perplexity
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "t40_heldout_lm_perplexity",
+    oracle=_t40_oracle(),
+    tags=("llm", "text", "quality", "evaluation"),
+)
+def t40_heldout_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM perplexity per source: an add-one-smoothed
+    bigram model is trained on 90% of documents and evaluated on the
+    held-out 10% (b03's split convention) — the KenLM-style quality
+    number data teams publish per source before mixing (t10/t18 score
+    in-sample; t23 gates; this is the held-out evaluation that justifies
+    the gate's thresholds). Unseen bigrams and unseen history both fall
+    back to the smoothing mass, so OOV text scores high perplexity
+    instead of crashing.
+
+    Scale: train counts are one explode + (w1,w2)-keyed partial agg;
+    scoring is two hash joins keyed by token bigram/unigram (the model
+    is a TABLE, not a broadcast blob — at 100 TB the bigram table is
+    itself corpus-scale and must shuffle, exactly this plan); per-pair
+    NLL is scaled-int-rounded then exactly summed per source."""
+    from dibimbing_case_study_etl_spark.functions.text import tokens
+
+    t = register(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "source", tokens(F.col("text")).alias("w")
+    )
+    pair_expr = F.explode(
+        F.zip_with(
+            F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+            F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    ).alias("p")
+    train = d.filter(F.col("doc_id") % 10 != _T40_HOLD)
+    hold = d.filter(F.col("doc_id") % 10 == _T40_HOLD)
+    train_pairs = (
+        train.select(pair_expr)
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)  # feeds unigram roll-up AND the score join
+    )
+    train_uni = train_pairs.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = F.broadcast(
+        train.select(F.explode("w").alias("x")).agg(
+            F.count_distinct("x").cast("bigint").alias("v")
+        )
+    )
+    hold_pairs = hold.select("source", pair_expr).select("source", "p.w1", "p.w2")
+    nll = F.call_function(
+        "rint",
+        -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        )
+        * 1_000_000,
+    ).cast("bigint")
+    scored = (
+        hold_pairs.join(train_pairs, ["w1", "w2"], "left")
+        .join(train_uni, "w1", "left")
+        .crossJoin(vocab)
+        .select("source", nll.alias("nll"))
+    )
+    mean_nll = F.sum("nll").cast("bigint") / F.lit(1_000_000.0) / F.count(F.lit(1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            iround(mean_nll, 6).alias("mean_nll"),
+            iround(F.exp(mean_nll), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )

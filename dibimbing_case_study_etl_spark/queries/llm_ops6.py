@@ -50,10 +50,33 @@ def _kmeans_mean_cols() -> str:
     return ",\n           ".join(cols)
 
 
-@query(
-    "s13_kmeans_lloyd_audit",
-    oracle=f"""
-    WITH vecs AS (
+def seeded_kmeans_assignment(vecs: DataFrame) -> DataFrame:
+    """(vec_id, __v, cell): every vector assigned to its nearest seeded
+    centroid — s06r's cell structure (the ``ncells`` lowest-id vectors,
+    clamped sequential cosine, ties to the lower cell). Shared by s13
+    (Lloyd audit) and s18 (label-purity eval) so both audit the SAME
+    assignment."""
+    from dibimbing_case_study_etl_spark.functions.vector import cosine
+
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(_K_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("__v").alias("__cent"))
+    )
+    scored = vecs.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "__sim", cosine(F.col("__v"), F.col("__cent"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "__v", "cell")
+    )
+
+
+# DuckDB twin of seeded_kmeans_assignment — CTE text shared by the s13 and
+# s18 oracles (both must see the identical assignment).
+SQL_SEEDED_ASSIGNMENT = f"""vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     cents AS (
@@ -70,7 +93,13 @@ def _kmeans_mean_cols() -> str:
           PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
         FROM scored
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "s13_kmeans_lloyd_audit",
+    oracle=f"""
+    WITH {SQL_SEEDED_ASSIGNMENT}
     SELECT cell, COUNT(*) AS n_members,
            {_kmeans_mean_cols()}
     FROM assigned GROUP BY cell ORDER BY cell
@@ -94,24 +123,11 @@ def s13_kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBy(cell) carrying 4 BIGINT sums + a count —
     nothing wider than the model ever shuffles.
     """
-    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+    from dibimbing_case_study_etl_spark.functions.vector import as_double
 
     t = register(spark, sf_dir, ("embeddings",))
     vecs = t["embeddings"].select("vec_id", as_double(F.col("embedding")).alias("__v"))
-    cents = (
-        vecs.orderBy("vec_id")
-        .limit(_K_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("__v").alias("__cent"))
-    )
-    scored = vecs.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "__sim", cosine(F.col("__v"), F.col("__cent"))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "__v", "cell")
-    )
+    assigned = seeded_kmeans_assignment(vecs)
     n = F.count(F.lit(1))
     return (
         assigned.groupBy("cell")
