@@ -731,3 +731,26 @@ def test_s17_one_corpus_assignment_all_jvm(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # centroid / query-vector broadcasts
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d18_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The 8-band OR-condition formulation would plan as a nested loop
+    over |docs|²; the shipped shape explodes bands and equi-joins on the
+    (band, v1, v2) struct. Pin the absence of the quadratic operators."""
+    plan = explain_str(spark, sf_dir, "d18_minhash_estimator_calibration")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t38_broadcasts_bounded_query_side(spark, sf_dir):
+    """t38's label-mismatch theta join is INTENTIONALLY a broadcast
+    nested loop — the query side is bounded (20 rows) and the corpus is
+    never shuffled. Pin that the corpus side carries no Exchange into
+    the join."""
+    plan = explain_str(spark, sf_dir, "t38_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_t39_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = explain_str(spark, sf_dir, "t39_weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
