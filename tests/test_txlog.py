@@ -254,3 +254,78 @@ def test_merge_schema_evolution_backfills_null(spark, table):
     table.merge(spark, src, "k", target_files=1, allow_schema_evolution=True)
     got = {r["k"]: (r["v"], r["score"]) for r in table.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+
+
+# --- property: random op sequences vs a dict model -------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# an op: (kind, batch of (key ∈ small space, value tag))
+_op = st.tuples(
+    st.sampled_from(["append", "merge", "delete", "compact"]),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=4),
+)
+_ops_strategy = st.lists(_op, min_size=1, max_size=5)
+
+
+@_SLOW
+@given(ops=_ops_strategy)
+def test_txlog_random_ops_match_model_at_every_version(
+    spark, tmp_path_factory, ops
+):
+    """Any sequence of append/merge/delete/compact equals a sequential
+    dict model — at EVERY version, not just the tip (time travel must
+    replay history exactly). Appends may create duplicate keys by
+    design (blind writes); the model tracks a multiset for them."""
+    table = TxLogTable.create(tmp_path_factory.mktemp("txprop") / "t")
+    model: dict[int, list[str]] = {}  # key -> list of values (appends stack)
+    history: list[dict[int, list[str]]] = []
+
+    tag = 0
+    for kind, keys in ops:
+        tag += 1
+        if kind == "append":
+            rows = [(k, f"a{tag}") for k in keys]
+            table.append(_rows(spark, rows), key_col="k", target_files=1)
+            for k in keys:
+                model.setdefault(k, []).append(f"a{tag}")
+        elif kind == "merge":
+            rows = [(k, f"m{tag}") for k in sorted(set(keys))]
+            table.merge(spark, _rows(spark, rows), "k", target_files=1)
+            for k in sorted(set(keys)):
+                model[k] = [f"m{tag}"]  # upsert collapses duplicates too
+        elif kind == "delete":
+            if table.latest_version() < 0 or not table.live_files():
+                continue
+            rows = [(k, "x") for k in sorted(set(keys))]
+            table.merge(spark, _rows(spark, rows), "k", delete=True, target_files=1)
+            for k in keys:
+                model.pop(k, None)
+        else:  # compact
+            if table.latest_version() < 0 or not table.live_files():
+                continue
+            table.compact(spark, key_col="k", target_files=1)
+        history.append({k: sorted(v) for k, v in model.items() if v})
+
+    # every version's snapshot equals the model state at that point
+    assert table.latest_version() == len(history) - 1
+    for v, expected in enumerate(history):
+        if not expected:
+            # deleting every key leaves either no live files (ValueError)
+            # or an empty rewritten file (0 rows) — both are "empty"
+            try:
+                assert table.read(spark, as_of=v).count() == 0
+            except ValueError:
+                pass
+            continue
+        got: dict[int, list[str]] = {}
+        for r in table.read(spark, as_of=v).collect():
+            got.setdefault(r["k"], []).append(r["v"])
+        assert {k: sorted(v) for k, v in got.items()} == expected, f"version {v}"
