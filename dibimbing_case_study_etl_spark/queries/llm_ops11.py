@@ -235,31 +235,42 @@ def q81_markov_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- d18: MinHash estimator calibration ------------------------------------
 
-_D18_SEEDS = 4  # md5 invocations per shingle
-_D18_PER_MD5 = 4  # 28-bit hash values extracted per md5
-_D18_H = _D18_SEEDS * _D18_PER_MD5  # 16 hash functions
+_D18_H = 16  # hash functions (affine families over one md5 base)
 _D18_BANDS = 8  # bands of 2 rows → candidate recall down to low Jaccard
+_D18_P = 2_147_483_647  # Mersenne prime 2^31-1: affine-family modulus
+# 16 fixed 30-bit odd multipliers (digits of pi/e mixes — arbitrary but
+# pinned; a=1 would leave every family order-isomorphic to the base hash
+# and all 16 minima identical)
+_D18_A = (
+    314159261, 271828183, 141421357, 173205081,
+    223606797, 264575131, 299999999, 161803399,
+    123456791, 987654323, 577215665, 693147181,
+    301029995, 434294481, 707106781, 866025403,
+)
+_D18_B = tuple((a * 7919 + 104729) % _D18_P for a in _D18_A)
 
 
 def _d18_hash_cols_spark(s: F.Column) -> list[F.Column]:
-    cols = []
-    for seed in range(_D18_SEEDS):
-        m = F.md5(F.concat(F.lit(f"{seed}:"), s))
-        for j in range(_D18_PER_MD5):
-            cols.append(
-                F.conv(F.substring(m, 1 + 7 * j, 7), 16, 10).cast("long")
-            )
-    return cols
+    # ONE md5 per shingle; 16 universal-hash families derived by BIGINT
+    # affine transforms (a_i·x + b_i mod p) — 4× less digest work than
+    # the r6-initial 4-seeded-digests design, bit-identical in DuckDB
+    # (a_i, x < 2^31 so the product stays under 2^62: no overflow on
+    # either engine's signed 64-bit arithmetic)
+    base = (
+        F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long") % F.lit(_D18_P)
+    )
+    return [
+        ((F.lit(a) * base + F.lit(b)) % F.lit(_D18_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_D18_A, _D18_B))
+    ]
 
 
 def _d18_oracle() -> str:
-    h_exprs = []
-    for seed in range(_D18_SEEDS):
-        for j in range(_D18_PER_MD5):
-            h_exprs.append(
-                f"MIN(CAST(('0x' || substr(md5('{seed}:' || s), {1 + 7 * j}, 7)) AS BIGINT))"
-                f" AS h{len(h_exprs)}"
-            )
+    base = f"(CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) % {_D18_P})"
+    h_exprs = [
+        f"MIN(({a} * {base} + {b}) % {_D18_P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_D18_A, _D18_B))
+    ]
     sig_cols = ",\n             ".join(h_exprs)
     bands = " OR ".join(
         f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
@@ -328,9 +339,11 @@ def d18_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataF
     Jaccard, grouped by matching-component count — the measured
     error-vs-estimate table that tells a dedup operator how much a
     16-hash signature under- or over-deletes before it trusts d03's
-    verdicts at 100 TB. The md5-derived 28-bit hash family (4 values per
-    digest, 4 seeded digests) is bit-reproducible in DuckDB, so even the
-    "approximate" estimate is hash-checked exactly.
+    verdicts at 100 TB. The hash family is ONE md5 digest per shingle
+    expanded into 16 affine universal-hash families ((a_i·x+b_i) mod
+    2³¹−1, pure BIGINT arithmetic) — bit-reproducible in DuckDB, so even
+    the "approximate" estimate is hash-checked exactly, at a quarter of
+    the digest cost of a seeded-md5-per-function design.
 
     Scale: one shingle explode feeds the 16 min-aggregations in a single
     doc-keyed partial agg (no per-hash passes); candidates come from the
