@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops11,
         llm_ops12,
         llm_ops13,
+        llm_ops14,
         relational,
         relational2,
         relational3,
@@ -102,7 +103,28 @@ def load_all() -> dict[str, QuerySpec]:
 # semantics are additionally re-proven via q79, green r5) yield their
 # slots to the last five r6 ops; they lead the r7 window. r5's 50 rows were ALL
 # green (CORRECTNESS_r05), so nothing needs a retest slot this round.
+#
+# Late-r6: eight more never-checked ops (s19 MIPS reduction, t41 Heaps,
+# t42 Zipf, f03 Theil–Sen, x04 Neyman, u08 forget audit, r06 QL
+# retrieval, m10 luminance stats) take the front; eight more r2-greens
+# whose surfaces are re-proven by later green rows yield slots and join
+# q60–q64 at the head of the r7 window: q34 (string surface ≈ t13/t14
+# regexp family, green r5), q44 (datetime surface ≈ q77/q80/f03), q48
+# (distribution windows ≈ q77), q49 (set ops ≈ q33 r3), q53 (month
+# spine ≈ f01 backtest spine, green r5), q54 (interval range frame ≈
+# q77's frame family), q65 (join/agg shape ≈ q05/q09), t07 (sampling ≈
+# t24/t39). t08 KEEPS its slot: it was rewritten in r5 (the
+# _with_tokens binding) after its last green row.
 DRIVER_PRIORITY: list[str] = [
+    # late-r6 additions — never driver-checked
+    "s19_mips_norm_reduction_topk",
+    "t41_heaps_vocab_growth",
+    "t42_zipf_rank_frequency",
+    "f03_theil_sen_trend",
+    "x04_neyman_allocation",
+    "u08_txlog_forget_audit",
+    "r06_query_likelihood_topk",
+    "m10_image_luminance_stats",
     # registered AFTER the r5 window froze at 50 — never driver-checked
     "t36_cluster_aware_split",
     "s17_ivf_nprobe_recall_curve",
@@ -132,29 +154,21 @@ DRIVER_PRIORITY: list[str] = [
     "q28_events_json_props",
     "q31_percentiles",
     "q32_correlated_avg_subquery",
-    "q34_string_functions",
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
     "q38_two_nation_volume",
     "q40_top_supplier",
     "q41_not_in_null_aware",
     "q42_large_orders",
-    "q44_datetime_functions",
     "q45_pandas_udf_scalar",
     "q46_grouped_pandas_udf",
-    "q48_distribution_windows",
-    "q49_multiset_ops",
     "q51_python_udtf_sentences",
     "q52_stateful_running_totals",
-    "q53_recursive_month_spine",
-    "q54_window_interval_range_frame",
     "q55_cogrouped_order_reconciliation",
     "q56_variant_semistructured",
     "q57_sole_blame_suppliers",
     "q58_map_type_aggregation",
     "q59_null_semantics",
-    "q65_nation_revenue_share",
-    "t07_stratified_sample",
     "t08_repetition_score",
 ]
 
