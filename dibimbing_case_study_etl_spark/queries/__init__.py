@@ -115,8 +115,18 @@ def load_all() -> dict[str, QuerySpec]:
 # q77's frame family), q65 (join/agg shape ≈ q05/q09), t07 (sampling ≈
 # t24/t39). t08 KEEPS its slot: it was rewritten in r5 (the
 # _with_tokens binding) after its last green row.
+#
+# Late-r6 batch 2 (x05 mSPRT, s20 JL audit, t43 budget selection, b04
+# BPE vocab curve) displaces four more re-proven r2 greens to the r7
+# head: q26 (event-time bucketing ≈ q77/q80, green r5; q26 also runs
+# every bench), q38 (two-sided dim join ≈ q05/q09), q40 (top-k supplier
+# ≈ q02/q10 TakeOrdered shape), q42 (filter+agg ≈ q03/q79).
 DRIVER_PRIORITY: list[str] = [
     # late-r6 additions — never driver-checked
+    "x05_msprt_sequential_test",
+    "s20_jl_projection_distortion",
+    "t43_token_budget_selection",
+    "b04_bpe_vocab_size_curve",
     "s19_mips_norm_reduction_topk",
     "t41_heaps_vocab_growth",
     "t42_zipf_rank_frequency",
@@ -150,16 +160,12 @@ DRIVER_PRIORITY: list[str] = [
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
     "q10_returned_revenue_topk",
-    "q26_events_hourly",
     "q28_events_json_props",
     "q31_percentiles",
     "q32_correlated_avg_subquery",
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
-    "q38_two_nation_volume",
-    "q40_top_supplier",
     "q41_not_in_null_aware",
-    "q42_large_orders",
     "q45_pandas_udf_scalar",
     "q46_grouped_pandas_udf",
     "q51_python_udtf_sentences",

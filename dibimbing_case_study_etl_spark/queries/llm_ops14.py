@@ -1048,3 +1048,619 @@ def m10_image_luminance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x05: mSPRT always-valid sequential A/B monitoring ----------------------
+
+_X05_DECILES = 10
+
+
+_X05_ORACLE = f"""
+    WITH p AS (
+      SELECT user_id % 2 AS variant, epoch_us(ts) AS us,
+             CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM p),
+    bucketed AS (
+      SELECT LEAST({_X05_DECILES}, ((us - b.lo) * {_X05_DECILES}) // (b.hi - b.lo) + 1)
+               AS bkt,
+             variant, cents
+      FROM p CROSS JOIN bounds b
+    ),
+    part AS (
+      SELECT bkt, variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM bucketed GROUP BY bkt, variant
+    ),
+    grid AS (
+      SELECT d, v FROM (SELECT unnest(generate_series(1, {_X05_DECILES})) AS d)
+      CROSS JOIN (SELECT unnest([0, 1]) AS v)
+    ),
+    cum AS (
+      SELECT g.d, g.v,
+             CAST(SUM(COALESCE(part.n, 0)) AS BIGINT) AS n,
+             CAST(SUM(COALESCE(part.s, 0)) AS BIGINT) AS s,
+             CAST(SUM(COALESCE(part.ss, 0)) AS BIGINT) AS ss
+      FROM grid g
+      LEFT JOIN part ON part.variant = g.v AND part.bkt <= g.d
+      GROUP BY g.d, g.v
+    ),
+    wide AS (
+      SELECT d,
+             MAX(CASE WHEN v = 1 THEN n END) AS n1,
+             MAX(CASE WHEN v = 1 THEN s END) AS s1,
+             MAX(CASE WHEN v = 0 THEN n END) AS n0,
+             MAX(CASE WHEN v = 0 THEN s END) AS s0,
+             CAST(SUM(n) AS BIGINT) AS np,
+             CAST(SUM(s) AS BIGINT) AS sp,
+             CAST(SUM(ss) AS BIGINT) AS ssp
+      FROM cum GROUP BY d
+    ),
+    stats AS (
+      SELECT d, n1, n0,
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100 AS delta,
+             ((CAST(ssp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / np) / np)
+               * (1.0 / n1 + 1.0 / n0) / 10000 AS se2,
+             ((CAST(ssp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / np) / np) / 10000
+               AS tau2
+      FROM wide
+      WHERE n1 > 0 AND n0 > 0
+    ),
+    lam AS (
+      SELECT d, n1, n0, delta,
+             0.5 * ln(se2 / (se2 + tau2))
+               + delta * delta * tau2 / (2 * se2 * (se2 + tau2)) AS log_lambda
+      FROM stats WHERE se2 > 0
+    )
+    SELECT CAST(d AS INTEGER) AS decile, n1 AS n_treat, n0 AS n_ctrl,
+           {sql_iround("delta", 4)} AS delta,
+           {sql_iround("log_lambda", 6)} AS log_lambda,
+           {sql_iround(
+               "MIN(LEAST(1.0, exp(-log_lambda)))"
+               " OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+               6,
+           )} AS p_always_valid
+    FROM lam
+    ORDER BY decile
+"""
+
+
+@query(
+    "x05_msprt_sequential_test",
+    oracle=_X05_ORACLE,
+    tags=("experimentation", "sequential", "events"),
+)
+def x05_msprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mSPRT, Johari et al.): the
+    mixture likelihood ratio Λ_n for the purchase-value difference is
+    evaluated at ten experiment-timeline checkpoints, with the
+    always-valid p-value p_n = min over checkpoints of 1/Λ — the number
+    a dashboard may show CONTINUOUSLY without peeking-inflated false
+    positives (x02 guards assignment, x03 sizes the experiment, x01
+    reads it out once; this is the monitor while it runs). Mixture
+    variance τ² = pooled σ̂² (the standard self-scaled choice); Λ is
+    closed-form normal-mixture, reported in log space.
+
+    Scale: each event maps to its FIRST uncovered checkpoint (integer
+    bucket arithmetic) and is aggregated once — the cumulative-by
+    -checkpoint table is built by a ≤10×2-row window, never by
+    rescanning events per checkpoint; all sums are exact BIGINT cents."""
+    t = register(spark, sf_dir, ("events",))
+    p = t["events"].filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.unix_micros("ts").alias("us"),
+        F.call_function("rint", F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = F.broadcast(p.agg(F.min("us").alias("lo"), F.max("us").alias("hi")))
+    bucketed = p.crossJoin(bounds).select(
+        F.least(
+            F.lit(_X05_DECILES),
+            F.expr(f"((us - lo) * {_X05_DECILES}) div (hi - lo)") + 1,
+        ).alias("bkt"),
+        "variant",
+        "cents",
+    )
+    part = bucketed.groupBy("bkt", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    grid = (
+        spark.range(1, _X05_DECILES + 1)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("v")))
+    )
+    cum = (
+        grid.join(
+            part, (part["variant"] == F.col("v")) & (part["bkt"] <= F.col("d")), "left"
+        )
+        .groupBy("d", "v")
+        .agg(
+            F.sum(F.coalesce("n", F.lit(0))).cast("bigint").alias("n"),
+            F.sum(F.coalesce("s", F.lit(0))).cast("bigint").alias("s"),
+            F.sum(F.coalesce("ss", F.lit(0))).cast("bigint").alias("ss"),
+        )
+    )
+    wide = cum.groupBy("d").agg(
+        F.max(F.when(F.col("v") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("v") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("v") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("v") == 0, F.col("s"))).alias("s0"),
+        F.sum("n").cast("bigint").alias("np"),
+        F.sum("s").cast("bigint").alias("sp"),
+        F.sum("ss").cast("bigint").alias("ssp"),
+    )
+    pooled_var = (
+        (F.col("ssp").cast("double") - F.col("sp").cast("double") * F.col("sp") / F.col("np"))
+        / F.col("np")
+    )
+    stats = wide.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "d",
+        "n1",
+        "n0",
+        ((F.col("s1").cast("double") / F.col("n1") - F.col("s0").cast("double") / F.col("n0")) / 100).alias("delta"),
+        (pooled_var * (1.0 / F.col("n1") + 1.0 / F.col("n0")) / 10000).alias("se2"),
+        (pooled_var / 10000).alias("tau2"),
+    )
+    log_lambda = 0.5 * F.log(F.col("se2") / (F.col("se2") + F.col("tau2"))) + (
+        F.col("delta") * F.col("delta") * F.col("tau2")
+        / (2 * F.col("se2") * (F.col("se2") + F.col("tau2")))
+    )
+    lam = stats.filter(F.col("se2") > 0).select(
+        "d", "n1", "n0", "delta", log_lambda.alias("log_lambda")
+    )
+    wmin = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return lam.select(
+        F.col("d").cast("int").alias("decile"),
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        iround(F.col("delta"), 4).alias("delta"),
+        iround(F.col("log_lambda"), 6).alias("log_lambda"),
+        iround(
+            F.min(F.least(F.lit(1.0), F.exp(-F.col("log_lambda")))).over(wmin), 6
+        ).alias("p_always_valid"),
+    ).orderBy("decile")
+
+
+# --- s20: Johnson–Lindenstrauss random-projection distortion audit ---------
+
+_S20_K = 16  # projected dimensions
+_S20_DIM = 64
+_S20_NPAIRS = 500  # seeded probe pairs (constant across SF)
+
+
+def _s20_planes() -> list[list[float]]:
+    from dibimbing_case_study_etl_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(_S20_DIM, _S20_K, seed=271828)
+
+
+def _s20_oracle() -> str:
+    planes = _s20_planes()
+    vals = ",\n      ".join(
+        f"({j}, [{','.join(repr(x) for x in p)}])" for j, p in enumerate(planes)
+    )
+    # explicit per-plane dots so BOTH engines evaluate the identical
+    # left-to-right expression trees (no engine-internal fold order)
+    ya = [f"list_dot_product(va.v, pl{j}.p)" for j in range(_S20_K)]
+    yb = [f"list_dot_product(vb.v, pl{j}.p)" for j in range(_S20_K)]
+    dy2 = " + ".join(f"({a} - {b}) * ({a} - {b})" for a, b in zip(ya, yb))
+    plane_joins = "\n      ".join(
+        f"CROSS JOIN (SELECT p FROM planes WHERE bit = {j}) pl{j}"
+        for j in range(_S20_K)
+    )
+    # pair ids FIRST, then two plain equi joins back to the vectors —
+    # a non-equi b.vec_id = a.vec_id + half.h condition sends DuckDB's
+    # planner into a corpus-sized nested loop (220s at sf0.1 vs 0.3s)
+    return f"""
+    WITH planes(bit, p) AS (VALUES {vals}),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    half AS (SELECT COUNT(*) // 2 AS h FROM vecs),
+    pid AS (
+      SELECT a.vec_id AS ia, a.vec_id + half.h AS ib
+      FROM (SELECT vec_id FROM embeddings) a CROSS JOIN half
+      WHERE a.vec_id < LEAST({_S20_NPAIRS}, half.h)
+    ),
+    pr AS (
+      SELECT pid.ia, pid.ib,
+             list_dot_product(va.v, va.v) + list_dot_product(vb.v, vb.v)
+               - 2 * list_dot_product(va.v, vb.v) AS dv2,
+             {dy2} AS dy2
+      FROM pid
+      JOIN vecs va ON va.vec_id = pid.ia
+      JOIN vecs vb ON vb.vec_id = pid.ib
+      {plane_joins}
+    ),
+    rr AS (
+      SELECT ia, sqrt((dy2 * 3.0 / {_S20_K}.0) / dv2) AS ratio
+      FROM pr WHERE dv2 > 0
+    ),
+    binned AS (
+      SELECT CAST(floor(ratio * 20) AS BIGINT) AS bin20,
+             CAST(round_even(ratio * 1000000, 0) AS BIGINT) AS ri
+      FROM rr
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ri) AS BIGINT) AS s,
+             CAST(SUM(ri * ri) AS BIGINT) AS ss
+      FROM binned
+    )
+    SELECT {sql_iround("bin20 / 20.0", 2)} AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_iround("CAST(t.s AS DOUBLE) / 1000000 / t.n", 6)} AS mean_ratio,
+           {sql_iround(
+               "sqrt((CAST(t.ss AS DOUBLE) / 1000000000000"
+               " - (CAST(t.s AS DOUBLE) / 1000000) * (CAST(t.s AS DOUBLE) / 1000000) / t.n) / t.n)",
+               6,
+           )} AS sd_ratio,
+           t.n AS n_total
+    FROM binned CROSS JOIN tot t
+    GROUP BY bin20, t.n, t.s, t.ss
+    ORDER BY bin_lo
+    """
+
+
+@query(
+    "s20_jl_projection_distortion",
+    oracle=_s20_oracle(),
+    tags=("llm", "similarity", "sketch"),
+)
+def s20_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit for a 64→16 pseudo-gaussian
+    random projection (the dimensionality-reduction step ahead of any
+    ANN build): for a fixed probe-pair sample, the ratio of projected to
+    original pairwise distance (scaled by √(3/k) — the planes' Irwin–
+    Hall entries have variance 1/3) is histogrammed with its mean/sd —
+    the measured concentration the JL lemma promises. Both engines
+    evaluate the identical explicit expression trees (per-plane dots,
+    norm-identity distances, textual left-to-right sums), so even this
+    float-heavy audit hash-matches exactly; zero-distance (clone) pairs
+    are excluded on both sides by the same dv²>0 predicate.
+
+    Scale: the corpus is scanned once to project (16 broadcast-literal
+    dots per row); the probe-pair set is CONSTANT-sized by construction
+    ({np} pairs), so the audit's join and stats never grow with the
+    corpus."""
+    planes = _s20_planes()
+    t = register(spark, sf_dir, ("embeddings",))
+    vecs = t["embeddings"].select("vec_id", as_double(F.col("embedding")).alias("v"))
+    half = F.broadcast(
+        vecs.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("h"))
+    )
+    proj = [
+        dot(F.col("v"), F.array(*[F.lit(x) for x in p])).alias(f"y{j}")
+        for j, p in enumerate(planes)
+    ]
+    pv = vecs.select(
+        "vec_id", "v", dot(F.col("v"), F.col("v")).alias("vv"), *proj
+    )
+    a = pv.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("vv").alias("vva"),
+        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(_S20_K)],
+    )
+    b = pv.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("vv").alias("vvb"),
+        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(_S20_K)],
+    )
+    paired = (
+        a.crossJoin(half)
+        .filter(F.col("ia") < F.least(F.lit(_S20_NPAIRS), F.col("h")))
+        .join(b, F.col("ib") == F.col("ia") + F.col("h"))
+    )
+    dv2 = F.col("vva") + F.col("vvb") - 2 * dot(F.col("va"), F.col("vb"))
+    terms = [
+        (F.col(f"ya{j}") - F.col(f"yb{j}")) * (F.col(f"ya{j}") - F.col(f"yb{j}"))
+        for j in range(_S20_K)
+    ]
+    dy2 = terms[0]
+    for tm in terms[1:]:
+        dy2 = dy2 + tm
+    rr = (
+        paired.select(dv2.alias("dv2"), dy2.alias("dy2"))
+        .filter(F.col("dv2") > 0)
+        .select(
+            F.sqrt((F.col("dy2") * 3.0 / float(_S20_K)) / F.col("dv2")).alias("ratio")
+        )
+    )
+    binned = rr.select(
+        F.floor(F.col("ratio") * 20).cast("bigint").alias("bin20"),
+        F.call_function("rint", F.col("ratio") * 1_000_000).cast("bigint").alias("ri"),
+    ).localCheckpoint(eager=False)  # constant-sized; feeds totals AND bins
+    tot = F.broadcast(
+        binned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ri").cast("bigint").alias("s"),
+            F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("ss"),
+        )
+    )
+    mean = F.col("s").cast("double") / 1_000_000 / F.col("n")
+    return (
+        binned.groupBy("bin20")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(tot)
+        .select(
+            iround(F.col("bin20") / 20.0, 2).alias("bin_lo"),
+            "n_pairs",
+            iround(mean, 6).alias("mean_ratio"),
+            iround(
+                F.sqrt(
+                    (
+                        F.col("ss").cast("double") / 1_000_000_000_000
+                        - mean * (F.col("s").cast("double") / 1_000_000)
+                    )
+                    / F.col("n")
+                ),
+                6,
+            ).alias("sd_ratio"),
+            F.col("n").alias("n_total"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+s20_jl_projection_distortion.__doc__ = s20_jl_projection_distortion.__doc__.format(
+    np=_S20_NPAIRS
+)
+
+
+# --- t43: token-budget quality selection (prefix-sum curriculum) -----------
+
+
+def _t43_oracle() -> str:
+    from dibimbing_case_study_etl_spark.queries.llm_ops import _sql_marker_score
+    from dibimbing_case_study_etl_spark.functions.text import EN_STOPWORDS
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             {_sql_marker_score(EN_STOPWORDS)} AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, n_tokens AS tok,
+             {sql_iround('0.5 * (n_stop / n_tokens) + 0.5 * LEAST(1.0, n_tokens / 100.0)', 4)}
+               AS sc
+      FROM base
+    ),
+    tot AS (
+      SELECT CAST(SUM(tok) AS BIGINT) AS total_tok,
+             CAST(SUM(tok) AS BIGINT) // 4 AS budget
+      FROM q
+    ),
+    cum AS (
+      SELECT source, sc, tok,
+             SUM(tok) OVER (ORDER BY sc DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q
+    ),
+    fl AS (
+      SELECT source, sc, tok, (cum - tok) < t.budget AS sel, t.budget, t.total_tok
+      FROM cum CROSS JOIN tot t
+    ),
+    th AS (
+      SELECT {sql_iround('MIN(sc)', 4)} AS min_score_admitted FROM fl WHERE sel
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN sel THEN tok ELSE 0 END) AS BIGINT) AS tokens_selected,
+           {sql_iround(
+               'CAST(SUM(CASE WHEN sel THEN tok ELSE 0 END) AS DOUBLE) / SUM(tok)', 6
+           )} AS token_share_selected,
+           MAX(budget) AS budget_tokens,
+           MAX(th.min_score_admitted) AS min_score_admitted
+    FROM fl CROSS JOIN th
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "t43_token_budget_selection",
+    oracle=_t43_oracle(),
+    tags=("llm", "text", "curation"),
+)
+def t43_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked data selection under a token budget (the DataComp/
+    FineWeb curation step): documents are ordered by t02's composite
+    quality score, the distributed prefix sum accumulates their token
+    counts in that order, and every document whose running total STARTS
+    below budget (25% of corpus tokens) is selected — the greedy
+    best-quality-first fill. Per-source admission stats plus the global
+    admission threshold (the lowest quality score selected) are the
+    published artifact: they say what a budget cut does to the mix.
+
+    Scale: ordering + accumulation is the range-bucketed prefix sum
+    (bounded driver state), NOT a global window; everything else is one
+    doc-grain scan and a |sources|-row aggregate."""
+    from dibimbing_case_study_etl_spark.functions.text import (
+        EN_STOPWORDS,
+        marker_score,
+        token_count,
+    )
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    t = register(spark, sf_dir, ("documents",))
+    n_tokens = token_count(F.col("text"))
+    stop_ratio = marker_score(F.col("text"), EN_STOPWORDS) / n_tokens
+    score = iround(
+        0.5 * stop_ratio + 0.5 * F.least(F.lit(1.0), n_tokens / 100.0), 4
+    )
+    base = t["documents"].select(
+        "doc_id",
+        "source",
+        (-score).alias("negq"),
+        n_tokens.alias("tok"),
+    )
+    total = F.broadcast(
+        base.agg(
+            F.sum("tok").cast("bigint").alias("total_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        ).select("*", F.expr("total_tok div 4").cast("bigint").alias("budget"))
+    )
+    cum = prefix_sum(base, "tok", ["negq", "doc_id"], out_col="cum")
+    flagged = cum.crossJoin(total).select(
+        "source",
+        "negq",
+        "tok",
+        ((F.col("cum") - F.col("tok")) < F.col("budget")).alias("sel"),
+        "budget",
+        "total_tok",
+    )
+    thresh = F.broadcast(
+        flagged.filter(F.col("sel"))
+        .agg(F.max("negq").alias("mx"))
+        .select(iround(-F.col("mx"), 4).alias("min_score_admitted"))
+    )
+    return (
+        flagged.groupBy("source", "budget", "total_tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("sel"), F.col("tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+        )
+        .crossJoin(thresh)
+        .select(
+            "source",
+            "n_docs",
+            "n_selected",
+            "tokens_total",
+            "tokens_selected",
+            iround(F.col("tokens_selected") / F.col("tokens_total").cast("double"), 6).alias(
+                "token_share_selected"
+            ),
+            F.col("budget").alias("budget_tokens"),
+            "min_score_admitted",
+        )
+        .orderBy("source")
+    )
+
+
+# --- b04: BPE vocab-size curve (merge-table prefixes) ----------------------
+
+_B04_MERGES = 6
+_B04_PREFIXES = (0, 2, 4, 6)
+
+
+def _b04_oracle() -> str:
+    from dibimbing_case_study_etl_spark.operators.bpe import _sql_bpe_parts
+
+    parts = _sql_bpe_parts(_B04_MERGES)
+    sym_split = "string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1))"
+    stat_selects = []
+    for k in _B04_PREFIXES:
+        parts.append(
+            f"""v{k} AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab
+           FROM (SELECT unnest({sym_split}) AS sym FROM w{k})),
+    s{k} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n) AS BIGINT) AS occ,
+             CAST(SUM(n * (length(s) - length(replace(s, chr(1), '')))) AS BIGINT)
+               AS tok
+      FROM w{k}
+    )"""
+        )
+        stat_selects.append(
+            f"""SELECT CAST({k} AS INTEGER) AS n_merges, v{k}.vocab AS vocab_symbols,
+             s{k}.n_words, s{k}.occ AS word_occurrences, s{k}.tok AS n_tokens,
+             {sql_iround(f"s{k}.tok * 1.0 / s{k}.occ", 4)} AS fertility,
+             {sql_iround(f"b0.tok0 * 1.0 / s{k}.tok", 4)} AS compression
+      FROM v{k} CROSS JOIN s{k} CROSS JOIN b0"""
+        )
+    parts.append("b0 AS (SELECT tok AS tok0 FROM s0)")
+    union = "\n      UNION ALL ".join(stat_selects)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({union}) ORDER BY n_merges"
+    )
+
+
+@query(
+    "b04_bpe_vocab_size_curve",
+    oracle=_b04_oracle(),
+    tags=("llm", "tokenizer", "bpe"),
+)
+def b04_bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size selection curve: the {m}-merge BPE table is
+    learned ONCE, then merge-table PREFIXES of size 0/2/4/6 are applied
+    to the same word vocabulary (s17's one-corpus-many-settings pattern
+    pointed at the tokenizer) — per setting: symbol-vocab size, token
+    count, fertility, and compression vs the character baseline. This is
+    the curve a team reads to pick a vocab size before training (b01
+    learns, b02 cards one setting, b03 generalizes; this SWEEPS the
+    knob). Because greedy BPE applies merges in rank order, prefix-k
+    application is bit-identical to the oracle's k-th training layer.
+
+    Scale: learning is b01's bounded-driver loop (one pair-count
+    aggregate per merge over the WORD VOCAB, not the corpus); each
+    prefix evaluation is one codegen projection (chained literal
+    replaces) + two vocab-sized aggregates."""
+    from dibimbing_case_study_etl_spark.operators.bpe import (
+        SEP_L,
+        SEP_R,
+        apply_merges,
+        learn_bpe_merges,
+        wrap_word_vocab,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges = learn_bpe_merges(docs, "text", _B04_MERGES)
+    words0 = wrap_word_vocab(docs, "text").localCheckpoint(eager=True)
+
+    sym_count = F.length("s") - F.length(F.replace(F.col("s"), F.lit(SEP_L), F.lit("")))
+    syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), SEP_R + SEP_L)
+    base = F.broadcast(
+        words0.agg(F.sum(F.col("n") * sym_count).cast("bigint").alias("tok0"))
+    )
+    outs = []
+    for k in _B04_PREFIXES:
+        wk = apply_merges(words0, merges[:k]).localCheckpoint(eager=False)
+        vocab = wk.select(F.explode(syms).alias("sym")).agg(
+            F.count_distinct("sym").cast("bigint").alias("vocab_symbols")
+        )
+        stats = wk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("word_occurrences"),
+            F.sum(F.col("n") * sym_count).cast("bigint").alias("n_tokens"),
+        )
+        outs.append(
+            F.broadcast(vocab)
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(base)
+            .select(
+                F.lit(k).cast("int").alias("n_merges"),
+                "vocab_symbols",
+                "n_words",
+                "word_occurrences",
+                "n_tokens",
+                iround(F.col("n_tokens") * 1.0 / F.col("word_occurrences"), 4).alias(
+                    "fertility"
+                ),
+                iround(F.col("tok0") * 1.0 / F.col("n_tokens"), 4).alias("compression"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    result = out.orderBy("n_merges")
+    words0.unpersist()
+    return result
+
+
+b04_bpe_vocab_size_curve.__doc__ = b04_bpe_vocab_size_curve.__doc__.format(
+    m=_B04_MERGES
+)
