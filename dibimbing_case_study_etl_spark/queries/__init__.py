@@ -120,9 +120,14 @@ def load_all() -> dict[str, QuerySpec]:
 # BPE vocab curve) displaces four more re-proven r2 greens to the r7
 # head: q26 (event-time bucketing ≈ q77/q80, green r5; q26 also runs
 # every bench), q38 (two-sided dim join ≈ q05/q09), q40 (top-k supplier
-# ≈ q02/q10 TakeOrdered shape), q42 (filter+agg ≈ q03/q79).
+# ≈ q02/q10 TakeOrdered shape), q42 (filter+agg ≈ q03/q79). Batch 3
+# (r07 RBO, t44 KL drift) displaces q10 (top-k ≈ q02/q03, q03 benches
+# every round) and q32 (correlated subquery ≈ q36, which keeps its
+# slot).
 DRIVER_PRIORITY: list[str] = [
     # late-r6 additions — never driver-checked
+    "r07_ranker_rank_biased_overlap",
+    "t44_source_token_drift",
     "x05_msprt_sequential_test",
     "s20_jl_projection_distortion",
     "t43_token_budget_selection",
@@ -159,10 +164,8 @@ DRIVER_PRIORITY: list[str] = [
     "t40_heldout_lm_perplexity",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
-    "q10_returned_revenue_topk",
     "q28_events_json_props",
     "q31_percentiles",
-    "q32_correlated_avg_subquery",
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
     "q41_not_in_null_aware",

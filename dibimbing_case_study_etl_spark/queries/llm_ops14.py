@@ -1664,3 +1664,231 @@ def b04_bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 b04_bpe_vocab_size_curve.__doc__ = b04_bpe_vocab_size_curve.__doc__.format(
     m=_B04_MERGES
 )
+
+
+# --- r07: rank-biased overlap between the two retrieval rankers ------------
+
+_R07_DEPTH = 50
+_R07_SHOW = 10
+_R07_P = 0.9  # RBO persistence
+
+
+def _r07_oracle() -> str:
+    from dibimbing_case_study_etl_spark.queries.llm_ops7 import _R01_ORACLE
+    from dibimbing_case_study_etl_spark.queries.llm_ops14 import _R06_TOPK  # noqa: F401
+
+    r06 = _r06_oracle().strip()
+    return f"""
+    WITH ra AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM ({_R01_ORACLE})
+    ),
+    rb AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM ({r06})
+    ),
+    joint AS (
+      SELECT GREATEST(ra.rnk, rb.rnk) AS lo
+      FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+      WHERE ra.rnk <= {_R07_DEPTH} AND rb.rnk <= {_R07_DEPTH}
+    ),
+    depths AS (SELECT unnest(generate_series(1, {_R07_DEPTH})) AS d),
+    ov AS (
+      SELECT d.d, CAST(COUNT(j.lo) AS BIGINT) AS x
+      FROM depths d LEFT JOIN joint j ON j.lo <= d.d
+      GROUP BY d.d
+    ),
+    terms AS (
+      SELECT d, x,
+             CAST(round_even((1 - {_R07_P}) * power({_R07_P}, d - 1)
+                             * (CAST(x AS DOUBLE) / d) * 1000000000, 0) AS BIGINT)
+               AS t9
+      FROM ov
+    ),
+    rbo AS (SELECT CAST(SUM(t9) AS BIGINT) AS s FROM terms)
+    SELECT CAST(terms.d AS INTEGER) AS depth, terms.x AS n_common,
+           {sql_iround("CAST(terms.x AS DOUBLE) / terms.d", 4)} AS overlap_at_d,
+           {sql_iround("rbo.s / 1000000000.0", 6)} AS rbo
+    FROM terms CROSS JOIN rbo
+    WHERE terms.d <= {_R07_SHOW}
+    ORDER BY depth
+    """
+
+
+@query(
+    "r07_ranker_rank_biased_overlap",
+    oracle=_r07_oracle(),
+    tags=("llm", "retrieval", "evaluation"),
+)
+def r07_ranker_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the engine's two
+    retrieval rankers — BM25 (r01) and Dirichlet query-likelihood (r06)
+    — the standard top-weighted rank-similarity that tells a search team
+    whether two scorers disagree where it matters (the head) before one
+    replaces the other. Overlap-at-depth comes from each shared doc's
+    WORSE rank (one join, no per-depth rescan); the RBO sum's (1−p)p^
+    {{d−1}}·X_d/d terms round to scaled BIGINT before summation.
+
+    Scale: both rankings are top-{k} tables (TakeOrderedAndProject), so
+    everything here — the rank join, the depth explosion, the RBO fold —
+    runs on ≤2·{k} rows regardless of corpus size; the corpus cost is
+    the two rankers' shared one-explode tf pass."""
+    from dibimbing_case_study_etl_spark.queries.llm_ops7 import r01_bm25_topk
+
+    wa = W.orderBy(F.col("score").desc(), "doc_id")
+    ra = r01_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wa).cast("bigint").alias("rnk")
+    )
+    rb = r06_query_likelihood_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wa).cast("bigint").alias("rnk")
+    )
+    joint = (
+        ra.withColumnRenamed("rnk", "rnk_a")
+        .join(rb.withColumnRenamed("rnk", "rnk_b"), "doc_id")
+        .filter((F.col("rnk_a") <= _R07_DEPTH) & (F.col("rnk_b") <= _R07_DEPTH))
+        .select(F.greatest("rnk_a", "rnk_b").alias("lo"))
+    )
+    depths = spark.range(1, _R07_DEPTH + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(F.broadcast(joint), F.col("lo") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("lo").cast("bigint").alias("x"))
+    )
+    terms = ov.select(
+        "d",
+        "x",
+        F.call_function(
+            "rint",
+            (1 - _R07_P)
+            * F.pow(F.lit(_R07_P), F.col("d") - 1)
+            * (F.col("x").cast("double") / F.col("d"))
+            * 1_000_000_000,
+        )
+        .cast("bigint")
+        .alias("t9"),
+    ).localCheckpoint(eager=False)  # 50 rows; feeds the RBO sum AND the output
+    rbo = F.broadcast(terms.agg(F.sum("t9").cast("bigint").alias("s")))
+    return (
+        terms.filter(F.col("d") <= _R07_SHOW)
+        .crossJoin(rbo)
+        .select(
+            F.col("d").cast("int").alias("depth"),
+            F.col("x").alias("n_common"),
+            iround(F.col("x").cast("double") / F.col("d"), 4).alias("overlap_at_d"),
+            iround(F.col("s") / 1_000_000_000.0, 6).alias("rbo"),
+        )
+        .orderBy("depth")
+    )
+
+
+r07_ranker_rank_biased_overlap.__doc__ = r07_ranker_rank_biased_overlap.__doc__.format(
+    k=_R07_DEPTH
+)
+
+
+# --- t44: per-source token-distribution drift (KL divergence) --------------
+
+_T44_VOCAB = 64  # top tokens by global frequency entering the divergence
+
+
+def _t44_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+      FROM documents
+    ),
+    gl AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS g FROM tok GROUP BY tok),
+    top AS (
+      SELECT tok, g FROM gl ORDER BY g DESC, tok LIMIT {_T44_VOCAB}
+    ),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM top),
+    st AS (
+      SELECT source, tok.tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok JOIN top ON top.tok = tok.tok
+      GROUP BY source, tok.tok
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source),
+    terms AS (
+      SELECT st.source,
+             CAST(round_even(
+               (CAST(st.c AS DOUBLE) / stot.n)
+               * ln((CAST(st.c AS DOUBLE) / stot.n)
+                    / (CAST(top.g AS DOUBLE) / g2.gt)) * 1000000000, 0) AS BIGINT)
+               AS t9
+      FROM st
+      JOIN stot ON stot.source = st.source
+      JOIN top ON top.tok = st.tok
+      CROSS JOIN gtot g2
+    )
+    SELECT terms.source,
+           stot.n AS n_top_tokens,
+           {sql_iround("CAST(SUM(t9) AS BIGINT) / 1000000000.0", 6)} AS kl_nats
+    FROM terms JOIN stot ON stot.source = terms.source
+    GROUP BY terms.source, stot.n
+    ORDER BY terms.source
+    """
+
+
+@query(
+    "t44_source_token_drift",
+    oracle=_t44_oracle(),
+    tags=("llm", "text", "quality", "monitoring"),
+)
+def t44_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source ‖ corpus) over the
+    top-{v} global vocabulary — the distribution-shift monitor a data
+    pipeline runs per ingest source before mixing (t19 confuses
+    languages, t31 anneals mixtures; this measures how far each source's
+    unigram profile sits from the corpus it joins). Restricting to the
+    global top-{v} keeps the support identical on both sides (no
+    zero-probability terms) and the divergence table model-sized;
+    per-term p·ln(p/q) rounds to scaled BIGINT before the per-source
+    sum.
+
+    Scale: one corpus explode feeds the global count (partial agg); the
+    per-source counts join against the BROADCAST top-vocab so only
+    top-vocab occurrences shuffle; everything after runs on
+    |sources|×{v} rows."""
+    from dibimbing_case_study_etl_spark.functions.text import tokens
+
+    t = register(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)  # one explode feeds global AND per-source
+    gl = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    top = F.broadcast(gl.orderBy(F.col("g").desc(), "tok").limit(_T44_VOCAB))
+    gtot = F.broadcast(top.agg(F.sum("g").cast("bigint").alias("gt")))
+    st = (
+        tok.join(top, "tok")
+        .groupBy("source", "tok", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("gt")
+    terms = (
+        st.join(stot, "source")
+        .crossJoin(gtot)
+        .select(
+            "source",
+            "n",
+            F.call_function("rint", p * F.log(p / q) * 1_000_000_000)
+            .cast("bigint")
+            .alias("t9"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n")
+        .agg(F.sum("t9").cast("bigint").alias("s"))
+        .select(
+            "source",
+            F.col("n").alias("n_top_tokens"),
+            iround(F.col("s") / 1_000_000_000.0, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+t44_source_token_drift.__doc__ = t44_source_token_drift.__doc__.format(v=_T44_VOCAB)
