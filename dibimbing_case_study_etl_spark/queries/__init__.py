@@ -123,9 +123,13 @@ def load_all() -> dict[str, QuerySpec]:
 # ≈ q02/q10 TakeOrdered shape), q42 (filter+agg ≈ q03/q79). Batch 3
 # (r07 RBO, t44 KL drift) displaces q10 (top-k ≈ q02/q03, q03 benches
 # every round) and q32 (correlated subquery ≈ q36, which keeps its
-# slot).
+# slot). Batch 4 (x07 DEFF, f04 seasonal strength) displaces q28
+# (events JSON ≈ q56 variant, which stays, + the r5-green event apps)
+# and q31 (percentiles ≈ the t30/q77 family, green r5).
 DRIVER_PRIORITY: list[str] = [
     # late-r6 additions — never driver-checked
+    "x07_cluster_randomization_deff",
+    "f04_seasonal_strength",
     "r07_ranker_rank_biased_overlap",
     "t44_source_token_drift",
     "x05_msprt_sequential_test",
@@ -164,8 +168,6 @@ DRIVER_PRIORITY: list[str] = [
     "t40_heldout_lm_perplexity",
     # the 35 stalest greens — every query whose last driver row is r2
     "q09_nation_year_profit",
-    "q28_events_json_props",
-    "q31_percentiles",
     "q36_scalar_subquery_anti",
     "q37_approx_aggregates",
     "q41_not_in_null_aware",

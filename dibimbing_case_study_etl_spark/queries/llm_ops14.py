@@ -1259,7 +1259,10 @@ def _s20_oracle() -> str:
     vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     half AS (SELECT COUNT(*) // 2 AS h FROM vecs),
     pid AS (
-      SELECT a.vec_id AS ia, a.vec_id + half.h AS ib
+      -- offset h+1, not h: replica-grown corpora (the sf1 sweep data)
+      -- clone vectors with period dividing h, and an exact-h offset
+      -- would pair every probe with its own clone (dv2=0 -> 0 rows)
+      SELECT a.vec_id AS ia, a.vec_id + half.h + 1 AS ib
       FROM (SELECT vec_id FROM embeddings) a CROSS JOIN half
       WHERE a.vec_id < LEAST({_S20_NPAIRS}, half.h)
     ),
@@ -1329,7 +1332,7 @@ def s20_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t["embeddings"].select("vec_id", as_double(F.col("embedding")).alias("v"))
     half = F.broadcast(
         vecs.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("h"))
-    )
+    )  # pair offset is h+1 below — see the oracle's clone-alignment note
     proj = [
         dot(F.col("v"), F.array(*[F.lit(x) for x in p])).alias(f"y{j}")
         for j, p in enumerate(planes)
@@ -1352,7 +1355,7 @@ def s20_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = (
         a.crossJoin(half)
         .filter(F.col("ia") < F.least(F.lit(_S20_NPAIRS), F.col("h")))
-        .join(b, F.col("ib") == F.col("ia") + F.col("h"))
+        .join(b, F.col("ib") == F.col("ia") + F.col("h") + 1)
     )
     dv2 = F.col("vva") + F.col("vvb") - 2 * dot(F.col("va"), F.col("vb"))
     terms = [
@@ -1892,3 +1895,296 @@ def t44_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 t44_source_token_drift.__doc__ = t44_source_token_drift.__doc__.format(v=_T44_VOCAB)
+
+
+# --- x07: cluster-randomized design effect (ICC) ----------------------------
+
+
+_X07_ORACLE = f"""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_nationkey AS cluster,
+             CAST(COALESCE(SUM(CAST(round_even(o.o_totalprice, 0) AS BIGINT)), 0)
+                  AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    per_cluster AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(y) AS BIGINT) AS sc
+      FROM cust GROUP BY cluster
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS k,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM cust
+    ),
+    ssb AS (
+      SELECT CAST(SUM(CAST(round_even(
+               (CAST(pc.sc AS DOUBLE) / pc.nc - CAST(t.s AS DOUBLE) / t.n)
+               * (CAST(pc.sc AS DOUBLE) / pc.nc - CAST(t.s AS DOUBLE) / t.n)
+               * pc.nc, 0) AS BIGINT)) AS BIGINT) AS b
+      FROM per_cluster pc CROSS JOIN tot t
+    ),
+    anova AS (
+      SELECT t.n, t.k,
+             CAST(ssb.b AS DOUBLE) / (t.k - 1) AS msb,
+             ((CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n) - ssb.b)
+               / (t.n - t.k) AS msw,
+             CAST(t.n AS DOUBLE) / t.k AS mbar
+      FROM tot t CROSS JOIN ssb
+    )
+    SELECT n AS n_units, k AS n_clusters,
+           {sql_iround("msb", 2)} AS ms_between,
+           {sql_iround("msw", 2)} AS ms_within,
+           {sql_iround("(msb - msw) / (msb + (mbar - 1) * msw)", 6)} AS icc,
+           {sql_iround("1 + (mbar - 1) * ((msb - msw) / (msb + (mbar - 1) * msw))", 4)}
+             AS design_effect,
+           {sql_iround(
+               "n / (1 + (mbar - 1) * ((msb - msw) / (msb + (mbar - 1) * msw)))", 1
+           )} AS n_effective
+    FROM anova
+"""
+
+
+@query(
+    "x07_cluster_randomization_deff",
+    oracle=_X07_ORACLE,
+    tags=("experimentation", "design"),
+)
+def x07_cluster_randomization_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of cluster randomization: if an experiment must
+    randomize whole nations (geo tests, pricing, anything with
+    interference), per-customer spend is correlated within a cluster and
+    the effective sample size shrinks by DEFF = 1 + (m̄−1)·ICC — the
+    number x03's power math must divide by before promising an MDE. ICC
+    comes from the one-way ANOVA estimator ((MSB−MSW)/(MSB+(m̄−1)MSW));
+    the between-cluster sum of squares rounds each cluster's term to
+    BIGINT before summation (25 terms, order-free), everything else is
+    exact-BIGINT sufficient statistics.
+
+    Scale: one customer-keyed LEFT join-aggregate (zero-order customers
+    count, with y=0 — dropping them biases ICC), one |clusters|-row
+    aggregate, one-row closed forms."""
+    t = register(spark, sf_dir, ("customer", "orders"))
+    # whole dollars: per-customer totals get SQUARED below — cents-scale
+    # y**2 sums overflow BIGINT by sf0.01
+    cents = F.call_function("rint", F.col("o_totalprice")).cast("bigint")
+    cust = (
+        t["customer"]
+        .select("c_custkey", F.col("c_nationkey").alias("cluster"))
+        .join(
+            t["orders"].select(F.col("o_custkey").alias("c_custkey"), cents.alias("cts")),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", "cluster")
+        .agg(F.coalesce(F.sum("cts"), F.lit(0)).cast("bigint").alias("y"))
+    ).localCheckpoint(eager=False)  # feeds per-cluster AND global sums
+    per_cluster = cust.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("y").cast("bigint").alias("sc"),
+    )
+    tot = F.broadcast(
+        cust.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("cluster").cast("bigint").alias("k"),
+            F.sum("y").cast("bigint").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+        )
+    )
+    dev = F.col("sc").cast("double") / F.col("nc") - F.col("s").cast("double") / F.col("n")
+    ssb = F.broadcast(
+        per_cluster.crossJoin(tot)
+        .select(
+            F.call_function("rint", dev * dev * F.col("nc")).cast("bigint").alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("b"))
+    )
+    msb = F.col("b").cast("double") / (F.col("k") - 1)
+    msw = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        - F.col("b")
+    ) / (F.col("n") - F.col("k"))
+    mbar = F.col("n").cast("double") / F.col("k")
+    icc = (msb - msw) / (msb + (mbar - 1) * msw)
+    return tot.crossJoin(ssb).select(
+        F.col("n").alias("n_units"),
+        F.col("k").alias("n_clusters"),
+        iround(msb, 2).alias("ms_between"),
+        iround(msw, 2).alias("ms_within"),
+        iround(icc, 6).alias("icc"),
+        iround(1 + (mbar - 1) * icc, 4).alias("design_effect"),
+        iround(F.col("n") / (1 + (mbar - 1) * icc), 1).alias("n_effective"),
+    )
+
+
+# --- f04: seasonal decomposition strength on monthly revenue ---------------
+
+
+_F04_ORACLE = f"""
+    WITH series AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             CAST(month(o_orderdate) AS BIGINT) AS moy,
+             CAST(SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT m - (SELECT MIN(m) FROM series) AS m, moy, cents FROM series
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(m * cents) AS BIGINT) AS sxy, CAST(SUM(m * m) AS BIGINT) AS sxx
+      FROM rel
+    ),
+    fit AS (
+      SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n AS a
+      FROM sums
+    ),
+    det AS (
+      SELECT moy, m,
+             CAST(round_even((rel.cents - fit.a - fit.b * rel.m) / 10000, 0) AS BIGINT)
+               AS d
+      FROM rel CROSS JOIN fit
+    ),
+    seas AS (
+      SELECT moy, CAST(COUNT(*) AS BIGINT) AS nm, CAST(SUM(d) AS BIGINT) AS sd
+      FROM det GROUP BY moy
+    ),
+    resid AS (
+      SELECT det.moy, det.d,
+             CAST(round_even(det.d - CAST(seas.sd AS DOUBLE) / seas.nm, 0) AS BIGINT)
+               AS r
+      FROM det JOIN seas ON seas.moy = det.moy
+    ),
+    var AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd1, CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(r) AS BIGINT) AS sr1, CAST(SUM(r * r) AS BIGINT) AS srr
+      FROM resid
+    ),
+    strength AS (
+      SELECT GREATEST(0.0, 1.0 -
+               ((CAST(srr AS DOUBLE) - CAST(sr1 AS DOUBLE) * sr1 / n) / n)
+               / ((CAST(sdd AS DOUBLE) - CAST(sd1 AS DOUBLE) * sd1 / n) / n)) AS f
+      FROM var
+    )
+    SELECT CAST(seas.moy AS INTEGER) AS month_of_year,
+           seas.nm AS n_months,
+           {sql_iround("CAST(seas.sd AS DOUBLE) / seas.nm * 100", 2)} AS seasonal_index,
+           {sql_iround("strength.f", 6)} AS seasonal_strength
+    FROM seas CROSS JOIN strength
+    ORDER BY month_of_year
+"""
+
+
+@query(
+    "f04_seasonal_strength",
+    oracle=_F04_ORACLE,
+    tags=("forecast", "decomposition"),
+)
+def f04_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend+seasonal decomposition of monthly revenue with the
+    Hyndman seasonal-strength statistic F = max(0, 1 − Var(remainder)/
+    Var(detrended)): the month-of-year index table (how much each
+    calendar month deviates from trend) plus one number that says
+    whether seasonality is real enough for f01's seasonal-naive model to
+    beat a plain naive. Trend is f02's closed-form OLS; detrended and
+    remainder values round to integer cents before their variance sums,
+    so every cross-engine float path is a rounded scalar, not an
+    accumulation.
+
+    Scale: one month-keyed exact aggregate of the corpus; the
+    decomposition runs on the ≤ calendar-sized series (f03's bounded
+    -pair discipline: model-sized tables, never data-sized windows)."""
+    t = register(spark, sf_dir, ("orders",))
+    series = (
+        t["orders"]
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
+            F.month("o_orderdate").cast("bigint").alias("moy"),
+        )
+        .agg(
+            F.sum(F.call_function("rint", F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m0 = F.broadcast(series.agg(F.min("m").alias("m0")))
+    rel = series.crossJoin(m0).select(
+        (F.col("m") - F.col("m0")).alias("m"), "moy", "cents"
+    ).localCheckpoint(eager=False)  # calendar-sized; feeds fit AND decomposition
+    sums = rel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("sxx"),
+    )
+    b = (
+        (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+    )
+    fit = F.broadcast(
+        sums.select(
+            b.alias("b"),
+            ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias("a"),
+        )
+    )
+    det = rel.crossJoin(fit).select(
+        "moy",
+        # hundreds of dollars: d gets squared below — cents-scale d**2
+        # sums overflow BIGINT at sf1
+        F.call_function(
+            "rint", (F.col("cents") - F.col("a") - F.col("b") * F.col("m")) / 10000
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).localCheckpoint(eager=False)  # feeds seasonal means AND residuals
+    seas = det.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    resid = det.join(F.broadcast(seas), "moy").select(
+        F.col("d"),
+        F.call_function("rint", F.col("d") - F.col("sd").cast("double") / F.col("nm"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    var = F.broadcast(
+        resid.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d").cast("bigint").alias("sd1"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+            F.sum("r").cast("bigint").alias("sr1"),
+            F.sum(F.col("r") * F.col("r")).cast("bigint").alias("srr"),
+        )
+    )
+    strength = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (
+            (F.col("srr").cast("double") - F.col("sr1").cast("double") * F.col("sr1") / F.col("n"))
+            / F.col("n")
+        )
+        / (
+            (F.col("sdd").cast("double") - F.col("sd1").cast("double") * F.col("sd1") / F.col("n"))
+            / F.col("n")
+        ),
+    )
+    return (
+        seas.crossJoin(var)
+        .select(
+            F.col("moy").cast("int").alias("month_of_year"),
+            F.col("nm").alias("n_months"),
+            iround(F.col("sd").cast("double") / F.col("nm") * 100, 2).alias(
+                "seasonal_index"
+            ),
+            iround(strength, 6).alias("seasonal_strength"),
+        )
+        .orderBy("month_of_year")
+    )
