@@ -86,11 +86,21 @@ def _file_stats(abs_path: str, key_col: str | None) -> tuple[int, int | None, in
 
 
 class TxLogTable:
-    """A parquet table governed by an atomic commit log under ``_txlog/``."""
+    """A parquet table governed by an atomic commit log under ``_txlog/``.
 
-    def __init__(self, root: str | os.PathLike):
+    ``checkpoint_interval``: every N-th commit also writes a manifest
+    checkpoint (the folded live-file set + per-app txn watermarks), so
+    snapshot reconstruction replays O(commits since last checkpoint)
+    JSONs instead of O(all commits) — Delta's ``_last_checkpoint``
+    pattern, without which a long-lived streaming table's every read
+    walks an unbounded log. Checkpoints are DERIVED state: deterministic
+    given the version, safe to lose, safe for two writers to race on
+    (link-if-absent, first wins, both wrote identical bytes)."""
+
+    def __init__(self, root: str | os.PathLike, checkpoint_interval: int | None = 16):
         self.root = Path(root)
         self.log_dir = self.root / "_txlog"
+        self.checkpoint_interval = checkpoint_interval
 
     # -- bootstrap ---------------------------------------------------------
 
@@ -138,24 +148,102 @@ class TxLogTable:
 
     def last_txn_batch(self, app: str, as_of: int | None = None) -> int | None:
         """Highest committed batch id for a streaming writer ``app``."""
-        batches = [
-            c["txn"]["batch"]
-            for c in self.commits(as_of)
-            if c.get("txn") and c["txn"]["app"] == app
-        ]
-        return max(batches, default=None)
+        _, txn = self._fold_state(as_of)
+        return txn.get(app)
+
+    # -- checkpoints (manifest compaction) ---------------------------------
+
+    def _ckpt_path(self, version: int) -> Path:
+        return self.log_dir / f"{version:08d}.checkpoint.json"
+
+    def _latest_checkpoint(self, as_of: int) -> tuple[int, dict] | None:
+        best = -1
+        for p in self.log_dir.glob("*.checkpoint.json"):
+            v = int(p.name.split(".")[0])
+            if v <= as_of and v > best:
+                best = v
+        if best < 0:
+            return None
+        return best, json.loads(self._ckpt_path(best).read_text())
+
+    def checkpoint(self, as_of: int | None = None) -> int:
+        """Write the folded manifest at ``as_of`` (default latest) so
+        later reads replay only newer commits. Idempotent: the payload is
+        a pure function of the version, so a publish race is harmless —
+        link-if-absent, loser's bytes were identical."""
+        v = self.latest_version() if as_of is None else as_of
+        live, txn = self._fold_state(v)
+        payload = {
+            "version": v,
+            "op": "checkpoint",  # superset of the commit schema on purpose
+            "added": [],
+            "removed": [],
+            "live": [
+                {
+                    "path": f.path,
+                    "rows": f.rows,
+                    "min_key": f.min_key,
+                    "max_key": f.max_key,
+                }
+                for f in live.values()
+            ],
+            "txn_watermarks": txn,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(payload, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._ckpt_path(v))
+            except FileExistsError:
+                pass  # identical derived bytes already published
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def _maybe_auto_checkpoint(self, version: int) -> None:
+        iv = self.checkpoint_interval
+        if iv and version > 0 and version % iv == 0:
+            self.checkpoint(as_of=version)
 
     # -- snapshots ---------------------------------------------------------
 
-    def live_files(self, as_of: int | None = None) -> list[_DataFile]:
+    def _fold_state(
+        self, as_of: int | None = None
+    ) -> tuple[dict[str, _DataFile], dict[str, int]]:
+        """(live files, per-app txn watermark) at ``as_of`` — seeded from
+        the newest checkpoint ≤ ``as_of``, then replaying only the
+        commits after it."""
+        last = self.latest_version() if as_of is None else as_of
         live: dict[str, _DataFile] = {}
-        for c in self.commits(as_of):
+        txn: dict[str, int] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(last)
+        if ckpt is not None:
+            cv, payload = ckpt
+            for f in payload["live"]:
+                live[f["path"]] = _DataFile(
+                    f["path"], f["rows"], f.get("min_key"), f.get("max_key")
+                )
+            txn.update(payload.get("txn_watermarks", {}))
+            start = cv + 1
+        for v in range(start, last + 1):
+            c = self._read_commit(v)
             for rel in c.get("removed", ()):
                 live.pop(rel, None)
             for f in c.get("added", ()):
                 live[f["path"]] = _DataFile(
                     f["path"], f["rows"], f.get("min_key"), f.get("max_key")
                 )
+            if c.get("txn"):
+                app, batch = c["txn"]["app"], c["txn"]["batch"]
+                txn[app] = max(txn.get(app, batch), batch)
+        return live, txn
+
+    def live_files(self, as_of: int | None = None) -> list[_DataFile]:
+        live, _ = self._fold_state(as_of)
         return [live[k] for k in sorted(live)]
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
@@ -228,6 +316,7 @@ class TxLogTable:
                 if last is not None and txn[1] <= last:
                     return v - 1
             if self._try_publish(payload, v):
+                self._maybe_auto_checkpoint(v)
                 return v
         raise ConflictError(f"append lost {max_retries} commit races on {self.root}")
 
@@ -301,6 +390,7 @@ class TxLogTable:
                 if last is not None and txn[1] <= last:
                     return base
             if self._try_publish(payload, base + 1):
+                self._maybe_auto_checkpoint(base + 1)
                 return base + 1
             # lost the race: the snapshot we rewrote is stale → recompute
         raise ConflictError(f"merge lost {max_retries} commit races on {self.root}")
@@ -335,6 +425,7 @@ class TxLogTable:
                 "txn": None,
             }
             if self._try_publish(payload, base + 1):
+                self._maybe_auto_checkpoint(base + 1)
                 return base + 1
         raise ConflictError(f"compact lost {max_retries} commit races on {self.root}")
 

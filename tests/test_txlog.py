@@ -329,3 +329,67 @@ def test_txlog_random_ops_match_model_at_every_version(
         for r in table.read(spark, as_of=v).collect():
             got.setdefault(r["k"], []).append(r["v"])
         assert {k: sorted(v) for k, v in got.items()} == expected, f"version {v}"
+
+
+# --- manifest checkpoints ---------------------------------------------------
+
+
+def test_checkpoint_fold_equals_full_replay(spark, tmp_path_factory):
+    """State reconstructed from a checkpoint + tail commits must be
+    byte-identical to folding the whole log; deleting every checkpoint
+    must change nothing (checkpoints are derived, disposable state)."""
+    root = tmp_path_factory.mktemp("txckpt") / "t"
+    table = TxLogTable.create(root)
+    table.checkpoint_interval = 4  # force frequent auto-checkpoints
+    for i in range(10):
+        table.merge(
+            spark,
+            _rows(spark, [(i % 3, f"v{i}"), (10 + i, f"w{i}")]),
+            "k",
+            target_files=1,
+            txn=("app-a", i),
+        )
+    assert list(table.log_dir.glob("*.checkpoint.json"))  # auto-fired
+    with_ckpt_files = {v: table.live_files(as_of=v) for v in range(10)}
+    with_ckpt_state = _state(table, spark)
+    assert table.last_txn_batch("app-a") == 9
+
+    for p in table.log_dir.glob("*.checkpoint.json"):
+        p.unlink()
+    assert {v: table.live_files(as_of=v) for v in range(10)} == with_ckpt_files
+    assert _state(table, spark) == with_ckpt_state
+    assert table.last_txn_batch("app-a") == 9
+
+
+def test_checkpoint_bounds_commit_replay(spark, tmp_path_factory, monkeypatch):
+    """After a checkpoint at version 8, reading the tip must replay only
+    the commits after it — the unbounded-log problem the checkpoint
+    exists to solve."""
+    root = tmp_path_factory.mktemp("txckpt2") / "t"
+    table = TxLogTable.create(root)
+    table.checkpoint_interval = None  # manual
+    for i in range(10):
+        table.append(_rows(spark, [(i, f"a{i}")]), key_col="k", target_files=1)
+    table.checkpoint(as_of=8)
+
+    reads: list[int] = []
+    orig = TxLogTable._read_commit
+    monkeypatch.setattr(
+        TxLogTable, "_read_commit", lambda self, v: reads.append(v) or orig(self, v)
+    )
+    files = table.live_files()
+    assert len(files) == 10
+    assert reads == [9]  # only the post-checkpoint tail
+
+
+def test_checkpoint_race_is_harmless(spark, tmp_path_factory):
+    """Two writers checkpointing the same version: first link wins, the
+    loser's bytes were identical — no error, one file, correct content."""
+    root = tmp_path_factory.mktemp("txckpt3") / "t"
+    table = TxLogTable.create(root)
+    table.append(_rows(spark, [(1, "a"), (2, "b")]), key_col="k", target_files=1)
+    v1 = table.checkpoint()
+    v2 = table.checkpoint()  # second publish hits FileExistsError path
+    assert v1 == v2 == 0
+    assert len(list(table.log_dir.glob("*.checkpoint.json"))) == 1
+    assert {r["k"] for r in table.read(spark).collect()} == {1, 2}
