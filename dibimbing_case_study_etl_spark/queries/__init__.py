@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops12,
         llm_ops13,
         llm_ops14,
+        llm_ops15,
         relational,
         relational2,
         relational3,

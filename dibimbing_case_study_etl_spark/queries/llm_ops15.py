@@ -1,0 +1,1306 @@
+"""Round-6 additions V: privacy/governance audits, multiple-testing
+control, resampled uncertainty, bounded graph reach, exponential
+smoothing, and a partition-layout audit.
+
+- ``v01``–``v03`` open the privacy family a training-data pipeline needs
+  before shipping customer-derived tables: k-anonymity equivalence-class
+  sizes, entropy l-diversity of a sensitive attribute, and per-QI-subset
+  re-identification (uniqueness) risk via GROUPING SETS — the Sweeney /
+  Machanavajjhala audits as set-at-a-time aggregations.
+- ``x06`` adds Benjamini–Hochberg FDR control over a 125-cell Welch
+  z-test screen — the multiple-testing step every metrics platform runs
+  after x01/x02/x03; the normal tail is an explicit Abramowitz–Stegun
+  erfc polynomial both engines evaluate on bit-identical doubles.
+- ``x08`` is a seeded Poisson(1) bootstrap (200 replicates) for the
+  urgent-vs-rest order-value gap — the distributed-resampling shape
+  (explode replicates, one partial agg) that replaces driver-side
+  resampling at scale.
+- ``g03`` measures 3-hop supply-chain reach (supplier→part→supplier→
+  part) with per-hop frontier DISTINCTs — the BSP-BFS shape, bounded
+  depth, no recursion on the engine side.
+- ``f05`` backtests EWMA (α=0.3) one-step-ahead forecasts against the
+  naive lag forecast per nation — the smoothing recursion unrolled into
+  a closed-form weighted sum over a calendar-bounded pair table, with
+  the weights passed as Python-computed literals so neither engine's
+  ``pow`` is trusted.
+- ``u09`` audits a partition layout before a big write: per-day row and
+  byte estimates for the events table, skew vs the median partition,
+  and hot-partition flags — what decides repartition()/bucketing specs
+  at 100 TB.
+- ``t45`` measures training-batch padding waste as a function of
+  length-bucket count (the bucketed-batching knob every dataloader
+  exposes), with the global length rank computed by the distributed
+  prefix sum — no single-partition window.
+- ``v04`` releases a differentially-private histogram: md5-seeded
+  Laplace(1/ε) noise, the inverse-CDF evaluated identically by both
+  engines — the release path a privacy team actually ships.
+- ``m11`` parses PNG IHDR headers JVM-side (substring/hex/conv on the
+  binary column — no Python in the loop) and cross-checks the full
+  corpus geometry histogram against the fixture formula.
+- ``q82`` exercises the recursive-CTE surface (Spark 4's WITH
+  RECURSIVE): transitive closure over a synthetic part containment
+  hierarchy, per-depth path/node census — the BOM-explosion shape.
+
+Reference parity: the reference repo (caesarmario/dibimbing-case-study-etl)
+has none of these surfaces; beyond-reference LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    iround,
+    sql_iround,
+)
+from dibimbing_case_study_etl_spark.queries import query
+
+# --- shared: balance-decile quasi-identifier bucket ------------------------
+
+_BAL_BUCKET_SQL = "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)"
+
+
+def _bal_bucket() -> F.Column:
+    return F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+
+
+# --- v01: k-anonymity equivalence-class audit -------------------------------
+
+_V01_KS = (2, 5, 10, 25)
+
+_V01_ORACLE = f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, {_BAL_BUCKET_SQL} AS bal_bucket,
+             COUNT(*) AS cnt
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, {_BAL_BUCKET_SQL}
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cls),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _V01_KS)}]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(COALESCE(SUM(CASE WHEN cls.cnt < ks.k THEN 1 END), 0) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(CASE WHEN cls.cnt < ks.k THEN cls.cnt END), 0) AS BIGINT)
+             AS n_records_below,
+           {sql_iround(
+               "CAST(COALESCE(SUM(CASE WHEN cls.cnt < ks.k THEN cls.cnt END), 0)"
+               " AS DOUBLE) / MAX(tot.total)", 6)}
+             AS at_risk_share
+    FROM ks CROSS JOIN cls CROSS JOIN tot
+    GROUP BY ks.k
+    ORDER BY k
+"""
+
+
+@query(
+    "v01_k_anonymity_audit",
+    oracle=_V01_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v01_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney): group customers into equivalence
+    classes on the quasi-identifiers (nation, market segment, account
+    -balance decile bucket) and report, for each policy threshold k, how
+    many classes and records fall below it — the share of records a
+    linkage attacker could single out under that k.
+
+    Scale: one partial-aggregated groupBy keyed by the QI tuple produces
+    the class table, whose size is bounded by QI CARDINALITY (25×5×11),
+    not by the data; every downstream step (threshold explode, the
+    4-group re-aggregation, the broadcast one-row total) runs on that
+    bounded table. No window, no second scan of the fact table."""
+    t = register(spark, sf_dir, ("customer",))
+    cls = (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment", _bal_bucket().alias("bal_bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = F.broadcast(cls.agg(F.sum("cnt").cast("bigint").alias("total")))
+    below = F.when(F.col("cnt") < F.col("k"), F.col("cnt"))
+    return (
+        cls.select("cnt", F.explode(F.array(*[F.lit(k) for k in _V01_KS])).alias("k"))
+        .crossJoin(tot)
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("cnt") < F.col("k"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("bigint").alias("n_records_below"),
+            iround(
+                F.coalesce(F.sum(below), F.lit(0)).cast("double") / F.max("total"), 6
+            ).alias("at_risk_share"),
+        )
+        .select(F.col("k").cast("int").alias("k"), "n_classes_below", "n_records_below", "at_risk_share")
+        .orderBy("k")
+    )
+
+
+# --- v02: entropy l-diversity audit -----------------------------------------
+
+_V02_ORACLE = f"""
+    WITH cell AS (
+      SELECT c_nationkey, {_BAL_BUCKET_SQL} AS bal_bucket, c_mktsegment,
+             COUNT(*) AS scnt
+      FROM customer
+      GROUP BY c_nationkey, {_BAL_BUCKET_SQL}, c_mktsegment
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_bucket,
+             CAST(SUM(scnt) AS BIGINT) AS n,
+             COUNT(*) AS l
+      FROM cell GROUP BY c_nationkey, bal_bucket
+    ),
+    ent AS (
+      SELECT cell.c_nationkey, cell.bal_bucket, cls.n, cls.l,
+             CAST(-SUM(CAST(round_even(
+               (CAST(cell.scnt AS DOUBLE) / cls.n)
+                 * ln(CAST(cell.scnt AS DOUBLE) / cls.n) * 1000000000, 0)
+               AS BIGINT)) AS BIGINT) AS ent_i9
+      FROM cell JOIN cls
+        ON cell.c_nationkey = cls.c_nationkey AND cell.bal_bucket = cls.bal_bucket
+      GROUP BY cell.c_nationkey, cell.bal_bucket, cls.n, cls.l
+    )
+    SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(n) AS BIGINT) AS n_records,
+           {sql_iround("CAST(MIN(ent_i9) AS DOUBLE) / 1000000000.0", 6)} AS min_entropy,
+           {sql_iround("CAST(SUM(ent_i9) AS DOUBLE) / 1000000000.0 / COUNT(*)", 6)}
+             AS mean_entropy
+    FROM ent GROUP BY l ORDER BY l
+"""
+
+
+@query(
+    "v02_l_diversity_entropy",
+    oracle=_V02_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v02_l_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala): with (nation,
+    balance bucket) as the quasi-identifier and market segment as the
+    sensitive attribute, compute each equivalence class's distinct
+    -sensitive-value count l and sensitive-distribution entropy, then
+    summarize per l: class/record counts and the min/mean entropy —
+    low-l, low-entropy classes are where a homogeneity attack reads the
+    sensitive value straight off the QI.
+
+    Scale: the only data-sized pass is the (QI, sensitive) groupBy;
+    everything after runs on the cardinality-bounded cell table. The
+    per-cell entropy terms are rounded to scaled BIGINTs before the
+    exact per-class sum, so accumulation order can't move the hash."""
+    t = register(spark, sf_dir, ("customer",))
+    cell = (
+        t["customer"]
+        .groupBy("c_nationkey", _bal_bucket().alias("bal_bucket"), "c_mktsegment")
+        .agg(F.count("*").alias("scnt"))
+    )
+    cls = cell.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("scnt").cast("bigint").alias("n"), F.count("*").alias("l")
+    )
+    p = F.col("scnt").cast("double") / F.col("n")
+    ent = (
+        cell.join(cls, ["c_nationkey", "bal_bucket"])
+        .groupBy("c_nationkey", "bal_bucket", "n", "l")
+        .agg(
+            (
+                -F.sum(
+                    F.call_function("rint", p * F.log(p) * F.lit(1000000000.0)).cast(
+                        "bigint"
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("ent_i9")
+        )
+    )
+    return (
+        ent.groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("n").cast("bigint").alias("n_records"),
+            iround(F.min("ent_i9").cast("double") / F.lit(1000000000.0), 6).alias(
+                "min_entropy"
+            ),
+            iround(
+                F.sum("ent_i9").cast("double") / F.lit(1000000000.0) / F.count("*"), 6
+            ).alias("mean_entropy"),
+        )
+        .orderBy("l")
+    )
+
+
+# --- v03: per-QI-subset uniqueness (re-identification risk) ------------------
+
+_V03_SETS_SQL = """GROUPING SETS (
+      (c_nationkey), (c_mktsegment), (bal_bucket),
+      (c_nationkey, c_mktsegment), (c_nationkey, bal_bucket),
+      (c_mktsegment, bal_bucket),
+      (c_nationkey, c_mktsegment, bal_bucket))"""
+
+_V03_ORACLE = f"""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment, {_BAL_BUCKET_SQL} AS bal_bucket
+      FROM customer
+    ),
+    cls AS (
+      SELECT concat_ws('+',
+               CASE WHEN GROUPING(c_nationkey) = 0 THEN 'nation' END,
+               CASE WHEN GROUPING(c_mktsegment) = 0 THEN 'segment' END,
+               CASE WHEN GROUPING(bal_bucket) = 0 THEN 'balance' END) AS qi_set,
+             COUNT(*) AS cnt
+      FROM base
+      GROUP BY {_V03_SETS_SQL}
+    )
+    SELECT qi_set,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_unique_classes,
+           CAST(SUM(cnt) AS BIGINT) AS n_records,
+           {sql_iround(
+               "CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) AS DOUBLE)"
+               " / SUM(cnt)", 6)} AS unique_record_share
+    FROM cls GROUP BY qi_set ORDER BY qi_set
+"""
+
+
+@query(
+    "v03_qi_uniqueness_risk",
+    oracle=_V03_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v03_qi_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-subset re-identification risk: for every non-empty subset
+    of the quasi-identifiers {nation, segment, balance bucket}, the
+    share of records that are UNIQUE within their equivalence class —
+    how disclosure risk grows as an attacker links more attributes
+    (the uniqueness curve behind k-anonymity policy choices).
+
+    Scale: ONE scan — GROUPING SETS expands the seven subsets inside a
+    single aggregation (Catalyst's Expand node), partial-aggregated
+    map-side; the second-level roll-up runs on the bounded class table.
+    Explicit sets (no grand total) keep the Expand factor at 7."""
+    t = register(spark, sf_dir, ("customer",))
+    base = t["customer"].select(
+        "c_nationkey", "c_mktsegment", _bal_bucket().alias("bal_bucket")
+    )
+    label = F.concat_ws(
+        "+",
+        F.when(F.grouping("c_nationkey") == 0, F.lit("nation")),
+        F.when(F.grouping("c_mktsegment") == 0, F.lit("segment")),
+        F.when(F.grouping("bal_bucket") == 0, F.lit("balance")),
+    )
+    cls = base.groupingSets(
+        [
+            ["c_nationkey"],
+            ["c_mktsegment"],
+            ["bal_bucket"],
+            ["c_nationkey", "c_mktsegment"],
+            ["c_nationkey", "bal_bucket"],
+            ["c_mktsegment", "bal_bucket"],
+            ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        ],
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+    ).agg(label.alias("qi_set"), F.count("*").alias("cnt"))
+    uniq = F.coalesce(F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0))
+    return (
+        cls.groupBy("qi_set")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            uniq.cast("bigint").alias("n_unique_classes"),
+            F.sum("cnt").cast("bigint").alias("n_records"),
+            iround(uniq.cast("double") / F.sum("cnt"), 6).alias("unique_record_share"),
+        )
+        .orderBy("qi_set")
+    )
+
+
+# --- x06: Benjamini–Hochberg FDR over a Welch z-test screen ------------------
+
+# Abramowitz & Stegun 7.1.26 erfc(x) = poly(t)·exp(−x²), t = 1/(1+0.3275911·x):
+# max abs error 1.5e-7 — far below the 1e-8 rounding both engines apply, and
+# both evaluate the IDENTICAL literal polynomial on bit-identical doubles, so
+# the approximation error cancels out of the hash entirely.
+_AS_P = "0.3275911"
+_AS_A = ("0.254829592", "-0.284496736", "1.421413741", "-1.453152027", "1.061405429")
+_INV_SQRT2 = "0.7071067811865476"
+_X06_Q = "0.1"
+
+
+def _erfc_sql(x: str) -> str:
+    t = f"(1.0 / (1.0 + CAST({_AS_P} AS DOUBLE) * {x}))"
+    poly = (
+        f"(CAST({_AS_A[0]} AS DOUBLE) * {t}"
+        f" + CAST({_AS_A[1]} AS DOUBLE) * {t} * {t}"
+        f" + CAST({_AS_A[2]} AS DOUBLE) * {t} * {t} * {t}"
+        f" + CAST({_AS_A[3]} AS DOUBLE) * {t} * {t} * {t} * {t}"
+        f" + CAST({_AS_A[4]} AS DOUBLE) * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+def _erfc_col(x: F.Column) -> F.Column:
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(float(_AS_P)) * x)
+    poly = (
+        F.lit(float(_AS_A[0])) * t
+        + F.lit(float(_AS_A[1])) * t * t
+        + F.lit(float(_AS_A[2])) * t * t * t
+        + F.lit(float(_AS_A[3])) * t * t * t * t
+        + F.lit(float(_AS_A[4])) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+_X06_ORACLE = f"""
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             c.c_custkey % 2 AS arm,
+             CAST(round_even(o.o_totalprice, 0) AS BIGINT) AS d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0) AS BIGINT) AS n0,
+             CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN d END), 0) AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN d END), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN d * d END), 0) AS BIGINT) AS ss0,
+             CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN d * d END), 0) AS BIGINT) AS ss1
+      FROM j GROUP BY c_nationkey, c_mktsegment
+      HAVING COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0) >= 2
+         AND COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0) >= 2
+    ),
+    vars AS (
+      SELECT *,
+             (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+               / (n0 - 1) AS v0,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) AS v1
+      FROM cells
+    ),
+    z AS (
+      SELECT c_nationkey, c_mktsegment, n0, n1,
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               / sqrt(v1 / n1 + v0 / n0) AS zval
+      FROM vars WHERE v1 / n1 + v0 / n0 > 0
+    ),
+    p AS (
+      SELECT c_nationkey, c_mktsegment, n0, n1,
+             {sql_iround("zval", 4)} AS z,
+             {sql_iround(_erfc_sql(f"(abs(zval) * CAST({_INV_SQRT2} AS DOUBLE))"), 8)}
+               AS p_value
+      FROM z
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY p_value, c_nationkey, c_mktsegment) AS INT) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN p_value <=
+               CAST(rnk AS DOUBLE) * CAST({_X06_Q} AS DOUBLE) / m
+             THEN rnk END), 0) AS k FROM ranked
+    )
+    SELECT r.c_nationkey, r.c_mktsegment, r.n0, r.n1, r.z, r.p_value, r.rnk,
+           CAST(CASE WHEN r.rnk <= k.k THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ranked r CROSS JOIN kstar k
+    ORDER BY r.rnk
+"""
+
+
+@query(
+    "x06_bh_fdr_screen",
+    oracle=_X06_ORACLE,
+    tags=("experimentation", "stats"),
+)
+def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a (nation × segment) screen
+    of Welch z-tests on order value between two hash-split arms — the
+    multiple-testing correction a metrics platform applies when it
+    fires 125 cell-level comparisons at once. Emits each test's z, BH
+    rank, p, and whether BH at q=0.1 rejects it (the arms are a null
+    split, so discoveries ≈ false discoveries ≈ controlled).
+
+    Scale: per-cell moments come from ONE partial-aggregated pass over
+    the join (exact whole-dollar BIGINT sums, so distributed
+    accumulation order is irrelevant); the z/p math, ranking window,
+    and BH step function all run on the ≤125-row cell table. The normal
+    tail is an explicit A&S erfc polynomial both engines evaluate on
+    bit-identical doubles (no libm erf dependency)."""
+    t = register(spark, sf_dir, ("orders", "customer"))
+    j = t["orders"].join(
+        t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    )
+    d = F.call_function("rint", F.col("o_totalprice")).cast("bigint")
+    arm = F.col("c_custkey") % 2
+    agg = lambda a, expr: F.coalesce(  # noqa: E731
+        F.sum(F.when(arm == a, expr)), F.lit(0)
+    ).cast("bigint")
+    cells = (
+        j.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            agg(0, F.lit(1)).alias("n0"),
+            agg(1, F.lit(1)).alias("n1"),
+            agg(0, d).alias("s0"),
+            agg(1, d).alias("s1"),
+            agg(0, d * d).alias("ss0"),
+            agg(1, d * d).alias("ss1"),
+        )
+        .filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    )
+    v0 = (
+        F.col("ss0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    vars_ = cells.withColumn("v0", v0).withColumn("v1", v1)
+    zval = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    ) / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+    z = vars_.filter(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0") > 0).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n0",
+        "n1",
+        iround(zval, 4).alias("z"),
+        iround(
+            _erfc_col(F.abs(zval) * F.lit(float(_INV_SQRT2))), 8
+        ).alias("p_value"),
+    )
+    # ≤125 rows past this point: the ranking window and the BH step
+    # function run on a model-sized table, never on the fact scan.
+    w = W.orderBy("p_value", "c_nationkey", "c_mktsegment")
+    ranked = z.select(
+        "*",
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.count("*").over(W.partitionBy()).cast("bigint").alias("m"),
+    )
+    kstar = F.broadcast(
+        ranked.agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p_value")
+                        <= F.col("rnk").cast("double")
+                        * F.lit(float(_X06_Q))
+                        / F.col("m"),
+                        F.col("rnk"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("kk")
+        )
+    )
+    return (
+        ranked.crossJoin(kstar)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n0",
+            "n1",
+            "z",
+            "p_value",
+            "rnk",
+            F.when(F.col("rnk") <= F.col("kk"), 1).otherwise(0).cast("int").alias("rejected"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --- x08: seeded Poisson bootstrap CI ---------------------------------------
+
+_X08_R = 200
+_POW60 = float(2**60)
+# Poisson(1) CDF thresholds P(X<=k), k = 0..7 (repr round-trips to the same
+# double on both engines; u beyond the last threshold maps to 8).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+    "0.9999897508033253",
+)
+
+
+def _pois_sql(u: str) -> str:
+    clauses = " ".join(
+        f"WHEN {u} < CAST({c} AS DOUBLE) THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {clauses} ELSE 8 END)"
+
+
+def _pois_col(u: F.Column) -> F.Column:
+    expr: F.Column = F.lit(8)
+    for k in reversed(range(len(_POIS_CDF))):
+        expr = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(expr)
+    return expr
+
+
+_X08_ORACLE = f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round_even(o_totalprice, 0) AS BIGINT) AS d,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 1 ELSE 0 END AS urgent
+      FROM orders
+    ),
+    reps AS (
+      SELECT o.*, r.r,
+             CASE WHEN r.r = 0 THEN 1 ELSE {_pois_sql(
+                 "(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+                 f" CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) / {_POW60!r})")} END AS w
+      FROM o CROSS JOIN (SELECT UNNEST(range(0, {_X08_R + 1})) AS r) r
+    ),
+    per_rep AS (
+      SELECT r,
+             {sql_iround(
+                 "CAST(SUM(CASE WHEN urgent = 1 THEN w * d END) AS DOUBLE)"
+                 " / SUM(CASE WHEN urgent = 1 THEN w END)"
+                 " - CAST(SUM(CASE WHEN urgent = 0 THEN w * d END) AS DOUBLE)"
+                 " / SUM(CASE WHEN urgent = 0 THEN w END)", 4)} AS diff
+      FROM reps GROUP BY r
+    ),
+    est AS (SELECT diff AS est_diff FROM per_rep WHERE r = 0),
+    boot AS (
+      SELECT diff, CAST(round_even(diff * 10000, 0) AS BIGINT) AS e4,
+             ROW_NUMBER() OVER (ORDER BY diff, r) AS rn
+      FROM per_rep WHERE r > 0
+    ),
+    ctr AS (
+      SELECT CAST(round_even(est_diff * 10000, 0) AS BIGINT) AS c4 FROM est
+    )
+    SELECT CAST({_X08_R} AS BIGINT) AS n_boot,
+           MAX(est.est_diff) AS est_diff,
+           MAX(CASE WHEN boot.rn = 5 THEN boot.diff END) AS ci_lo,
+           MAX(CASE WHEN boot.rn = {_X08_R - 4} THEN boot.diff END) AS ci_hi,
+           {sql_iround(
+               "sqrt((CAST(SUM((boot.e4 - ctr.c4) * (boot.e4 - ctr.c4)) AS DOUBLE)"
+               f" - CAST(SUM(boot.e4 - ctr.c4) AS DOUBLE)"
+               f" * CAST(SUM(boot.e4 - ctr.c4) AS DOUBLE) / {_X08_R})"
+               f" / {_X08_R - 1}) / 10000.0", 4)} AS boot_se
+    FROM boot CROSS JOIN est CROSS JOIN ctr
+"""
+
+
+@query(
+    "x08_poisson_bootstrap_ci",
+    oracle=_X08_ORACLE,
+    tags=("experimentation", "stats"),
+)
+def x08_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Poisson(1) bootstrap (200 replicates) for the mean order
+    -value gap between urgent (priority 1–2) and other orders: point
+    estimate, percentile 95% CI, and the bootstrap SE. Poisson
+    bootstrap is THE distributed resampling scheme — each row draws its
+    replicate weights independently (md5-seeded inverse-CDF), so no
+    replicate ever needs a global sample.
+
+    Scale: the replicate dimension explodes 201× BEFORE a partial
+    aggregation whose group count is 201 — map-side combine collapses
+    each task to ≤201 rows regardless of data size, and every
+    subsequent step (order statistics, centered exact-integer SE) runs
+    on the 200-row replicate table. Replicate 0 carries weight 1
+    everywhere = the point estimate, same single pass."""
+    t = register(spark, sf_dir, ("orders",))
+    o = t["orders"].select(
+        "o_orderkey",
+        F.call_function("rint", F.col("o_totalprice")).cast("bigint").alias("d"),
+        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(_POW60)
+    )
+    reps = o.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_X08_R))).alias("r")
+    ).withColumn("w", F.when(F.col("r") == 0, F.lit(1)).otherwise(_pois_col(u)))
+    side = lambda flag, expr: F.sum(  # noqa: E731
+        F.when(F.col("urgent") == flag, expr)
+    )
+    per_rep = reps.groupBy("r").agg(
+        iround(
+            side(1, F.col("w") * F.col("d")).cast("double") / side(1, F.col("w"))
+            - side(0, F.col("w") * F.col("d")).cast("double") / side(0, F.col("w")),
+            4,
+        ).alias("diff")
+    )
+    # 201 rows from here on: order statistics + centered integer SE on a
+    # model-sized table.
+    est = F.broadcast(
+        per_rep.filter(F.col("r") == 0).select(
+            F.col("diff").alias("est_diff"),
+            F.call_function("rint", F.col("diff") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("c4"),
+        )
+    )
+    boot = (
+        per_rep.filter(F.col("r") > 0)
+        .select(
+            "diff",
+            F.call_function("rint", F.col("diff") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("e4"),
+            F.row_number().over(W.orderBy("diff", "r")).alias("rn"),
+        )
+        .crossJoin(est)
+    )
+    dc = F.col("e4") - F.col("c4")
+    n, n1 = float(_X08_R), float(_X08_R - 1)
+    return boot.agg(
+        F.lit(_X08_R).cast("bigint").alias("n_boot"),
+        F.max("est_diff").alias("est_diff"),
+        F.max(F.when(F.col("rn") == 5, F.col("diff"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _X08_R - 4, F.col("diff"))).alias("ci_hi"),
+        iround(
+            F.sqrt(
+                (
+                    F.sum(dc * dc).cast("double")
+                    - F.sum(dc).cast("double") * F.sum(dc).cast("double") / F.lit(n)
+                )
+                / F.lit(n1)
+            )
+            / F.lit(10000.0),
+            4,
+        ).alias("boot_se"),
+    )
+
+
+# --- g03: bounded supply-chain reach (3-hop BFS) -----------------------------
+
+_G03_SEEDS = (0, 1, 2, 3, 4)
+
+_G03_ORACLE = f"""
+    WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    h1 AS (
+      SELECT DISTINCT l_suppkey AS seed, l_partkey AS p
+      FROM e WHERE l_suppkey IN ({", ".join(str(s) for s in _G03_SEEDS)})
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, e.l_suppkey AS s
+      FROM h1 JOIN e ON e.l_partkey = h1.p
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.seed, e.l_partkey AS p
+      FROM h2 JOIN e ON e.l_suppkey = h2.s
+    )
+    SELECT h1.seed,
+           CAST(COUNT(DISTINCT h1.p) AS BIGINT) AS n_parts_1hop,
+           CAST(MAX(c2.n) AS BIGINT) AS n_suppliers_2hop,
+           CAST(MAX(c3.n) AS BIGINT) AS n_parts_3hop
+    FROM h1
+    JOIN (SELECT seed, COUNT(*) AS n FROM h2 GROUP BY seed) c2 ON c2.seed = h1.seed
+    JOIN (SELECT seed, COUNT(*) AS n FROM h3 GROUP BY seed) c3 ON c3.seed = h1.seed
+    GROUP BY h1.seed
+    ORDER BY h1.seed
+"""
+
+
+@query(
+    "g03_supply_chain_reach",
+    oracle=_G03_ORACLE,
+    tags=("graph",),
+)
+def g03_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the bipartite supplier↔part graph defined
+    by lineitem: for five seed suppliers, the distinct frontier sizes at
+    1 hop (parts they ship), 2 hops (co-suppliers of those parts), and
+    3 hops (the co-suppliers' full part range) — the blast-radius
+    question (recall impact of a supplier failure) as iterative
+    frontier expansion.
+
+    Scale: the BSP-BFS shape — each hop is one equi-join of the current
+    frontier against the deduplicated edge table followed by a frontier
+    DISTINCT, so per-hop state is (seed, node) pairs, never paths; the
+    seed side stays broadcast-sized throughout. Depth is fixed, so no
+    driver-side convergence loop."""
+    t = register(spark, sf_dir, ("lineitem",))
+    e = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
+    h1 = (
+        e.filter(F.col("l_suppkey").isin(*_G03_SEEDS))
+        .select(F.col("l_suppkey").alias("seed"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    h2 = (
+        F.broadcast(h1)
+        .join(e, e["l_partkey"] == h1["p"])
+        .select("seed", F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    h3 = (
+        F.broadcast(h2)
+        .join(e, e["l_suppkey"] == h2["s"])
+        .select("seed", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    c1 = h1.groupBy("seed").agg(F.count("*").cast("bigint").alias("n_parts_1hop"))
+    c2 = h2.groupBy("seed").agg(F.count("*").cast("bigint").alias("n_suppliers_2hop"))
+    c3 = h3.groupBy("seed").agg(F.count("*").cast("bigint").alias("n_parts_3hop"))
+    return c1.join(c2, "seed").join(c3, "seed").orderBy("seed")
+
+
+# --- f05: EWMA one-step-ahead backtest vs naive -----------------------------
+
+_F05_ALPHA = 0.3
+_F05_MAXLAG = 120
+_F05_WARMUP = 13  # first evaluated month index (t is 0-based)
+
+# Python computes every (1-α)^n once; both engines receive the same literal
+# and only ever multiply it by an exact integer — neither engine's pow() is
+# in the hash path.
+_F05_W = [(n, repr((1.0 - _F05_ALPHA) ** n)) for n in range(_F05_MAXLAG)]
+
+_F05_WEIGHTS_SQL = " UNION ALL ".join(
+    f"SELECT {n} AS lagn, CAST('{w}' AS DOUBLE) AS w" for n, w in _F05_W
+)
+
+_F05_ORACLE = f"""
+    WITH monthly AS (
+      SELECT c.c_nationkey,
+             (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1 AS t,
+             CAST(SUM(CAST(round_even(o.o_totalprice, 0) AS BIGINT)) AS BIGINT) AS yd
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1
+    ),
+    wt AS ({_F05_WEIGHTS_SQL}),
+    terms AS (
+      SELECT cur.c_nationkey, cur.t, cur.yd,
+             CAST(round_even(
+               (CAST(hist.yd AS DOUBLE) * wt.w)
+                 * (CASE WHEN hist.t = 0 THEN 1.0
+                         ELSE CAST({_F05_ALPHA!r} AS DOUBLE) END) * 100.0, 0)
+               AS BIGINT) AS term_i2
+      FROM monthly cur
+      JOIN monthly hist
+        ON hist.c_nationkey = cur.c_nationkey AND hist.t <= cur.t - 1
+      JOIN wt ON wt.lagn = cur.t - 1 - hist.t
+      WHERE cur.t >= {_F05_WARMUP}
+    ),
+    fc AS (
+      SELECT c_nationkey, t, MAX(yd) AS yd,
+             CAST(SUM(term_i2) AS BIGINT) AS s_i2
+      FROM terms GROUP BY c_nationkey, t
+    ),
+    errs AS (
+      SELECT fc.c_nationkey, fc.t, fc.yd,
+             abs(CAST(fc.yd AS DOUBLE) - CAST(fc.s_i2 AS DOUBLE) / 100.0) AS ewma_err,
+             abs(CAST(fc.yd AS BIGINT) - prev.yd) AS naive_err
+      FROM fc JOIN monthly prev
+        ON prev.c_nationkey = fc.c_nationkey AND prev.t = fc.t - 1
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+           {sql_iround(
+               "CAST(SUM(CAST(round_even(ewma_err * 100.0, 0) AS BIGINT)) AS DOUBLE)"
+               " / 100.0 / SUM(yd)", 6)} AS ewma_wape,
+           {sql_iround("CAST(SUM(naive_err) AS DOUBLE) / SUM(yd)", 6)} AS naive_wape
+    FROM errs GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query(
+    "f05_ewma_backtest",
+    oracle=_F05_ORACLE,
+    tags=("forecast",),
+)
+def f05_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA (α=0.3) forecast backtest on monthly revenue
+    per nation, scored as WAPE against the naive last-month forecast —
+    whether exponential smoothing earns its keep over f01's seasonal
+    -naive family. The smoothing recursion s_t = αy_t + (1−α)s_{t−1} is
+    unrolled into its closed-form weighted sum, so the forecast for
+    month t is an exact function of history — no sequential state.
+
+    Scale: the only data-sized pass is the monthly groupBy (exact
+    whole-dollar sums); the history pair join, weight lookup, and WAPE
+    aggregation all run on the calendar-bounded nation×month table
+    (25×80 rows — bounded by the calendar, not the data). The (1−α)^n
+    weights are Python-computed literals shipped to BOTH engines, so no
+    engine pow() is in the hash path; each term rounds to scaled BIGINT
+    before the exact sum."""
+    t = register(spark, sf_dir, ("orders", "customer"))
+    monthly = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_nationkey",
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.call_function("rint", F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("yd")
+        )
+    )
+    spark_wt = F.broadcast(
+        monthly.sparkSession.createDataFrame(
+            [(n, float(w)) for n, w in ((n, (1.0 - _F05_ALPHA) ** n) for n, _ in _F05_W)],
+            "lagn int, w double",
+        )
+    )
+    cur = monthly.select(
+        F.col("c_nationkey"), F.col("t"), F.col("yd")
+    ).filter(F.col("t") >= _F05_WARMUP)
+    hist = monthly.select(
+        F.col("c_nationkey").alias("hn"), F.col("t").alias("ht"), F.col("yd").alias("hyd")
+    )
+    terms = (
+        cur.join(
+            hist,
+            (F.col("hn") == F.col("c_nationkey")) & (F.col("ht") <= F.col("t") - 1),
+        )
+        .join(spark_wt, F.col("lagn") == F.col("t") - 1 - F.col("ht"))
+        .select(
+            "c_nationkey",
+            "t",
+            "yd",
+            F.call_function(
+                "rint",
+                (F.col("hyd").cast("double") * F.col("w"))
+                * F.when(F.col("ht") == 0, F.lit(1.0)).otherwise(F.lit(_F05_ALPHA))
+                * F.lit(100.0),
+            )
+            .cast("bigint")
+            .alias("term_i2"),
+        )
+    )
+    fc = terms.groupBy("c_nationkey", "t").agg(
+        F.max("yd").alias("yd"), F.sum("term_i2").cast("bigint").alias("s_i2")
+    )
+    prev = monthly.select(
+        F.col("c_nationkey").alias("pn"), F.col("t").alias("pt"), F.col("yd").alias("pyd")
+    )
+    errs = fc.join(
+        prev, (F.col("pn") == F.col("c_nationkey")) & (F.col("pt") == F.col("t") - 1)
+    ).select(
+        "c_nationkey",
+        "yd",
+        F.abs(F.col("yd").cast("double") - F.col("s_i2").cast("double") / F.lit(100.0)).alias(
+            "ewma_err"
+        ),
+        F.abs(F.col("yd") - F.col("pyd")).alias("naive_err"),
+    )
+    return (
+        errs.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_months"),
+            iround(
+                F.sum(
+                    F.call_function("rint", F.col("ewma_err") * F.lit(100.0)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+                / F.sum("yd"),
+                6,
+            ).alias("ewma_wape"),
+            iround(F.sum("naive_err").cast("double") / F.sum("yd"), 6).alias(
+                "naive_wape"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- u09: partition-layout skew audit ---------------------------------------
+
+_U09_BYTES_SQL = "(33 + length(event_type) + length(props))"
+
+_U09_ORACLE = f"""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_rows,
+             CAST(SUM({_U09_BYTES_SQL}) AS BIGINT) AS est_bytes
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    med AS (SELECT median(n_rows) AS med_rows,
+                   CAST(SUM(n_rows) AS BIGINT) AS total FROM per_day)
+    SELECT per_day.day, CAST(per_day.n_rows AS BIGINT) AS n_rows, per_day.est_bytes,
+           {sql_iround("CAST(per_day.n_rows AS DOUBLE) / med.total", 6)} AS rows_share,
+           {sql_iround("CAST(per_day.n_rows AS DOUBLE) / med.med_rows", 4)}
+             AS skew_vs_median,
+           CAST(CASE WHEN CAST(per_day.n_rows AS DOUBLE) / med.med_rows > 1.5
+                THEN 1 ELSE 0 END AS INT) AS is_hot
+    FROM per_day CROSS JOIN med
+    ORDER BY per_day.day
+"""
+
+
+@query(
+    "u09_partition_skew_audit",
+    oracle=_U09_ORACLE,
+    tags=("warehouse", "ops"),
+)
+def u09_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout audit run BEFORE a partitioned write: for a
+    day-partitioned events landing, per-partition row counts and
+    estimated bytes (fixed-width columns + variable string payloads),
+    each day's share, its skew ratio vs the median partition, and a
+    hot-partition flag (>1.5× median) — the numbers that decide
+    repartition counts, bucketing, and AQE skew thresholds at 100 TB.
+
+    Scale: one partial-aggregated pass keyed by the partition value
+    (day) — output cardinality is calendar-bounded; the median and
+    total come from the bounded per-day table and broadcast back as a
+    one-row join. No sort of the fact data, no window."""
+    t = register(spark, sf_dir, ("events",))
+    per_day = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.lit(33) + F.length("event_type") + F.length("props")
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    med = F.broadcast(
+        per_day.agg(
+            F.expr("percentile(n_rows, 0.5)").alias("med_rows"),
+            F.sum("n_rows").cast("bigint").alias("total"),
+        )
+    )
+    skew = F.col("n_rows").cast("double") / F.col("med_rows")
+    return (
+        per_day.crossJoin(med)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "est_bytes",
+            iround(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
+                "rows_share"
+            ),
+            iround(skew, 4).alias("skew_vs_median"),
+            F.when(skew > 1.5, 1).otherwise(0).cast("int").alias("is_hot"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- t45: padding waste vs length-bucket count ------------------------------
+
+_T45_B = 32
+_T45_NBS = (1, 4, 16)
+_T45_TOKENS_SQL = "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)"
+
+_T45_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_T45_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS r1,
+             COUNT(*) OVER () AS n
+      FROM docs
+    ),
+    assigned AS (
+      SELECT nb.nb, n_tokens,
+             FLOOR(CAST(r1 * nb.nb AS DOUBLE) / n) AS bucket,
+             FLOOR((r1 - CEIL(CAST(FLOOR(CAST(r1 * nb.nb AS DOUBLE) / n) * n AS DOUBLE)
+                              / nb.nb)) / {_T45_B}.0) AS batch
+      FROM ranked
+      CROSS JOIN (SELECT UNNEST([{", ".join(str(n) for n in _T45_NBS)}]) AS nb) nb
+    ),
+    batches AS (
+      SELECT nb, bucket, batch,
+             COUNT(*) AS cnt, MAX(n_tokens) AS mx,
+             CAST(SUM(n_tokens) AS BIGINT) AS sm
+      FROM assigned GROUP BY nb, bucket, batch
+    )
+    SELECT CAST(nb AS INT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(cnt * mx - sm) AS BIGINT) AS padded_tokens,
+           CAST(SUM(sm) AS BIGINT) AS real_tokens,
+           {sql_iround("CAST(SUM(cnt * mx - sm) AS DOUBLE) / SUM(cnt * mx)", 6)}
+             AS padding_share
+    FROM batches GROUP BY nb ORDER BY n_buckets
+"""
+
+
+@query(
+    "t45_batch_padding_efficiency",
+    oracle=_T45_ORACLE,
+    tags=("llm", "text", "training"),
+)
+def t45_batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding waste vs length-bucket count: sort the
+    corpus by token length, split it into nb ∈ {1, 4, 16} rank-contiguous
+    buckets, form fixed-size (B=32) batches inside each bucket, and
+    measure the padded-token share (each batch pads to its max length) —
+    the dataloader-knob curve that says how much bucketing buys before
+    sequence packing (t11) takes over.
+
+    Scale: the global length rank comes from the distributed range
+    -bucketed prefix sum (`operators/packing.prefix_sum`) — never a
+    single-partition window; bucket and batch ids are then pure
+    arithmetic on the rank, and the two roll-ups aggregate by (nb,
+    bucket, batch) with map-side combine. Exact-integer waste sums."""
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+    from dibimbing_case_study_etl_spark.operators.packing import prefix_sum
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).withColumn("one", F.lit(1))
+    ranked = prefix_sum(docs, "one", ["n_tokens", "doc_id"], out_col="rank")
+    n_tot = F.broadcast(ranked.agg(F.count("*").alias("n")))
+    r1 = F.col("rank") - 1
+    bucket = F.floor((r1 * F.col("nb")).cast("double") / F.col("n"))
+    bstart = F.ceil((bucket * F.col("n")).cast("double") / F.col("nb"))
+    assigned = (
+        ranked.crossJoin(n_tot)
+        .select(
+            "n_tokens",
+            F.explode(F.array(*[F.lit(n) for n in _T45_NBS])).alias("nb"),
+            "rank",
+            "n",
+        )
+        .select(
+            "nb",
+            "n_tokens",
+            bucket.alias("bucket"),
+            F.floor((r1 - bstart) / F.lit(float(_T45_B))).alias("batch"),
+        )
+    )
+    batches = assigned.groupBy("nb", "bucket", "batch").agg(
+        F.count("*").alias("cnt"),
+        F.max("n_tokens").alias("mx"),
+        F.sum("n_tokens").cast("bigint").alias("sm"),
+    )
+    pad = F.col("cnt") * F.col("mx") - F.col("sm")
+    return (
+        batches.groupBy(F.col("nb").cast("int").alias("n_buckets"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum(pad).cast("bigint").alias("padded_tokens"),
+            F.sum("sm").cast("bigint").alias("real_tokens"),
+            iround(
+                F.sum(pad).cast("double") / F.sum(F.col("cnt") * F.col("mx")), 6
+            ).alias("padding_share"),
+        )
+        .orderBy("n_buckets")
+    )
+
+
+# --- v04: differentially-private histogram release ---------------------------
+
+_V04_EPS = "0.5"
+
+_V04_ORACLE = f"""
+    WITH cnts AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY c_nationkey
+    ),
+    seeded AS (
+      SELECT c_nationkey, true_count,
+             CAST(('0x' || substr(md5('dp1:' || CAST(c_nationkey AS VARCHAR)), 1, 15))
+               AS BIGINT) / {float(2**60)!r} AS u
+      FROM cnts
+    ),
+    noised AS (
+      SELECT c_nationkey, true_count,
+             -(1.0 / CAST({_V04_EPS} AS DOUBLE)) * sign(u - 0.5)
+               * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) AS noise
+      FROM seeded
+    )
+    SELECT c_nationkey, true_count,
+           {sql_iround("true_count + noise", 4)} AS noisy_count,
+           {sql_iround("abs(noise)", 4)} AS abs_noise,
+           CAST({_V04_EPS} AS DOUBLE) AS epsilon
+    FROM noised ORDER BY c_nationkey
+"""
+
+
+@query(
+    "v04_dp_noisy_release",
+    oracle=_V04_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v04_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release: per-nation customer
+    counts plus Laplace(Δf/ε) noise (Δf = 1 for a count, ε = 0.5), the
+    noise drawn by inverse-CDF from an md5-seeded uniform so the release
+    is reproducible AND both engines draw the identical value — the
+    mechanism a privacy team ships in front of raw group-bys, with the
+    per-release ε recorded for budget accounting.
+
+    Scale: one partial-aggregated count keyed by the release dimension;
+    the noise is a stateless per-group expression (no shuffle beyond the
+    count), so the mechanism costs the same as the query it protects."""
+    t = register(spark, sf_dir, ("customer",))
+    cnts = t["customer"].groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp1:"), F.col("c_nationkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_POW60)
+    )
+    eps = F.lit(float(_V04_EPS))
+    noise = (
+        -(F.lit(1.0) / eps)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)), F.lit(1e-15)))
+    )
+    return (
+        cnts.select(
+            "c_nationkey",
+            "true_count",
+            iround(F.col("true_count") + noise, 4).alias("noisy_count"),
+            iround(F.abs(noise), 4).alias("abs_noise"),
+            eps.alias("epsilon"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- m11: PNG IHDR header audit (JVM-side binary parsing) --------------------
+
+_M11_ORACLE = """
+    SELECT CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(0 AS BIGINT) AS color_type,
+           CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM documents
+    GROUP BY 8 + doc_id % 9, 8 + (doc_id * 3) % 9
+    ORDER BY width, height
+"""
+
+
+@query(
+    "m11_png_header_audit",
+    oracle=_M11_ORACLE,
+    tags=("multimodal",),
+)
+def m11_png_header_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG IHDR header audit over the real-PNG corpus: parse width,
+    height, bit depth, and color type straight out of the binary column
+    with JVM built-ins (substring → hex → conv — fixed IHDR offsets, no
+    Python and no codec in the loop) and histogram the corpus geometry.
+    The oracle recomputes the expected histogram from the fixture
+    formula, so any byte-level header corruption in the encode path
+    hash-mismatches.
+
+    Scale: metadata validation of a 100 TB image landing must NOT decode
+    — this plan reads 26 bytes per blob inside whole-stage codegen, one
+    partial-aggregated histogram, output bounded by the geometry grid
+    (9×9 cells). The decode-path audits (m07/m10) complement it."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import synth_png_table
+
+    t = register(spark, sf_dir, ("documents",))
+    imgs = synth_png_table(t["documents"], "doc_id", "text")
+
+    def be_int(pos: int, nbytes: int) -> F.Column:
+        return F.conv(F.hex(F.expr(f"substring(content, {pos}, {nbytes})")), 16, 10).cast(
+            "bigint"
+        )
+
+    return (
+        imgs.select(
+            be_int(17, 4).alias("width"),
+            be_int(21, 4).alias("height"),
+            be_int(25, 1).alias("bit_depth"),
+            be_int(26, 1).alias("color_type"),
+        )
+        .groupBy("width", "height", "bit_depth", "color_type")
+        .agg(F.count("*").cast("bigint").alias("n_images"))
+        .orderBy("width", "height")
+    )
+
+
+# --- q82: recursive-CTE transitive closure (BOM explosion shape) -------------
+
+_Q82_SPARK_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS start, CAST(p_partkey AS BIGINT) AS node,
+             0 AS depth
+      FROM part
+      UNION ALL
+      SELECT start, node div 8 AS node, depth + 1 AS depth
+      FROM anc WHERE node > 0
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+    FROM anc GROUP BY depth ORDER BY depth
+"""
+
+_Q82_ORACLE = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS start, CAST(p_partkey AS BIGINT) AS node,
+             0 AS depth
+      FROM part
+      UNION ALL
+      SELECT start, node // 8 AS node, depth + 1 AS depth
+      FROM anc WHERE node > 0
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+    FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "q82_recursive_part_closure",
+    oracle=_Q82_ORACLE,
+    tags=("relational", "sql", "recursive"),
+)
+def q82_recursive_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure by recursive CTE (Spark 4's WITH RECURSIVE —
+    the BOM-explosion / org-hierarchy shape): every part climbs its
+    synthetic containment chain parent(p) = p div 8 to the root, and the
+    census reports paths and distinct ancestors per depth. Exercises the
+    one relational surface the engine gained in Spark 4 that iterative
+    self-joins used to emulate (g03 does the bounded-depth version by
+    hand; this one runs to convergence).
+
+    Scale: each recursion level is one distributed self-map (no driver
+    loop — the UnionLoop operator re-feeds the previous level); depth is
+    logarithmic in the key domain (≤8 levels at any SF), and each level
+    shrinks 8×, so total work is ~1.14 scans. The per-depth census
+    aggregates with map-side combine."""
+    t = register(spark, sf_dir, ("part",))
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_Q82_SPARK_SQL)
