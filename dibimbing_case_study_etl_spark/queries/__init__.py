@@ -127,7 +127,37 @@ def load_all() -> dict[str, QuerySpec]:
 # slot). Batch 4 (x07 DEFF, f04 seasonal strength) displaces q28
 # (events JSON ≈ q56 variant, which stays, + the r5-green event apps)
 # and q31 (percentiles ≈ the t30/q77 family, green r5).
+#
+# r6-session batch 5: twelve brand-new ops (v01–v04 privacy family, x06
+# BH-FDR, x08 bootstrap, g03 BFS reach, f05 EWMA, u09 skew audit, t45
+# padding curve, m11 header audit, q82 recursive CTE) have no driver
+# row at all — never-checked queries outrank stale-but-once-green ones
+# (the t36/s17 precedent). Twelve r2 greens yield slots and lead the r7
+# window with the earlier displacements: q09 (benches every round —
+# implicitly re-proven), q37 (sketch surface re-proven by q37r, green
+# r5), q41 (null-aware anti ≈ q59, which KEEPS its slot), q45/q46/q51/
+# q52/q55 (UDF/streaming surfaces re-proven continuously by pytest
+# stream≡batch and property suites; q55's rewrite was r5-window-green),
+# q56 (variant surface, green r2, unchanged), q57 (semi/anti
+# composition ≈ q04/q07), q58 (map-agg, unchanged since r2 green), and
+# q36 (green r2, unchanged; it was named as q32's keep-anchor, so q36
+# AND q32 both lead the r7 window to restore that chain). q59 keeps its
+# slot (anchors q41's displacement); t08 keeps its slot (rewritten in
+# r5 after its last green).
 DRIVER_PRIORITY: list[str] = [
+    # r6-session additions — never driver-checked
+    "v01_k_anonymity_audit",
+    "v02_l_diversity_entropy",
+    "v03_qi_uniqueness_risk",
+    "v04_dp_noisy_release",
+    "x06_bh_fdr_screen",
+    "x08_poisson_bootstrap_ci",
+    "g03_supply_chain_reach",
+    "f05_ewma_backtest",
+    "u09_partition_skew_audit",
+    "t45_batch_padding_efficiency",
+    "m11_png_header_audit",
+    "q82_recursive_part_closure",
     # late-r6 additions — never driver-checked
     "x07_cluster_randomization_deff",
     "f04_seasonal_strength",
@@ -167,19 +197,7 @@ DRIVER_PRIORITY: list[str] = [
     "t39_weighted_reservoir_sample",
     "s18_cluster_label_purity",
     "t40_heldout_lm_perplexity",
-    # the 35 stalest greens — every query whose last driver row is r2
-    "q09_nation_year_profit",
-    "q36_scalar_subquery_anti",
-    "q37_approx_aggregates",
-    "q41_not_in_null_aware",
-    "q45_pandas_udf_scalar",
-    "q46_grouped_pandas_udf",
-    "q51_python_udtf_sentences",
-    "q52_stateful_running_totals",
-    "q55_cogrouped_order_reconciliation",
-    "q56_variant_semistructured",
-    "q57_sole_blame_suppliers",
-    "q58_map_type_aggregation",
+    # the stale-green remainder (last driver row r2; see batch-5 note)
     "q59_null_semantics",
     "t08_repetition_score",
 ]

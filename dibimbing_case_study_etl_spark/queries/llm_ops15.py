@@ -117,6 +117,9 @@ def v01_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .groupBy("c_nationkey", "c_mktsegment", _bal_bucket().alias("bal_bucket"))
         .agg(F.count("*").alias("cnt"))
+        # two consumers (total + threshold explode) — materialize the
+        # bounded class table so the fact table is scanned exactly once
+        .localCheckpoint(eager=True)
     )
     tot = F.broadcast(cls.agg(F.sum("cnt").cast("bigint").alias("total")))
     below = F.when(F.col("cnt") < F.col("k"), F.col("cnt"))
@@ -195,13 +198,15 @@ def v02_l_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .groupBy("c_nationkey", _bal_bucket().alias("bal_bucket"), "c_mktsegment")
         .agg(F.count("*").alias("scnt"))
+        # feeds both the class totals and the entropy join — one fact scan
+        .localCheckpoint(eager=True)
     )
     cls = cell.groupBy("c_nationkey", "bal_bucket").agg(
         F.sum("scnt").cast("bigint").alias("n"), F.count("*").alias("l")
     )
     p = F.col("scnt").cast("double") / F.col("n")
     ent = (
-        cell.join(cls, ["c_nationkey", "bal_bucket"])
+        cell.join(F.broadcast(cls), ["c_nationkey", "bal_bucket"])
         .groupBy("c_nationkey", "bal_bucket", "n", "l")
         .agg(
             (
@@ -475,7 +480,9 @@ def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         iround(
             _erfc_col(F.abs(zval) * F.lit(float(_INV_SQRT2))), 8
         ).alias("p_value"),
-    )
+    # the cell table feeds both the BH threshold scan and the final
+    # report — materialize it so the fact join runs exactly once
+    ).localCheckpoint(eager=True)
     # ≤125 rows past this point: the ranking window and the BH step
     # function run on a model-sized table, never on the fact scan.
     w = W.orderBy("p_value", "c_nationkey", "c_mktsegment")
@@ -652,7 +659,10 @@ def x08_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             - side(0, F.col("w") * F.col("d")).cast("double") / side(0, F.col("w")),
             4,
         ).alias("diff")
-    )
+        # consumed twice (point estimate + bootstrap order statistics) —
+        # materialize the 201-row replicate table so the 201× exploded
+        # fact scan runs exactly once
+    ).localCheckpoint(eager=True)
     # 201 rows from here on: order statistics + centered integer SE on a
     # model-sized table.
     est = F.broadcast(
@@ -744,17 +754,23 @@ def g03_supply_chain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed side stays broadcast-sized throughout. Depth is fixed, so no
     driver-side convergence loop."""
     t = register(spark, sf_dir, ("lineitem",))
-    e = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
+    # the edge table is probed once per hop — materialize the distinct
+    # result so the fact scan + dedup shuffle run once, not three times
+    # (the cluster-scale analogue is .persist() on the edge RDD every BFS
+    # implementation carries)
+    e = t["lineitem"].select("l_suppkey", "l_partkey").distinct().localCheckpoint(eager=True)
     h1 = (
         e.filter(F.col("l_suppkey").isin(*_G03_SEEDS))
         .select(F.col("l_suppkey").alias("seed"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     h2 = (
         F.broadcast(h1)
         .join(e, e["l_partkey"] == h1["p"])
         .select("seed", F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     h3 = (
         F.broadcast(h2)
@@ -862,6 +878,11 @@ def f05_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("yd")
         )
+        # three consumers (current months, smoothing history, naive lag) —
+        # materialize the calendar-bounded monthly table so the fact join
+        # runs exactly once; the self-join sides get explicit broadcasts
+        # below because a checkpoint loses Catalyst stats (plan-trap 2)
+        .localCheckpoint(eager=True)
     )
     spark_wt = F.broadcast(
         monthly.sparkSession.createDataFrame(
@@ -877,7 +898,7 @@ def f05_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = (
         cur.join(
-            hist,
+            F.broadcast(hist),
             (F.col("hn") == F.col("c_nationkey")) & (F.col("ht") <= F.col("t") - 1),
         )
         .join(spark_wt, F.col("lagn") == F.col("t") - 1 - F.col("ht"))
@@ -902,7 +923,8 @@ def f05_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("pn"), F.col("t").alias("pt"), F.col("yd").alias("pyd")
     )
     errs = fc.join(
-        prev, (F.col("pn") == F.col("c_nationkey")) & (F.col("pt") == F.col("t") - 1)
+        F.broadcast(prev),
+        (F.col("pn") == F.col("c_nationkey")) & (F.col("pt") == F.col("t") - 1),
     ).select(
         "c_nationkey",
         "yd",
@@ -986,6 +1008,8 @@ def u09_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("est_bytes"),
         )
+        # feeds the median/total aggregate AND the report — one fact scan
+        .localCheckpoint(eager=True)
     )
     med = F.broadcast(
         per_day.agg(
@@ -1075,7 +1099,12 @@ def t45_batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     ).withColumn("one", F.lit(1))
-    ranked = prefix_sum(docs, "one", ["n_tokens", "doc_id"], out_col="rank")
+    # two consumers (total count + bucket assignment): checkpoint the
+    # NARROW ranked projection (a few longs per row) so the bucketed
+    # shuffle-sort inside prefix_sum runs once (the t11 lesson)
+    ranked = prefix_sum(docs, "one", ["n_tokens", "doc_id"], out_col="rank").localCheckpoint(
+        eager=True
+    )
     n_tot = F.broadcast(ranked.agg(F.count("*").alias("n")))
     r1 = F.col("rank") - 1
     bucket = F.floor((r1 * F.col("nb")).cast("double") / F.col("n"))

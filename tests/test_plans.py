@@ -822,3 +822,84 @@ def test_m10_real_decode_is_arrow_batched(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "m10_image_luminance_stats")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_v03_grouping_sets_single_scan(spark, sf_dir):
+    """All seven QI subsets must come from ONE customer scan through a
+    single Expand node — seven separate group-bys would be seven scans."""
+    plan = explain_str(spark, sf_dir, "v03_qi_uniqueness_risk")
+    assert "Expand" in plan
+    # formatted explain prints tree + detail per node: count scan DETAILS
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_v01_v02_class_tables_materialized(spark, sf_dir):
+    """The k-anonymity / l-diversity class tables feed two consumers; the
+    final plan must read the checkpointed bounded table (ExistingRDD),
+    not re-scan the fact table per consumer."""
+    for name in ("v01_k_anonymity_audit", "v02_l_diversity_entropy"):
+        plan = explain_str(spark, sf_dir, name)
+        assert "Scan ExistingRDD" in plan, name
+        assert "Scan parquet" not in plan, name
+
+
+def test_x06_no_cartesian_and_tiny_tail(spark, sf_dir):
+    """The BH tail (ranking window, threshold max, rejection flags) runs
+    on the checkpointed ≤125-row test table — no cartesian product, no
+    fact re-scan."""
+    plan = explain_str(spark, sf_dir, "x06_bh_fdr_screen")
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # fact join ran once, at checkpoint
+
+
+def test_x08_bootstrap_tail_reads_replicate_table(spark, sf_dir):
+    """The 201×-exploded fact aggregation materializes into the 201-row
+    replicate table exactly once; order statistics + SE read it, never
+    the fact table."""
+    plan = explain_str(spark, sf_dir, "x08_poisson_bootstrap_ci")
+    assert "Scan parquet" not in plan
+
+
+def test_g03_frontier_joins_broadcast(spark, sf_dir):
+    """BFS hops must broadcast the frontier side against the edge table —
+    a shuffle join would re-exchange the full edge set per hop."""
+    plan = explain_str(spark, sf_dir, "g03_supply_chain_reach")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_f05_small_table_joins_broadcast(spark, sf_dir):
+    """Everything after the single monthly aggregation runs on the
+    calendar-bounded table: all joins broadcast (checkpoint loses stats,
+    so the hints are explicit), no sort-merge exchange."""
+    plan = explain_str(spark, sf_dir, "f05_ewma_backtest")
+    assert "SortMergeJoin" not in plan
+    assert "Scan parquet" not in plan
+
+
+def test_t45_u09_no_global_window(spark, sf_dir):
+    """t45's global length rank comes from the distributed prefix sum and
+    u09 is pure aggregation — a Window operator would mean a
+    single-partition ORDER BY over the fact data."""
+    for name in ("t45_batch_padding_efficiency", "u09_partition_skew_audit"):
+        plan = explain_str(spark, sf_dir, name)
+        assert "Window" not in plan, name
+
+
+def test_m11_header_parse_is_jvm_side(spark, sf_dir):
+    """The IHDR parse must stay in whole-stage codegen: exactly one
+    Python stage in the whole plan (the fixture renderer), none for the
+    audit itself."""
+    plan = explain_str(spark, sf_dir, "m11_png_header_audit")
+    # one Python stage total (the fixture renderer's detail line); the
+    # parse itself is conv(hex(substring(...))) inside a JVM Project
+    assert plan.count("Arguments: render(") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "conv(hex(substring(content" in plan
+
+
+def test_q82_uses_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan as the native UnionLoop operator (one
+    distributed self-map per level), not fall back to anything driver-side."""
+    plan = explain_str(spark, sf_dir, "q82_recursive_part_closure")
+    assert "UnionLoop" in plan
