@@ -144,6 +144,10 @@ def load_all() -> dict[str, QuerySpec]:
 # AND q32 both lead the r7 window to restore that chain). q59 keeps its
 # slot (anchors q41's displacement); t08 keeps its slot (rewritten in
 # r5 after its last green).
+#
+# Registered after this window froze (the t36/s17 precedent — they MUST
+# lead the r7 window as the only never-checked queries then): r08 index
+# capacity stats, u10 compaction planner, v05 generalization ladder.
 DRIVER_PRIORITY: list[str] = [
     # r6-session additions — never driver-checked
     "v01_k_anonymity_audit",

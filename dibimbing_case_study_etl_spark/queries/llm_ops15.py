@@ -527,6 +527,14 @@ def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X08_R = 200
 _POW60 = float(2**60)
+# ONE md5 per order row, 201 replicate uniforms by affine universal hashing
+# (the d18 pattern): u_r = ((A+r)·x + B mod P)/P with x = md5_56(key) mod P.
+# x, A+r < 2^31 keep the product under 2^62 — exact on both engines' signed
+# 64-bit arithmetic; the replicate index MULTIPLIES (plan-trap 7: an added
+# suffix would shift every key by a constant instead of reshuffling).
+_X08_P = 2_147_483_647  # Mersenne prime 2^31−1
+_X08_A = 104_729
+_X08_B = 12_345
 # Poisson(1) CDF thresholds P(X<=k), k = 0..7 (repr round-trips to the same
 # double on both engines; u beyond the last threshold maps to 8).
 _POIS_CDF = (
@@ -560,14 +568,16 @@ _X08_ORACLE = f"""
       SELECT o_orderkey,
              CAST(round_even(o_totalprice, 0) AS BIGINT) AS d,
              CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
-                  THEN 1 ELSE 0 END AS urgent
+                  THEN 1 ELSE 0 END AS urgent,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 14))
+               AS BIGINT) % {_X08_P} AS x
       FROM orders
     ),
     reps AS (
       SELECT o.*, r.r,
              CASE WHEN r.r = 0 THEN 1 ELSE {_pois_sql(
-                 "(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-                 f" CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) / {_POW60!r})")} END AS w
+                 f"(((({_X08_A} + r.r) * o.x + {_X08_B}) % {_X08_P})"
+                 f" / CAST({_X08_P} AS DOUBLE))")} END AS w
       FROM o CROSS JOIN (SELECT UNNEST(range(0, {_X08_R + 1})) AS r) r
     ),
     per_rep AS (
@@ -605,6 +615,7 @@ _X08_ORACLE = f"""
     "x08_poisson_bootstrap_ci",
     oracle=_X08_ORACLE,
     tags=("experimentation", "stats"),
+    bench=True,  # the distributed-resampling throughput shape
 )
 def x08_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Poisson(1) bootstrap (200 replicates) for the mean order
@@ -627,26 +638,15 @@ def x08_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1)
         .otherwise(0)
         .alias("urgent"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 14), 16, 10)
+            .cast("long")
+            % F.lit(_X08_P)
+        ).alias("x"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("r").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        .cast("double")
-        / F.lit(_POW60)
-    )
+    u = ((F.lit(_X08_A) + F.col("r")) * F.col("x") + F.lit(_X08_B)) % F.lit(
+        _X08_P
+    ) / F.lit(float(_X08_P))
     reps = o.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(_X08_R))).alias("r")
     ).withColumn("w", F.when(F.col("r") == 0, F.lit(1)).otherwise(_pois_col(u)))
@@ -1078,6 +1078,7 @@ _T45_ORACLE = f"""
     "t45_batch_padding_efficiency",
     oracle=_T45_ORACLE,
     tags=("llm", "text", "training"),
+    bench=True,  # the distributed-prefix-sum shape was not in the bench set
 )
 def t45_batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch padding waste vs length-bucket count: sort the
@@ -1332,4 +1333,237 @@ def q82_recursive_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with map-side combine."""
     t = register(spark, sf_dir, ("part",))
     t["part"].createOrReplaceTempView("part")
+    # the closure materializes ~1.14×|part| rows across levels; the default
+    # recursion guardrail (1M rows) trips at sf≥1 even though each level
+    # terminates — raise the guardrail, keep the level limit as the real
+    # non-termination backstop
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     return spark.sql(_Q82_SPARK_SQL)
+
+
+# --- r08: inverted-index capacity planning stats -----------------------------
+
+_R08_ORACLE = """
+    WITH exploded AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), ' +')) AS tok
+      FROM documents
+    ),
+    occ AS (SELECT DISTINCT doc_id, tok FROM exploded),
+    df AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+    bucketed AS (
+      SELECT tok, df, CAST(FLOOR(ln(CAST(df AS DOUBLE)) / ln(2.0)) AS INT) AS df_bucket
+      FROM df
+    ),
+    tot AS (SELECT CAST(SUM(df) AS BIGINT) AS all_postings FROM bucketed)
+    SELECT df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(length(tok) + 8) + 4 * SUM(df) AS BIGINT) AS est_bytes,
+           (CAST(round_even(CAST(SUM(df) AS DOUBLE) / MAX(tot.all_postings) * 1000000, 0)
+             AS BIGINT) / 1000000.0) AS postings_share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY df_bucket ORDER BY df_bucket
+"""
+
+
+@query(
+    "r08_index_capacity_stats",
+    oracle=_R08_ORACLE,
+    tags=("llm", "retrieval"),
+)
+def r08_index_capacity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index capacity planning: per log2(document-frequency)
+    bucket, the term count, posting count, postings share, and a fixed
+    -format size estimate (dictionary entry = term bytes + 8, posting =
+    4 bytes) — the sizing sheet read before building a search index over
+    the corpus (r01/r06 are the queries that index would serve).
+
+    Scale: one corpus explode deduplicated per (doc, term) — document
+    frequency, not term frequency, so the first shuffle carries distinct
+    pairs; the per-term df table then aggregates into ≤~20 log2 buckets
+    with map-side combine. No top-k, no window, output bounded by the
+    bucket range."""
+    from dibimbing_case_study_etl_spark.functions.text import tokens
+
+    t = register(spark, sf_dir, ("documents",))
+    occ = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    df = occ.groupBy("tok").agg(F.count("*").alias("df"))
+    bucketed = df.select(
+        "tok",
+        "df",
+        F.floor(F.log(F.col("df").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("df_bucket"),
+        # feeds the postings total AND the bucket roll-up — materialize the
+        # vocab-sized (sublinear, Heaps) df table so the corpus explode +
+        # (doc,term) distinct run exactly once
+    ).localCheckpoint(eager=True)
+    tot = F.broadcast(bucketed.agg(F.sum("df").cast("bigint").alias("all_postings")))
+    return (
+        bucketed.crossJoin(tot)
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            (F.sum(F.length("tok") + 8) + 4 * F.sum("df"))
+            .cast("bigint")
+            .alias("est_bytes"),
+            (
+                F.call_function(
+                    "rint",
+                    F.sum("df").cast("double")
+                    / F.max("all_postings")
+                    * F.lit(1000000.0),
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("postings_share"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+# --- u10: small-file compaction planner --------------------------------------
+
+_U10_TARGET = 1 << 20  # 1 MiB target file
+
+_U10_ORACLE = f"""
+    WITH per_file AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr,
+             COUNT(*) AS n_rows,
+             CAST(SUM({_U09_BYTES_SQL}) AS BIGINT) AS bytes
+      FROM events GROUP BY CAST(ts AS DATE), CAST(hour(ts) AS INT)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_files_now,
+           CAST(SUM(bytes) AS BIGINT) AS est_bytes,
+           CAST(GREATEST(CEIL(CAST(SUM(bytes) AS DOUBLE) / {_U10_TARGET}), 1) AS BIGINT)
+             AS planned_files,
+           {sql_iround(
+               f"1.0 - CAST(GREATEST(CEIL(CAST(SUM(bytes) AS DOUBLE) / {_U10_TARGET}), 1)"
+               " AS DOUBLE) / COUNT(*)", 4)} AS file_reduction
+    FROM per_file GROUP BY day ORDER BY day
+"""
+
+
+@query(
+    "u10_compaction_planner",
+    oracle=_U10_ORACLE,
+    tags=("warehouse", "ops"),
+)
+def u10_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: model an hourly streaming landing
+    (one file per day×hour), then plan per-day compaction to 1 MiB
+    target files — current file count, partition bytes, planned file
+    count, and the reduction ratio. The planning half of
+    `operators/maintenance.compact_partitions`: at 100 TB you budget the
+    rewrite BEFORE launching it, from exactly this table.
+
+    Scale: one partial-aggregated pass keyed by (day, hour) — the
+    landing-file grain — then a calendar-bounded roll-up to days. No
+    data movement beyond the two bounded aggregations."""
+    t = register(spark, sf_dir, ("events",))
+    per_file = (
+        t["events"]
+        .groupBy(
+            F.to_date("ts").alias("day"), F.hour("ts").cast("int").alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.lit(33) + F.length("event_type") + F.length("props"))
+            .cast("bigint")
+            .alias("bytes"),
+        )
+    )
+    planned = F.greatest(
+        F.ceil(F.sum("bytes").cast("double") / F.lit(float(_U10_TARGET))), F.lit(1)
+    )
+    return (
+        per_file.groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files_now"),
+            F.sum("bytes").cast("bigint").alias("est_bytes"),
+            planned.cast("bigint").alias("planned_files"),
+            iround(
+                F.lit(1.0) - planned.cast("double") / F.count("*"), 4
+            ).alias("file_reduction"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- v05: k-anonymity generalization ladder ----------------------------------
+
+_V05_WIDTHS = (250, 500, 1000, 2500, 5000)
+_V05_K = 5
+
+_V05_ORACLE = f"""
+    WITH w AS (SELECT UNNEST([{", ".join(str(x) for x in _V05_WIDTHS)}]) AS width),
+    cls AS (
+      SELECT w.width, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / w.width) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM customer CROSS JOIN w
+      GROUP BY w.width, c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / w.width) AS BIGINT)
+    )
+    SELECT CAST(width AS INT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(cnt) AS BIGINT) AS min_class_size,
+           CAST(COALESCE(SUM(CASE WHEN cnt < {_V05_K} THEN cnt END), 0) AS BIGINT)
+             AS n_records_below_k,
+           {sql_iround(
+               f"CAST(COALESCE(SUM(CASE WHEN cnt < {_V05_K} THEN cnt END), 0)"
+               " AS DOUBLE) / SUM(cnt)", 6)} AS at_risk_share,
+           CAST(CASE WHEN MIN(cnt) >= {_V05_K} THEN 1 ELSE 0 END AS INT) AS k_ok
+    FROM cls GROUP BY width ORDER BY width
+"""
+
+
+@query(
+    "v05_generalization_ladder",
+    oracle=_V05_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v05_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (the Incognito move): coarsen
+    the balance quasi-identifier through widths {250…5000} and report,
+    per rung, the class count, the minimum class size, and the records
+    still below k=5 — the curve a privacy engineer walks DOWN to find
+    the least-general release that satisfies the policy.
+
+    Scale: the width dimension explodes 5× BEFORE one partial-aggregated
+    groupBy keyed by (width, QI) — map-side combine collapses each task
+    to the bounded class table (width × 25 × 5 × buckets); the per-rung
+    roll-up is 5 rows. One fact scan total."""
+    t = register(spark, sf_dir, ("customer",))
+    cls = (
+        t["customer"]
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.explode(F.array(*[F.lit(x) for x in _V05_WIDTHS])).alias("width"),
+        )
+        .groupBy(
+            "width",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.col("width")).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    below = F.coalesce(F.sum(F.when(F.col("cnt") < _V05_K, F.col("cnt"))), F.lit(0))
+    return (
+        cls.groupBy(F.col("width").cast("int").alias("width"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.min("cnt").cast("bigint").alias("min_class_size"),
+            below.cast("bigint").alias("n_records_below_k"),
+            iround(below.cast("double") / F.sum("cnt"), 6).alias("at_risk_share"),
+            F.when(F.min("cnt") >= _V05_K, 1).otherwise(0).cast("int").alias("k_ok"),
+        )
+        .orderBy("width")
+    )

@@ -903,3 +903,20 @@ def test_q82_uses_union_loop(spark, sf_dir):
     distributed self-map per level), not fall back to anything driver-side."""
     plan = explain_str(spark, sf_dir, "q82_recursive_part_closure")
     assert "UnionLoop" in plan
+
+
+def test_r08_no_window_single_scan(spark, sf_dir):
+    """df computation is explode → distinct → agg, materialized once: the
+    final plan reads the checkpointed vocab table, never the corpus."""
+    plan = explain_str(spark, sf_dir, "r08_index_capacity_stats")
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 0
+
+
+def test_u10_v05_single_fact_scan(spark, sf_dir):
+    """Both planners are single-chain aggregations — exactly one scan."""
+    for name in ("u10_compaction_planner", "v05_generalization_ladder"):
+        plan = explain_str(spark, sf_dir, name)
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
+        assert "Window" not in plan, name
