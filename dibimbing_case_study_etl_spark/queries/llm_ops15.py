@@ -1567,3 +1567,139 @@ def v05_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# --- q83: spatial neighbor join (grid-bucketed distance pairs) ---------------
+
+_Q83_D = "0.01"  # neighbor radius AND grid cell width
+_POW26 = float(1 << 26)
+
+_Q83_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, c_nationkey AS nat,
+             (CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 14))
+               AS BIGINT) % {1 << 26}) / {_POW26!r} AS lat,
+             (CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 14))
+               AS BIGINT) % {1 << 26}) / {_POW26!r} AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT *, CAST(FLOOR(lat / CAST({_Q83_D} AS DOUBLE)) AS BIGINT) AS cx,
+                CAST(FLOOR(lon / CAST({_Q83_D} AS DOUBLE)) AS BIGINT) AS cy
+      FROM pts
+    ),
+    build AS (
+      SELECT cells.*, cx + dx.dx AS bx, cy + dy.dy AS by
+      FROM cells
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dx) dx
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+    ),
+    pairs AS (
+      SELECT a.nat AS nat_a, b.nat AS nat_b,
+             sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)) AS dist
+      FROM cells a JOIN build b ON a.cx = b.bx AND a.cy = b.by AND a.id < b.id
+      WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+            <= CAST({_Q83_D} AS DOUBLE) * CAST({_Q83_D} AS DOUBLE)
+    )
+    SELECT LEAST(nat_a, nat_b) AS nation_lo, GREATEST(nat_a, nat_b) AS nation_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (CAST(SUM(CAST(round_even(dist * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*)) AS mean_dist
+    FROM pairs GROUP BY LEAST(nat_a, nat_b), GREATEST(nat_a, nat_b)
+    ORDER BY nation_lo, nation_hi
+"""
+
+
+@query(
+    "q83_spatial_neighbor_join",
+    oracle=_Q83_ORACLE,
+    tags=("relational", "spatial"),
+)
+def q83_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join: customers get deterministic uniform
+    (lat, lon) positions (md5-derived), and the query finds all pairs
+    within radius d = grid width via the canonical distributed spatial
+    pattern — bucket points into a d×d grid, explode the build side into
+    its 3×3 neighborhood, equi-join on cell id, verify exact distance.
+    Each qualifying pair matches in EXACTLY one (probe-cell, offset)
+    combination, so no distinct is needed. Reports per-nation-pair
+    counts and scaled-int mean distance.
+
+    Scale: the join is a plain shuffle equi-join keyed by cell id — the
+    candidate set is |pairs within ~3d|, never n²; at 100 TB the same
+    plan holds with a coarser first-level partition (geohash prefix) on
+    top. The 9× build explode happens map-side before the exchange."""
+    t = register(spark, sf_dir, ("customer",))
+
+    def coord(prefix: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 26)
+        ) / F.lit(_POW26)
+
+    d = F.lit(float(_Q83_D))
+    cells = t["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        coord("lat:").alias("lat"),
+        coord("lon:").alias("lon"),
+    ).select(
+        "*",
+        F.floor(F.col("lat") / d).cast("bigint").alias("cx"),
+        F.floor(F.col("lon") / d).cast("bigint").alias("cy"),
+    )
+    build = cells.select(
+        F.col("id").alias("bid"),
+        F.col("nat").alias("bnat"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "bid",
+        "bnat",
+        "blat",
+        "blon",
+        (F.col("cx") + F.col("dx")).alias("bx"),
+        F.explode(F.array(F.col("cy") - 1, F.col("cy"), F.col("cy") + 1)).alias("by"),
+    )
+    d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
+        F.col("lon") - F.col("blon")
+    ) * (F.col("lon") - F.col("blon"))
+    pairs = (
+        cells.join(
+            build,
+            (F.col("cx") == F.col("bx"))
+            & (F.col("cy") == F.col("by"))
+            & (F.col("id") < F.col("bid")),
+        )
+        .filter(d2 <= d * d)
+        .select(
+            F.least("nat", "bnat").alias("nation_lo"),
+            F.greatest("nat", "bnat").alias("nation_hi"),
+            F.sqrt(d2).alias("dist"),
+        )
+    )
+    return (
+        pairs.groupBy("nation_lo", "nation_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (
+                F.sum(F.call_function("rint", F.col("dist") * F.lit(1000000.0)).cast("bigint"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("mean_dist"),
+        )
+        .orderBy("nation_lo", "nation_hi")
+    )

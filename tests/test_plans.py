@@ -920,3 +920,12 @@ def test_u10_v05_single_fact_scan(spark, sf_dir):
         plan = explain_str(spark, sf_dir, name)
         assert plan.count("Location: InMemoryFileIndex") == 1, name
         assert "Window" not in plan, name
+
+
+def test_q83_spatial_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The neighbor join must key on grid-cell ids (hash/sort-merge
+    exchange) — a nested-loop or cartesian here means the 9-cell
+    bucketing failed and the plan is O(n²)."""
+    plan = explain_str(spark, sf_dir, "q83_spatial_neighbor_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
