@@ -1703,3 +1703,377 @@ def q83_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_lo", "nation_hi")
     )
+
+
+# --- f06: hierarchical forecast reconciliation --------------------------------
+
+_F06_LAGS = (1, 2, 3, 12, 13, 14, 15)
+_F06_EVAL_T = 24  # first evaluated month index
+
+# momentum-adjusted seasonal forecast: fc(t) = y(t-12) · (y(t-1)+y(t-2)+y(t-3))
+#                                            / (y(t-13)+y(t-14)+y(t-15))
+# — deliberately NONLINEAR in the series, so independently-forecast levels
+# do NOT automatically add up (a plain seasonal naive would make the
+# coherence gap identically zero — the vacuous-audit trap).
+
+_F06_LAG_SUMS = """
+             CAST(COALESCE(SUM(CASE WHEN cur.t - hist.t = 12 THEN hist.yd END), 0) AS BIGINT) AS y12,
+             CAST(COALESCE(SUM(CASE WHEN cur.t - hist.t IN (1, 2, 3) THEN hist.yd END), 0) AS BIGINT) AS m3,
+             CAST(COALESCE(SUM(CASE WHEN cur.t - hist.t IN (13, 14, 15) THEN hist.yd END), 0) AS BIGINT) AS m15,
+             COUNT(*) AS n_lags
+"""
+
+
+def _f06_oracle() -> str:
+    lags = ", ".join(str(x) for x in _F06_LAGS)
+    return f"""
+    WITH monthly AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nat,
+             (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1 AS t,
+             CAST(SUM(CAST(round_even(o.o_totalprice, 0) AS BIGINT)) AS BIGINT) AS yd
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_regionkey, c.c_nationkey,
+               (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1
+    ),
+    rmonthly AS (
+      SELECT region, t, CAST(SUM(yd) AS BIGINT) AS yd
+      FROM monthly GROUP BY region, t
+    ),
+    nfc AS (
+      SELECT cur.region, cur.nat, cur.t, cur.yd,
+             {_F06_LAG_SUMS}
+      FROM monthly cur
+      JOIN monthly hist ON hist.nat = cur.nat AND cur.t - hist.t IN ({lags})
+      WHERE cur.t >= {_F06_EVAL_T}
+      GROUP BY cur.region, cur.nat, cur.t, cur.yd
+      HAVING COUNT(*) = {len(_F06_LAGS)} AND
+             COALESCE(SUM(CASE WHEN cur.t - hist.t IN (13, 14, 15) THEN hist.yd END), 0) > 0
+    ),
+    nfc_val AS (
+      SELECT region, nat, t, yd,
+             CAST(round_even(y12 * (CAST(m3 AS DOUBLE) / m15) * 100.0, 0) AS BIGINT) AS fc_i2
+      FROM nfc
+    ),
+    bottomup AS (
+      SELECT region, t, CAST(SUM(fc_i2) AS BIGINT) AS bu_i2
+      FROM nfc_val GROUP BY region, t
+    ),
+    rfc AS (
+      SELECT cur.region, cur.t, cur.yd,
+             {_F06_LAG_SUMS}
+      FROM rmonthly cur
+      JOIN rmonthly hist ON hist.region = cur.region AND cur.t - hist.t IN ({lags})
+      WHERE cur.t >= {_F06_EVAL_T}
+      GROUP BY cur.region, cur.t, cur.yd
+      HAVING COUNT(*) = {len(_F06_LAGS)} AND
+             COALESCE(SUM(CASE WHEN cur.t - hist.t IN (13, 14, 15) THEN hist.yd END), 0) > 0
+    ),
+    rfc_val AS (
+      SELECT region, t, yd,
+             CAST(round_even(y12 * (CAST(m3 AS DOUBLE) / m15) * 100.0, 0) AS BIGINT) AS direct_i2
+      FROM rfc
+    ),
+    joined AS (
+      SELECT r.region, r.t, r.yd, r.direct_i2, b.bu_i2
+      FROM rfc_val r JOIN bottomup b ON b.region = r.region AND b.t = r.t
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+           {sql_iround("CAST(SUM(abs(yd * 100 - direct_i2)) AS DOUBLE) / 100.0 / SUM(yd)", 6)}
+             AS direct_wape,
+           {sql_iround("CAST(SUM(abs(yd * 100 - bu_i2)) AS DOUBLE) / 100.0 / SUM(yd)", 6)}
+             AS bottomup_wape,
+           {sql_iround("CAST(SUM(abs(direct_i2 - bu_i2)) AS DOUBLE) / 100.0 / SUM(yd)", 6)}
+             AS coherence_gap_share
+    FROM joined GROUP BY region ORDER BY region
+"""
+
+
+@query(
+    "f06_forecast_reconciliation",
+    oracle=_f06_oracle(),
+    tags=("forecast",),
+)
+def f06_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation audit: nations roll up to
+    regions; both levels run the same momentum-adjusted seasonal
+    forecast (nonlinear, so independent forecasts do NOT add up), and
+    the report compares direct region forecasts against bottom-up sums
+    — WAPE for each strategy plus the coherence gap a reconciliation
+    step (MinT/OLS) would close. The hierarchy-consistency question
+    every multi-level demand pipeline must answer.
+
+    Scale: one fact pass builds the nation×month table (exact
+    whole-dollar BIGINTs, checkpointed); region series, both forecast
+    levels, and the WAPE roll-ups all run on calendar-bounded tables
+    with broadcast self-joins. Forecast values round to scaled BIGINTs
+    before every comparison sum."""
+    t = register(spark, sf_dir, ("orders", "customer", "nation"))
+    monthly = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nat"),
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("t"),
+        )
+        .agg(
+            F.sum(F.call_function("rint", F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("yd")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rmonthly = (
+        monthly.groupBy("region", "t")
+        .agg(F.sum("yd").cast("bigint").alias("yd"))
+        .localCheckpoint(eager=True)
+    )
+
+    def lagged_fc(series: DataFrame, keys: list[str]) -> DataFrame:
+        hist = series.select(
+            *[F.col(k).alias("h_" + k) for k in keys],
+            F.col("t").alias("ht"),
+            F.col("yd").alias("hyd"),
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col("h_" + k) == F.col(k))
+        off = F.col("t") - F.col("ht")
+        cur = series.filter(F.col("t") >= _F06_EVAL_T)
+        grouped = (
+            cur.join(F.broadcast(hist), cond & off.isin(*_F06_LAGS))
+            .groupBy(*keys, "t", "yd")
+            .agg(
+                F.coalesce(F.sum(F.when(off == 12, F.col("hyd"))), F.lit(0))
+                .cast("bigint")
+                .alias("y12"),
+                F.coalesce(F.sum(F.when(off.isin(1, 2, 3), F.col("hyd"))), F.lit(0))
+                .cast("bigint")
+                .alias("m3"),
+                F.coalesce(
+                    F.sum(F.when(off.isin(13, 14, 15), F.col("hyd"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("m15"),
+                F.count("*").alias("n_lags"),
+            )
+            .filter((F.col("n_lags") == len(_F06_LAGS)) & (F.col("m15") > 0))
+        )
+        return grouped.select(
+            *keys,
+            "t",
+            "yd",
+            F.call_function(
+                "rint",
+                F.col("y12") * (F.col("m3").cast("double") / F.col("m15")) * F.lit(100.0),
+            )
+            .cast("bigint")
+            .alias("fc_i2"),
+        )
+
+    nfc = lagged_fc(monthly, ["region", "nat"])
+    bottomup = nfc.groupBy("region", "t").agg(
+        F.sum("fc_i2").cast("bigint").alias("bu_i2")
+    )
+    rfc = lagged_fc(rmonthly, ["region"]).withColumnRenamed("fc_i2", "direct_i2")
+    joined = rfc.join(bottomup, ["region", "t"])
+    return (
+        joined.groupBy("region")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_months"),
+            iround(
+                F.sum(F.abs(F.col("yd") * 100 - F.col("direct_i2"))).cast("double")
+                / F.lit(100.0)
+                / F.sum("yd"),
+                6,
+            ).alias("direct_wape"),
+            iround(
+                F.sum(F.abs(F.col("yd") * 100 - F.col("bu_i2"))).cast("double")
+                / F.lit(100.0)
+                / F.sum("yd"),
+                6,
+            ).alias("bottomup_wape"),
+            iround(
+                F.sum(F.abs(F.col("direct_i2") - F.col("bu_i2"))).cast("double")
+                / F.lit(100.0)
+                / F.sum("yd"),
+                6,
+            ).alias("coherence_gap_share"),
+        )
+        .orderBy("region")
+    )
+
+
+# --- u11: retention policy simulator ------------------------------------------
+
+_U11_WINDOWS = (7, 14, 30)
+
+_U11_ORACLE = f"""
+    WITH base AS (
+      SELECT ts, {_U09_BYTES_SQL} AS bytes FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS max_ts FROM base),
+    w AS (SELECT UNNEST([{", ".join(str(x) for x in _U11_WINDOWS)}]) AS window_days)
+    SELECT CAST(w.window_days AS INT) AS window_days,
+           CAST(COALESCE(SUM(CASE WHEN base.ts > mx.max_ts - INTERVAL (w.window_days) DAY
+                 THEN 1 END), 0) AS BIGINT) AS rows_retained,
+           CAST(COALESCE(SUM(CASE WHEN base.ts <= mx.max_ts - INTERVAL (w.window_days) DAY
+                 THEN 1 END), 0) AS BIGINT) AS rows_purged,
+           CAST(COALESCE(SUM(CASE WHEN base.ts > mx.max_ts - INTERVAL (w.window_days) DAY
+                 THEN base.bytes END), 0) AS BIGINT) AS bytes_retained,
+           {sql_iround(
+               "CAST(COALESCE(SUM(CASE WHEN base.ts > mx.max_ts - INTERVAL (w.window_days) DAY"
+               " THEN 1 END), 0) AS DOUBLE) / COUNT(*)", 6)} AS retained_share
+    FROM base CROSS JOIN mx CROSS JOIN w
+    GROUP BY w.window_days
+    ORDER BY window_days
+"""
+
+
+@query(
+    "u11_retention_policy_simulator",
+    oracle=_U11_ORACLE,
+    tags=("warehouse", "ops"),
+)
+def u11_retention_policy_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy simulator: for candidate windows {7, 14, 30}
+    days anchored at the newest event, the rows/bytes a retention job
+    (`operators/maintenance.apply_retention`) would keep vs purge — the
+    cost sheet a data-governance decision reads before committing to a
+    policy.
+
+    Scale: one fact pass — the policy dimension explodes 3× into a
+    partial aggregation with 3 groups (map-side combine collapses each
+    task to 3 rows); the max-timestamp anchor is a broadcast one-row
+    aggregate."""
+    t = register(spark, sf_dir, ("events",))
+    base = t["events"].select(
+        "ts", (F.lit(33) + F.length("event_type") + F.length("props")).alias("bytes")
+    )
+    mx = F.broadcast(base.agg(F.max("ts").alias("max_ts")))
+    cutoff = F.col("max_ts") - F.make_dt_interval(F.col("window_days"))
+    kept = F.col("ts") > cutoff
+    return (
+        base.crossJoin(mx)
+        .select(
+            "*",
+            F.explode(F.array(*[F.lit(w) for w in _U11_WINDOWS])).alias("window_days"),
+        )
+        .groupBy(F.col("window_days").cast("int").alias("window_days"))
+        .agg(
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("rows_retained"),
+            F.coalesce(F.sum(F.when(~kept, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("rows_purged"),
+            F.coalesce(F.sum(F.when(kept, F.col("bytes"))), F.lit(0))
+            .cast("bigint")
+            .alias("bytes_retained"),
+            iround(
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("retained_share"),
+        )
+        .orderBy("window_days")
+    )
+
+
+# --- t46: dedup survivorship report -------------------------------------------
+
+_T46_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, source, text,
+             {_T45_TOKENS_SQL} AS tok
+      FROM documents
+    ),
+    pre AS (
+      SELECT source, COUNT(*) AS n_docs_pre,
+             CAST(SUM(tok) AS BIGINT) AS tokens_pre
+      FROM docs GROUP BY source
+    ),
+    keepers AS (
+      SELECT arg_min(source, doc_id) AS keeper_source,
+             MIN(tok) AS tok
+      FROM docs GROUP BY text
+    ),
+    post AS (
+      SELECT keeper_source AS source, COUNT(*) AS n_docs_post,
+             CAST(SUM(tok) AS BIGINT) AS tokens_post
+      FROM keepers GROUP BY keeper_source
+    )
+    SELECT pre.source,
+           CAST(pre.n_docs_pre AS BIGINT) AS n_docs_pre,
+           CAST(COALESCE(post.n_docs_post, 0) AS BIGINT) AS n_docs_post,
+           pre.tokens_pre,
+           CAST(COALESCE(post.tokens_post, 0) AS BIGINT) AS tokens_post,
+           {sql_iround(
+               "1.0 - CAST(COALESCE(post.n_docs_post, 0) AS DOUBLE) / pre.n_docs_pre", 4)}
+             AS removed_share
+    FROM pre LEFT JOIN post ON post.source = pre.source
+    ORDER BY pre.source
+"""
+
+
+@query(
+    "t46_dedup_survivorship_report",
+    oracle=_T46_ORACLE,
+    tags=("llm", "dedup", "text"),
+)
+def t46_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship report: per ingest source, the docs/tokens
+    BEFORE exact dedup vs AFTER keeper selection (lowest doc_id wins,
+    credited to ITS source — cross-source duplicates shift mass between
+    sources) — the per-source impact statement published alongside a
+    d01-style dedup run before mixture weights (t12) are recomputed.
+
+    Scale: one narrow checkpointed projection (id, source, token count,
+    text key) feeds both the per-source pre-aggregation and the
+    text-keyed keeper selection — the same two shuffles d01 itself
+    costs, plus a broadcast-sized source join."""
+    from dibimbing_case_study_etl_spark.functions.text import token_count
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        F.col("text"),
+        token_count(F.col("text")).alias("tok"),
+    ).localCheckpoint(eager=True)
+    pre = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs_pre"),
+        F.sum("tok").cast("bigint").alias("tokens_pre"),
+    )
+    keepers = docs.groupBy("text").agg(
+        F.min_by("source", "doc_id").alias("source"),
+        F.min("tok").alias("tok"),
+    )
+    post = keepers.groupBy("source").agg(
+        F.count("*").alias("n_docs_post"),
+        F.sum("tok").cast("bigint").alias("tokens_post"),
+    )
+    return (
+        pre.join(F.broadcast(post), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs_pre").cast("bigint").alias("n_docs_pre"),
+            F.coalesce(F.col("n_docs_post"), F.lit(0)).cast("bigint").alias("n_docs_post"),
+            "tokens_pre",
+            F.coalesce(F.col("tokens_post"), F.lit(0)).cast("bigint").alias("tokens_post"),
+            iround(
+                F.lit(1.0)
+                - F.coalesce(F.col("n_docs_post"), F.lit(0)).cast("double")
+                / F.col("n_docs_pre"),
+                4,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )

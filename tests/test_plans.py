@@ -929,3 +929,37 @@ def test_q83_spatial_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "q83_spatial_neighbor_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_f06_small_table_joins_broadcast(spark, sf_dir):
+    """Everything after the checkpointed monthly aggregation runs on
+    calendar-bounded tables with broadcast self-joins — no sort-merge
+    exchange, no fact re-scan."""
+    plan = explain_str(spark, sf_dir, "f06_forecast_reconciliation")
+    assert "SortMergeJoin" not in plan
+    assert "Scan parquet" not in plan
+
+
+def test_u11_anchor_scan_is_single_column(spark, sf_dir):
+    """u11 deliberately scans twice: the max-ts anchor pass must be
+    column-pruned to ts alone (cheap at any scale), the policy pass
+    reads the payload columns. Checkpointing the fact table to make it
+    one scan would be WORSE at 100 TB."""
+    plan = explain_str(spark, sf_dir, "u11_retention_policy_simulator")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    anchor = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "ts" in seg.splitlines()[0]
+    ]
+    assert any(
+        "event_type" not in line and "props" not in line for line in anchor
+    ), anchor
+
+
+def test_t46_single_checkpointed_projection(spark, sf_dir):
+    """Both the pre- and post-dedup aggregations must read the one
+    checkpointed narrow projection — no second corpus scan."""
+    plan = explain_str(spark, sf_dir, "t46_dedup_survivorship_report")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
