@@ -1883,7 +1883,7 @@ def f06_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fc_i2").cast("bigint").alias("bu_i2")
     )
     rfc = lagged_fc(rmonthly, ["region"]).withColumnRenamed("fc_i2", "direct_i2")
-    joined = rfc.join(bottomup, ["region", "t"])
+    joined = rfc.join(F.broadcast(bottomup), ["region", "t"])
     return (
         joined.groupBy("region")
         .agg(
