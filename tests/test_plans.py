@@ -963,3 +963,19 @@ def test_t46_single_checkpointed_projection(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "t46_dedup_survivorship_report")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_x09_reuses_checkpointed_welch_table(spark, sf_dir):
+    """x09's χ² runs on x06's checkpointed Welch table — no fact scan in
+    the final plan, no window (the histogram is a 10-row aggregation)."""
+    plan = explain_str(spark, sf_dir, "x09_aa_pvalue_calibration")
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+
+
+def test_s21_overfetch_sweep_reads_checkpointed_top(spark, sf_dir):
+    """The 4-setting sweep re-ranks the ONE checkpointed global top-50 —
+    the corpus scans happened inside the two exact passes, not per
+    setting."""
+    plan = explain_str(spark, sf_dir, "s21_filtered_ann_recall")
+    assert "Scan parquet" not in plan
