@@ -2313,3 +2313,121 @@ def s21_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("overfetch")
     )
+
+
+# --- v06: t-closeness audit ----------------------------------------------------
+
+_V06_T = "0.25"
+
+_V06_ORACLE = f"""
+    WITH cell AS (
+      SELECT c_nationkey, {_BAL_BUCKET_SQL} AS bal_bucket, c_mktsegment,
+             COUNT(*) AS scnt
+      FROM customer
+      GROUP BY c_nationkey, {_BAL_BUCKET_SQL}, c_mktsegment
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_bucket, CAST(SUM(scnt) AS BIGINT) AS n
+      FROM cell GROUP BY c_nationkey, bal_bucket
+    ),
+    gdist AS (
+      SELECT c_mktsegment, CAST(SUM(scnt) AS BIGINT) AS g,
+             (SELECT CAST(SUM(scnt) AS BIGINT) FROM cell) AS gt
+      FROM cell GROUP BY c_mktsegment
+    ),
+    tv AS (
+      SELECT cls.c_nationkey, cls.bal_bucket, cls.n,
+             CAST(SUM(CAST(round_even(
+               abs(CAST(COALESCE(cell.scnt, 0) AS DOUBLE) / cls.n
+                   - CAST(gdist.g AS DOUBLE) / gdist.gt) * 1000000000, 0)
+               AS BIGINT)) AS BIGINT) AS tv_i9
+      FROM cls
+      CROSS JOIN gdist
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.bal_bucket = cls.bal_bucket
+                    AND cell.c_mktsegment = gdist.c_mktsegment
+      GROUP BY cls.c_nationkey, cls.bal_bucket, cls.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COALESCE(SUM(CASE WHEN CAST(tv_i9 AS DOUBLE) / 2000000000.0
+                    > CAST({_V06_T} AS DOUBLE) THEN 1 END), 0) AS BIGINT)
+             AS n_violations,
+           CAST(COALESCE(SUM(CASE WHEN CAST(tv_i9 AS DOUBLE) / 2000000000.0
+                    > CAST({_V06_T} AS DOUBLE) THEN n END), 0) AS BIGINT)
+             AS n_records_exposed,
+           {sql_iround("CAST(MAX(tv_i9) AS DOUBLE) / 2000000000.0", 6)} AS max_distance,
+           {sql_iround("CAST(SUM(tv_i9 * n) AS DOUBLE) / 2000000000.0 / SUM(n)", 6)}
+             AS mean_distance_weighted
+    FROM tv
+"""
+
+
+@query(
+    "v06_t_closeness_audit",
+    oracle=_V06_ORACLE,
+    tags=("llm", "privacy"),
+)
+def v06_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., completing the k-anonymity /
+    l-diversity / t-closeness trio): per QI class, the total-variation
+    distance between the class's sensitive-attribute (market segment)
+    distribution and the global one; classes farther than t = 0.25
+    leak attribute skew even when k and l pass. Reports violation
+    counts, exposed records, and the max / record-weighted-mean
+    distance.
+
+    Scale: the same one-fact-pass (QI, sensitive) cell table as v02
+    (bounded by QI×sensitive cardinality); the distance computation is a
+    cell×global-segment grid join on that bounded table, per-term
+    scaled-BIGINT rounding before the exact sums. The global sensitive
+    distribution is a 5-row broadcast."""
+    t = register(spark, sf_dir, ("customer",))
+    cell = (
+        t["customer"]
+        .groupBy("c_nationkey", _bal_bucket().alias("bal_bucket"), "c_mktsegment")
+        .agg(F.count("*").alias("scnt"))
+        .localCheckpoint(eager=True)  # feeds cls, glob, and the TV grid
+    )
+    cls = cell.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("scnt").cast("bigint").alias("n")
+    )
+    gt = cell.agg(F.sum("scnt").cast("bigint").alias("gt"))
+    glob = F.broadcast(
+        cell.groupBy("c_mktsegment")
+        .agg(F.sum("scnt").cast("bigint").alias("g"))
+        .crossJoin(F.broadcast(gt))
+    )
+    grid = cls.crossJoin(glob).join(
+        cell, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left"
+    )
+    term = F.call_function(
+        "rint",
+        F.abs(
+            F.coalesce(F.col("scnt"), F.lit(0)).cast("double") / F.col("n")
+            - F.col("g").cast("double") / F.col("gt")
+        )
+        * F.lit(1000000000.0),
+    ).cast("bigint")
+    tv = grid.groupBy("c_nationkey", "bal_bucket", "n").agg(
+        F.sum(term).cast("bigint").alias("tv_i9")
+    )
+    dist = F.col("tv_i9").cast("double") / F.lit(2000000000.0)
+    viol = F.when(dist > F.lit(float(_V06_T)), 1)
+    return tv.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("n_violations"),
+        F.coalesce(
+            F.sum(F.when(dist > F.lit(float(_V06_T)), F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_records_exposed"),
+        iround(F.max("tv_i9").cast("double") / F.lit(2000000000.0), 6).alias(
+            "max_distance"
+        ),
+        iround(
+            F.sum(F.col("tv_i9") * F.col("n")).cast("double")
+            / F.lit(2000000000.0)
+            / F.sum("n"),
+            6,
+        ).alias("mean_distance_weighted"),
+    )
