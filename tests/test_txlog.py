@@ -393,3 +393,59 @@ def test_checkpoint_race_is_harmless(spark, tmp_path_factory):
     assert v1 == v2 == 0
     assert len(list(table.log_dir.glob("*.checkpoint.json"))) == 1
     assert {r["k"] for r in table.read(spark).collect()} == {1, 2}
+
+
+def test_multiprocess_writers_serialize(spark, table):
+    """THE multi-writer claim, process-grade: three separate driver
+    PROCESSES (own JVMs — nothing shared but the filesystem) append to
+    the same table concurrently. The os.link commit publish must
+    serialize them: every append lands under a distinct version, none
+    lost, final state complete. This is the scenario the in-process
+    thread test cannot prove (CPython locks, shared JVM) and the one a
+    real cluster hits."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import SparkSession
+        from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+        root, wid = sys.argv[1], int(sys.argv[2])
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName(f"txlog-writer-{wid}")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        t = TxLogTable(root)
+        df = spark.createDataFrame(
+            [(100 + wid * 10 + j, f"p{wid}_{j}") for j in range(2)],
+            "k bigint, v string")
+        t.append(df, key_col="k", target_files=1)
+        spark.stop()
+        """
+    )
+    table.append(_rows(spark, [(0, "seed")]), key_col="k", target_files=1)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(table.root), str(i)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(3)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    assert table.latest_version() == 3  # seed (v0) + three process commits
+    expect = {0: "seed"}
+    for wid in range(3):
+        for j in range(2):
+            expect[100 + wid * 10 + j] = f"p{wid}_{j}"
+    assert _state(table, spark) == expect
