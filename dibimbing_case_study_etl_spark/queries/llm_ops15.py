@@ -2431,3 +2431,155 @@ def v06_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_distance_weighted"),
     )
+
+
+# --- p04: privacy-gated release pipeline ---------------------------------------
+
+_P04_K = 5
+_P04_EPS = "0.5"
+
+_P04_ORACLE = f"""
+    WITH w AS (SELECT UNNEST([{", ".join(str(x) for x in _V05_WIDTHS)}]) AS width),
+    cls AS (
+      SELECT w.width, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / w.width) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM customer CROSS JOIN w
+      GROUP BY w.width, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / w.width) AS BIGINT)
+    ),
+    ladder AS (
+      SELECT width, MIN(cnt) AS min_cnt FROM cls GROUP BY width
+    ),
+    chosen AS (
+      SELECT COALESCE(MIN(CASE WHEN min_cnt >= {_P04_K} THEN width END),
+                      {max(_V05_WIDTHS)}) AS width
+      FROM ladder
+    ),
+    gated AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.bucket, cls.cnt,
+             CASE WHEN cls.cnt >= {_P04_K} THEN 1 ELSE 0 END AS released
+      FROM cls JOIN chosen ON cls.width = chosen.width
+    ),
+    noised AS (
+      SELECT c_nationkey, released, cnt,
+             cnt + (-(1.0 / CAST({_P04_EPS} AS DOUBLE)) * sign(u - 0.5)
+               * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15))) AS noisy
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5('dp2:' || CAST(c_nationkey AS VARCHAR)
+                 || ':' || c_mktsegment || ':' || CAST(bucket AS VARCHAR)), 1, 15))
+                 AS BIGINT) / {float(2**60)!r} AS u
+        FROM gated
+      )
+    )
+    SELECT c_nationkey,
+           CAST(COALESCE(SUM(released), 0) AS BIGINT) AS n_released,
+           CAST(COALESCE(SUM(1 - released), 0) AS BIGINT) AS n_suppressed,
+           {sql_iround("COALESCE(SUM(CASE WHEN released = 1 THEN noisy END), 0.0)", 4)}
+             AS noisy_total,
+           CAST({_P04_EPS} AS DOUBLE) AS epsilon
+    FROM noised GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query(
+    "p04_private_release_pipeline",
+    oracle=_P04_ORACLE,
+    tags=("llm", "privacy", "pipeline"),
+)
+def p04_private_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end privacy-gated release — the pipeline composition of the
+    v-family: (1) walk v05's generalization ladder and pick the LEAST
+    -general balance-bucket width whose worst class reaches k=5; (2)
+    suppress classes still below k at that width; (3) release the
+    surviving class counts under v04's ε=0.5 Laplace mechanism. Per
+    nation: released/suppressed class counts, the noisy released total,
+    and the ε spent (parallel composition over disjoint classes — one ε
+    for the whole release).
+
+    Scale: ONE fact pass (the 5× width explode into a partial agg keyed
+    by (width, QI)); the checkpointed bounded class table feeds the
+    ladder choice, the k gate, and the noisy aggregation. The chosen
+    width is a broadcast one-row join — data-dependent but never
+    driver-decided."""
+    t = register(spark, sf_dir, ("customer",))
+    cls = (
+        t["customer"]
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.explode(F.array(*[F.lit(x) for x in _V05_WIDTHS])).alias("width"),
+        )
+        .groupBy(
+            "width",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.col("width")).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds ladder + gate + release
+    )
+    chosen = F.broadcast(
+        cls.groupBy("width")
+        .agg(F.min("cnt").alias("min_cnt"))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("min_cnt") >= _P04_K, F.col("width"))),
+                F.lit(max(_V05_WIDTHS)),
+            ).alias("width")
+        )
+    )
+    gated = cls.join(chosen, "width").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bucket",
+        "cnt",
+        F.when(F.col("cnt") >= _P04_K, 1).otherwise(0).alias("released"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp2:"),
+                        F.col("c_nationkey").cast("string"),
+                        F.lit(":"),
+                        F.col("c_mktsegment"),
+                        F.lit(":"),
+                        F.col("bucket").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_POW60)
+    )
+    eps = F.lit(float(_P04_EPS))
+    noise = (
+        -(F.lit(1.0) / eps)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)), F.lit(1e-15)))
+    )
+    noised = gated.withColumn("noisy", F.col("cnt") + noise)
+    return (
+        noised.groupBy("c_nationkey")
+        .agg(
+            F.coalesce(F.sum("released"), F.lit(0)).cast("bigint").alias("n_released"),
+            F.coalesce(F.sum(F.lit(1) - F.col("released")), F.lit(0))
+            .cast("bigint")
+            .alias("n_suppressed"),
+            iround(
+                F.coalesce(
+                    F.sum(F.when(F.col("released") == 1, F.col("noisy"))), F.lit(0.0)
+                ),
+                4,
+            ).alias("noisy_total"),
+            eps.alias("epsilon"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -979,3 +979,11 @@ def test_s21_overfetch_sweep_reads_checkpointed_top(spark, sf_dir):
     setting."""
     plan = explain_str(spark, sf_dir, "s21_filtered_ann_recall")
     assert "Scan parquet" not in plan
+
+
+def test_p04_one_fact_pass(spark, sf_dir):
+    """Ladder choice, k gate, and noisy release all read the one
+    checkpointed class table — no second customer scan, no window."""
+    plan = explain_str(spark, sf_dir, "p04_private_release_pipeline")
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
