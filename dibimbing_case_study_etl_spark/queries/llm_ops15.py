@@ -2583,3 +2583,73 @@ def p04_private_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- q84: join-cardinality estimation audit ------------------------------------
+
+_Q84_BUCKET = 500
+
+_Q84_ORACLE = f"""
+    WITH h AS (
+      SELECT CAST(FLOOR(CAST(l_partkey AS DOUBLE) / {_Q84_BUCKET}) AS BIGINT) AS bkt,
+             l_partkey, COUNT(*) AS c
+      FROM lineitem GROUP BY CAST(FLOOR(CAST(l_partkey AS DOUBLE) / {_Q84_BUCKET}) AS BIGINT),
+               l_partkey
+    )
+    SELECT bkt,
+           CAST(round_even(CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*), 0) AS BIGINT)
+             AS est_rows,
+           CAST(SUM(c * c) AS BIGINT) AS actual_rows,
+           {sql_iround(
+               "CAST(SUM(c * c) AS DOUBLE)"
+               " / CAST(round_even(CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*), 0)"
+               " AS BIGINT)", 4)} AS q_error
+    FROM h GROUP BY bkt ORDER BY bkt
+"""
+
+
+@query(
+    "q84_join_cardinality_estimate",
+    oracle=_Q84_ORACLE,
+    tags=("relational", "stats", "optimizer"),
+)
+def q84_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the System-R uniformity
+    formula a cost-based optimizer runs before sizing r02's market
+    -basket self-join: per key-range bucket, the estimate n²/d against
+    the TRUE self-join cardinality Σc² (computed by the arithmetic
+    identity from the same histogram — never the quadratic join), and
+    the resulting q-error. Skewed per-key counts make Σc² exceed n²/d
+    by exactly 1+cv² (Cauchy–Schwarz), so the audit quantifies how much
+    the optimizer's uniformity assumption underestimates hot-key joins
+    — the number that predicts AQE skew-split behavior.
+
+    Scale: one partial-aggregated per-key histogram, rolled up per
+    bucket; output bounded by the key-range bucket count. The true
+    cardinality costs one aggregation, not a self-join."""
+    t = register(spark, sf_dir, ("lineitem",))
+    h = (
+        t["lineitem"]
+        .groupBy(
+            F.floor(F.col("l_partkey").cast("double") / F.lit(float(_Q84_BUCKET)))
+            .cast("bigint")
+            .alias("bkt"),
+            "l_partkey",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    est = F.call_function(
+        "rint", F.sum("c").cast("double") * F.sum("c") / F.count("*")
+    ).cast("bigint")
+    out = h.groupBy("bkt").agg(
+        est.alias("est_rows"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("actual_rows"),
+    )
+    return out.select(
+        "bkt",
+        "est_rows",
+        "actual_rows",
+        iround(F.col("actual_rows").cast("double") / F.col("est_rows"), 4).alias(
+            "q_error"
+        ),
+    ).orderBy("bkt")
