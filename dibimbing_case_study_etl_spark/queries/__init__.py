@@ -151,7 +151,8 @@ def load_all() -> dict[str, QuerySpec]:
 # q83 spatial neighbor join, f06 forecast reconciliation, u11 retention
 # simulator, t46 dedup survivorship report, x09 A/A p-value calibration,
 # s21 filtered-ANN recall curve, v06 t-closeness audit, p04 privacy
-# -gated release pipeline, q84 join-cardinality estimation audit.
+# -gated release pipeline, q84 join-cardinality estimation audit,
+# m12 PNG CRC quarantine.
 DRIVER_PRIORITY: list[str] = [
     # r6-session additions — never driver-checked
     "v01_k_anonymity_audit",

@@ -2653,3 +2653,65 @@ def q84_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             "q_error"
         ),
     ).orderBy("bkt")
+
+
+# --- m12: PNG CRC corruption quarantine ----------------------------------------
+
+_M12_ORACLE = """
+    SELECT was_corrupted, quarantined, CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM (
+      SELECT CAST(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS INT) AS was_corrupted,
+             CAST(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS INT) AS quarantined
+      FROM documents
+    ) GROUP BY was_corrupted, quarantined
+    ORDER BY was_corrupted, quarantined
+"""
+
+
+@query(
+    "m12_png_crc_quarantine",
+    oracle=_M12_ORACLE,
+    tags=("multimodal", "quality"),
+)
+def m12_png_crc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-integrity quarantine for an image landing: every 50th image
+    gets one IHDR byte deterministically flipped in flight (the bitrot /
+    truncated-upload case), and the validator recomputes the IHDR CRC-32
+    JVM-side (crc32 over the 17 type+payload bytes vs the stored
+    big-endian word — substring/conv built-ins, no decode, no Python)
+    and quarantines mismatches. The output is the 2×2 confusion matrix
+    against the known corruption set; the oracle asserts it is exactly
+    diagonal — one false positive or missed corruption anywhere in the
+    corpus flips a count and the hash.
+
+    Scale: integrity triage of a 100 TB landing must not decode — this
+    reads 21 header bytes per blob inside whole-stage codegen, one
+    bounded aggregation. The quarantine predicate composes with m11's
+    geometry audit on the same scan."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import synth_png_table
+
+    t = register(spark, sf_dir, ("documents",))
+    imgs = synth_png_table(t["documents"], "doc_id", "text")
+    corrupted = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(
+            F.expr("substring(content, 1, 17)"),
+            F.unhex(F.lit("FF")),
+            F.expr("substring(content, 19, 2147483647)"),
+        ),
+    ).otherwise(F.col("content"))
+    blobs = imgs.select(
+        (F.col("doc_id") % 50 == 0).cast("int").alias("was_corrupted"),
+        corrupted.alias("blob"),
+    )
+    stored = F.conv(F.hex(F.expr("substring(blob, 30, 4)")), 16, 10).cast("bigint")
+    computed = F.crc32(F.expr("substring(blob, 13, 17)"))
+    return (
+        blobs.select(
+            "was_corrupted",
+            (computed != stored).cast("int").alias("quarantined"),
+        )
+        .groupBy("was_corrupted", "quarantined")
+        .agg(F.count("*").cast("bigint").alias("n_images"))
+        .orderBy("was_corrupted", "quarantined")
+    )

@@ -987,3 +987,12 @@ def test_p04_one_fact_pass(spark, sf_dir):
     plan = explain_str(spark, sf_dir, "p04_private_release_pipeline")
     assert "Scan parquet" not in plan
     assert "Window" not in plan
+
+
+def test_m12_crc_validation_is_jvm_side(spark, sf_dir):
+    """CRC triage must not decode: one Python stage total (the fixture
+    renderer), the validation itself is crc32/substring in a Project."""
+    plan = explain_str(spark, sf_dir, "m12_png_crc_quarantine")
+    assert plan.count("Arguments: render(") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "crc32" in plan
