@@ -2715,3 +2715,62 @@ def m12_png_crc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_images"))
         .orderBy("was_corrupted", "quarantined")
     )
+
+
+# --- q85: cumulative distinct users (first-occurrence transform) ---------------
+
+_Q85_ORACLE = """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    new_users AS (
+      SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY day
+    )
+    SELECT d.day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS cumulative_users
+    FROM daily d LEFT JOIN new_users n ON n.day = d.day
+    ORDER BY d.day
+"""
+
+
+@query(
+    "q85_cumulative_distinct_users",
+    oracle=_Q85_ORACLE,
+    tags=("relational", "events"),
+)
+def q85_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach: per day, the active users (DAU) and the running
+    count of distinct users EVER seen. The naive plan — COUNT(DISTINCT)
+    over every growing prefix — is quadratic and un-distributable; the
+    scale plan is the first-occurrence transform: one groupBy finds each
+    user's first day, new-user counts roll up per day, and the cumulative
+    sum runs over the CALENDAR-BOUNDED day table (where a window is
+    harmless). The canonical trick behind every reach/adoption curve.
+
+    Scale: two partial-aggregated passes over events (first-seen per
+    user, DAU per day) — both shuffle bounded keys; the window orders ~30
+    rows. No prefix ever re-scans history."""
+    t = register(spark, sf_dir, ("events",))
+    ev = t["events"].select(F.to_date("ts").alias("day"), "user_id")
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    joined = daily.join(F.broadcast(new_users), "day", "left").select(
+        "day", "dau", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    # the cumulative window runs on the calendar-bounded day table only
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("n_new").cast("bigint").alias("new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
