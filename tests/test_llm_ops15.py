@@ -159,3 +159,83 @@ def test_v04_release_reproducible_and_bounded(spark, sf_dir):
     # Laplace(2) tail: P(|noise| > 40) = e^-20 — astronomically unlikely
     # across 25 draws unless the inverse CDF is wrong
     assert (a["abs_noise"] < 40).all()
+
+
+def test_q84_uniformity_estimate_underestimates(spark, sf_dir):
+    """Cauchy–Schwarz: Σc² ≥ (Σc)²/d, so the uniformity estimate can
+    only UNDER-estimate a self-join — q_error ≥ 1 in every bucket, and
+    strictly > 1 somewhere on this skewed data (non-vacuous)."""
+    pdf = _run(spark, sf_dir, "q84_join_cardinality_estimate")
+    assert (pdf["q_error"] >= 1.0 - 1e-9).all()
+    assert (pdf["actual_rows"] >= pdf["est_rows"]).all()
+    assert (pdf["q_error"] > 1.0).any()
+
+
+def test_v06_distance_bounds(spark, sf_dir):
+    """Total-variation distance lives in [0, 1]; violations can't exceed
+    classes; the weighted mean can't exceed the max."""
+    row = _run(spark, sf_dir, "v06_t_closeness_audit").iloc[0]
+    assert 0.0 <= row["mean_distance_weighted"] <= row["max_distance"] <= 1.0 + 1e-9
+    assert row["n_violations"] <= row["n_classes"]
+
+
+def test_p04_release_accounting(spark, sf_dir):
+    """Released + suppressed must cover every class of the chosen rung,
+    per nation; ε is the single parallel-composition budget."""
+    pdf = _run(spark, sf_dir, "p04_private_release_pipeline")
+    assert (pdf["epsilon"] == 0.5).all()
+    assert (pdf["n_released"] + pdf["n_suppressed"] > 0).all()
+    assert (pdf["n_released"] >= 0).all() and (pdf["n_suppressed"] >= 0).all()
+
+
+def test_q85_reach_curve_shape(spark, sf_dir):
+    """Cumulative reach is non-decreasing, ends at the total distinct
+    user count, and each day's new users are bounded by its DAU."""
+    import duckdb
+
+    from dibimbing_case_study_etl_spark.catalog import table_path
+
+    pdf = _run(spark, sf_dir, "q85_cumulative_distinct_users").sort_values("day")
+    assert pdf["cumulative_users"].is_monotonic_increasing
+    assert (pdf["new_users"] <= pdf["dau"]).all()
+    total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{table_path(sf_dir, 'events')}')"
+    ).fetchone()[0]
+    assert pdf["cumulative_users"].iloc[-1] == total
+    assert pdf["new_users"].sum() == total
+
+
+def test_f06_nonlinear_forecast_has_real_coherence_gap(spark, sf_dir):
+    """The momentum adjustment exists to make levels NOT add up — a zero
+    coherence gap everywhere would mean the audit is vacuous (the
+    seasonal-naive trap)."""
+    pdf = _run(spark, sf_dir, "f06_forecast_reconciliation")
+    assert (pdf["coherence_gap_share"] > 0).any()
+    assert (pdf["direct_wape"] > 0).all() and (pdf["bottomup_wape"] > 0).all()
+
+
+def test_u11_retention_monotone(spark, sf_dir):
+    """A longer window keeps at least as much; rows partition exactly."""
+    pdf = _run(spark, sf_dir, "u11_retention_policy_simulator").sort_values(
+        "window_days"
+    )
+    assert pdf["rows_retained"].is_monotonic_increasing
+    assert pdf["bytes_retained"].is_monotonic_increasing
+    assert (pdf["rows_retained"] + pdf["rows_purged"]).nunique() == 1
+
+
+def test_t46_survivorship_conserves_mass(spark, sf_dir):
+    """Keepers are a subset of documents: global post-counts equal the
+    distinct-text count and never exceed pre-counts; token mass only
+    shrinks globally (per source it may SHIFT across sources)."""
+    import duckdb
+
+    from dibimbing_case_study_etl_spark.catalog import table_path
+
+    pdf = _run(spark, sf_dir, "t46_dedup_survivorship_report")
+    n_texts = duckdb.sql(
+        f"SELECT COUNT(DISTINCT text) FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchone()[0]
+    assert pdf["n_docs_post"].sum() == n_texts
+    assert pdf["n_docs_post"].sum() <= pdf["n_docs_pre"].sum()
+    assert pdf["tokens_post"].sum() <= pdf["tokens_pre"].sum()
