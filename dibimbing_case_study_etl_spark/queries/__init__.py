@@ -152,7 +152,8 @@ def load_all() -> dict[str, QuerySpec]:
 # simulator, t46 dedup survivorship report, x09 A/A p-value calibration,
 # s21 filtered-ANN recall curve, v06 t-closeness audit, p04 privacy
 # -gated release pipeline, q84 join-cardinality estimation audit,
-# m12 PNG CRC quarantine, q85 cumulative distinct users.
+# m12 PNG CRC quarantine, q85 cumulative distinct users, t47 held-out
+# n-gram novelty rate.
 DRIVER_PRIORITY: list[str] = [
     # r6-session additions — never driver-checked
     "v01_k_anonymity_audit",

@@ -2774,3 +2774,107 @@ def q85_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_new").cast("bigint").alias("new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     ).orderBy("day")
+
+
+# --- t47: held-out n-gram novelty rate -----------------------------------------
+
+_T47_NS = (1, 2, 3)
+
+
+def _t47_gram_sql(k: int) -> str:
+    if k == 1:
+        return "unnest(w) AS gram"
+    expr = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return (
+        f"unnest(list_transform(generate_series(1, greatest(len(w) - {k - 1}, 0)),"
+        f" i -> {expr})) AS gram"
+    )
+
+
+_T47_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT CAST({k} AS INT) AS n,
+           CAST(COALESCE(SUM(held_cnt), 0) AS BIGINT) AS held_occurrences,
+           CAST(COALESCE(SUM(CASE WHEN train_cnt = 0 THEN held_cnt END), 0) AS BIGINT)
+             AS novel_occurrences,
+           CAST(COALESCE(SUM(CASE WHEN train_cnt = 0 AND held_cnt > 0 THEN 1 END), 0)
+             AS BIGINT) AS novel_types,
+           {sql_iround(
+               "CAST(COALESCE(SUM(CASE WHEN train_cnt = 0 THEN held_cnt END), 0)"
+               " AS DOUBLE) / SUM(held_cnt)", 6)} AS novelty_rate
+    FROM (
+      SELECT gram,
+             SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS train_cnt,
+             SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS held_cnt
+      FROM (
+        SELECT doc_id, {_t47_gram_sql(k)}
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+              FROM documents)
+      ) GROUP BY gram
+    )
+    """
+    for k in _T47_NS
+) + " ORDER BY n"
+
+
+@query(
+    "t47_ngram_novelty_rate",
+    oracle=_T47_ORACLE,
+    tags=("llm", "text", "eval"),
+)
+def t47_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty (the memorization/novelty readout, Lee et
+    al. / McCoy et al. style): with a deterministic 10% held-out split,
+    the share of held-out n-gram OCCURRENCES (and distinct types) never
+    seen in training, for n ∈ {1, 2, 3}. Climbing novelty with n is the
+    expected signature (composition outpaces memorized vocabulary); a
+    flat curve near zero means the held-out set leaks training text —
+    the d09/t21 contamination finding restated as an eval metric.
+
+    Scale: NO anti-join — one groupBy-gram pass per n carries
+    conditional train/held counts, so novelty falls out of a single
+    aggregation (the decontamination shape without the join); the
+    summaries are one row per n. Explode fan-out is per-n, map-side
+    combined."""
+    from dibimbing_case_study_etl_spark.functions.text import word_ngrams
+
+    t = register(spark, sf_dir, ("documents",))
+    outs = []
+    for k in _T47_NS:
+        grams = t["documents"].select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), k)).alias("gram")
+        )
+        held = F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        train = F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
+        per_gram = grams.groupBy("gram").agg(
+            train.alias("train_cnt"), held.alias("held_cnt")
+        )
+        novel_occ = F.coalesce(
+            F.sum(F.when(F.col("train_cnt") == 0, F.col("held_cnt"))), F.lit(0)
+        )
+        outs.append(
+            per_gram.agg(
+                F.lit(k).cast("int").alias("n"),
+                F.coalesce(F.sum("held_cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("held_occurrences"),
+                novel_occ.cast("bigint").alias("novel_occurrences"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("train_cnt") == 0) & (F.col("held_cnt") > 0), 1
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("novel_types"),
+                iround(novel_occ.cast("double") / F.sum("held_cnt"), 6).alias(
+                    "novelty_rate"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n")
