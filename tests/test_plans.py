@@ -996,3 +996,10 @@ def test_m12_crc_validation_is_jvm_side(spark, sf_dir):
     assert plan.count("Arguments: render(") == 1
     assert "ArrowEvalPython" not in plan
     assert "crc32" in plan
+
+
+def test_t47_novelty_has_no_join(spark, sf_dir):
+    """Novelty must fall out of conditional counts in ONE aggregation per
+    n — any join node means the anti-join shape snuck back in."""
+    plan = explain_str(spark, sf_dir, "t47_ngram_novelty_rate")
+    assert "Join" not in plan
