@@ -1347,10 +1347,20 @@ def q82_recursive_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["part"].createOrReplaceTempView("part")
     # the closure materializes ~1.14×|part| rows across levels; the default
     # recursion guardrail (1M rows) trips at sf≥1 even though each level
-    # terminates — raise the guardrail, keep the level limit as the real
-    # non-termination backstop
+    # terminates — raise the guardrail only while THIS plan materializes,
+    # restoring the session default so later recursive queries keep their
+    # row backstop (the level limit stays as the non-termination backstop)
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-    return spark.sql(_Q82_SPARK_SQL)
+    try:
+        # the census output is ≤8 rows; eager checkpoint pins the result so
+        # the conf can be restored before the builder returns
+        return spark.sql(_Q82_SPARK_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 # --- r08: inverted-index capacity planning stats -----------------------------

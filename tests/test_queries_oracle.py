@@ -78,3 +78,79 @@ def test_every_registry_query_is_documented_in_coverage():
     text = open("/root/repo/COVERAGE.md").read()
     missing = [n for n in load_all() if n not in text and n.split("_")[0] not in text]
     assert not missing, f"registry queries absent from COVERAGE.md: {missing}"
+
+
+def test_no_query_builder_leaks_session_conf():
+    """A registry builder may tune session conf only inside a try/finally
+    that restores it (q82's recursion guardrail once leaked: after one run,
+    every later recursive query in the shared session lost its row backstop).
+    Statically require: every `spark.conf.set` in a queries module lives in
+    a function whose body also contains a try/finally restore (a `finally`
+    block that sets or unsets the same conf surface)."""
+    import ast
+    import pathlib
+
+    qdir = pathlib.Path(
+        "/root/repo/dibimbing_case_study_etl_spark/queries"
+    )
+    offenders: list[str] = []
+
+    def calls_conf_mutation(node: ast.AST) -> bool:
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Call) and isinstance(sub.func, ast.Attribute):
+                if sub.func.attr in ("set", "unset") and isinstance(
+                    sub.func.value, ast.Attribute
+                ) and sub.func.value.attr == "conf":
+                    return True
+        return False
+
+    for path in sorted(qdir.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            # find conf.set calls NOT under a try whose finally restores
+            guarded_sets: set[int] = set()
+            all_sets: list[int] = []
+            for sub in ast.walk(fn):
+                if isinstance(sub, ast.Try) and sub.finalbody:
+                    restores = any(
+                        calls_conf_mutation(stmt) for stmt in sub.finalbody
+                    )
+                    if restores:
+                        for stmt in sub.body:
+                            for inner in ast.walk(stmt):
+                                if isinstance(inner, ast.Call) and isinstance(
+                                    inner.func, ast.Attribute
+                                ) and inner.func.attr == "set" and isinstance(
+                                    inner.func.value, ast.Attribute
+                                ) and inner.func.value.attr == "conf":
+                                    guarded_sets.add(inner.lineno)
+                        for stmt in sub.finalbody:
+                            for inner in ast.walk(stmt):
+                                if isinstance(inner, ast.Call) and isinstance(
+                                    inner.func, ast.Attribute
+                                ) and inner.func.attr in ("set", "unset") and isinstance(
+                                    inner.func.value, ast.Attribute
+                                ) and inner.func.value.attr == "conf":
+                                    guarded_sets.add(inner.lineno)
+            for sub in ast.walk(fn):
+                if isinstance(sub, ast.Call) and isinstance(
+                    sub.func, ast.Attribute
+                ) and sub.func.attr == "set" and isinstance(
+                    sub.func.value, ast.Attribute
+                ) and sub.func.value.attr == "conf":
+                    all_sets.append(sub.lineno)
+            leaked = [ln for ln in all_sets if ln not in guarded_sets]
+            # a set() immediately BEFORE the try that the finally restores is
+            # the canonical save/restore pattern — allow it when the function
+            # has at least one restoring finally
+            if leaked and guarded_sets:
+                leaked = [ln for ln in leaked if ln > max(guarded_sets)]
+            if leaked:
+                offenders.append(f"{path.name}:{fn.name}:{leaked}")
+
+    assert not offenders, (
+        "query builders mutate session conf without a try/finally restore "
+        f"(rollup.py:88-92 pattern): {offenders}"
+    )
