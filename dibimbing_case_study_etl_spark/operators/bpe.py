@@ -181,7 +181,15 @@ def bpe_merges_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) 
 def _sql_bpe_parts(n_merges: int, where: str = "") -> list[str]:
     """The shared CTE layers ``w0 … w{n}`` (see :func:`sql_bpe_merges`).
     ``where`` optionally restricts the training corpus (e.g. a held-out
-    split audit trains on ``WHERE doc_id % 10 <> 7``)."""
+    split audit trains on ``WHERE doc_id % 10 <> 7``).
+
+    Each apply layer is a LEFT JOIN on the (≤1-row) argmax ``m{i}`` with
+    a no-op CASE when the row is absent: a corpus tiny enough to exhaust
+    merge pairs before ``n_merges`` leaves later ``m{i}`` EMPTY, and a
+    CROSS JOIN there would empty every later ``w``/``h`` layer — the
+    Spark side (``learn_bpe`` breaks early, ``apply_merges`` applies the
+    shorter list) would then diverge on exactly those degenerate
+    inputs."""
     parts = [
         f"""tok AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
                FROM documents {where}),
@@ -208,9 +216,10 @@ def _sql_bpe_parts(n_merges: int, where: str = "") -> list[str]:
     ),
     m{i} AS (SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1),
     w{i + 1} AS (
-      SELECT replace(s, chr(1) || pa || chr(2) || chr(1) || pb || chr(2),
-                     chr(1) || pa || pb || chr(2)) AS s, n
-      FROM w{i} CROSS JOIN m{i}
+      SELECT CASE WHEN m{i}.pa IS NULL THEN s
+                  ELSE replace(s, chr(1) || pa || chr(2) || chr(1) || pb || chr(2),
+                               chr(1) || pa || pb || chr(2)) END AS s, n
+      FROM w{i} LEFT JOIN m{i} ON TRUE
     )"""
         )
     return parts
@@ -256,9 +265,10 @@ def sql_bpe_heldout_stats(
     for i in range(n_merges):
         parts.append(
             f"""h{i + 1} AS (
-      SELECT replace(s, chr(1) || pa || chr(2) || chr(1) || pb || chr(2),
-                     chr(1) || pa || pb || chr(2)) AS s, n
-      FROM h{i} CROSS JOIN m{i}
+      SELECT CASE WHEN m{i}.pa IS NULL THEN s
+                  ELSE replace(s, chr(1) || pa || chr(2) || chr(1) || pb || chr(2),
+                               chr(1) || pa || pb || chr(2)) END AS s, n
+      FROM h{i} LEFT JOIN m{i} ON TRUE
     )"""
         )
     w, h = f"w{n_merges}", f"h{n_merges}"

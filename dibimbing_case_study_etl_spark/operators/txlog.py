@@ -57,6 +57,38 @@ class ConflictError(RuntimeError):
     """A concurrent writer won the commit race more times than allowed."""
 
 
+class CommitStore:
+    """The one storage primitive the log needs: atomic put-if-absent of a
+    fully-written payload at a path. On POSIX this is ``os.link`` of a
+    temp file (link fails with EEXIST if the target exists — mutual
+    exclusion for free). Object stores without atomic rename get this
+    from a conditional write (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match``) or an external CAS
+    (DynamoDB, the S3-commit-service pattern Delta documents) — implement
+    this one method against that API and every TxLogTable guarantee
+    carries over unchanged. Injectable so tests can drive lost races and
+    fault windows deterministically."""
+
+    def put_if_absent(self, target: Path, payload: bytes) -> bool:
+        """Publish ``payload`` at ``target`` iff nothing is there; True on
+        success, False when another writer already published. Must never
+        leave a partially-visible target."""
+        target.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=str(target.parent), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload.decode("utf-8"))
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, target)  # atomic; EEXIST = lost race
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+
 @dataclass(frozen=True)
 class _DataFile:
     path: str  # relative to the table root
@@ -65,9 +97,18 @@ class _DataFile:
     max_key: int | None
 
 
+# parquet physical/logical types whose footer min/max are exact and
+# JSON-serializable — string stats can be writer-TRUNCATED (an
+# underestimated max would wrongly prune a file that contains matching
+# keys → duplicate keys after merge), and date/decimal stats are objects
+# json.dump rejects. Anything else records no stats = never pruned.
+_STATS_SAFE_TYPES = ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32")
+
+
 def _file_stats(abs_path: str, key_col: str | None) -> tuple[int, int | None, int | None]:
     """(rows, min_key, max_key) from the parquet footer — write-time stats
-    collection, the Delta/Iceberg pattern (no data read)."""
+    collection, the Delta/Iceberg pattern (no data read). Stats are kept
+    only for integral key columns (see ``_STATS_SAFE_TYPES``)."""
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(abs_path)
@@ -75,6 +116,8 @@ def _file_stats(abs_path: str, key_col: str | None) -> tuple[int, int | None, in
     if key_col is None or key_col not in f.schema_arrow.names:
         return rows, None, None
     idx = f.schema_arrow.get_field_index(key_col)
+    if str(f.schema_arrow.types[idx]) not in _STATS_SAFE_TYPES:
+        return rows, None, None  # non-integral key → no pruning, always rewritten
     lo = hi = None
     for rg in range(f.metadata.num_row_groups):
         st = f.metadata.row_group(rg).column(idx).statistics
@@ -97,16 +140,24 @@ class TxLogTable:
     given the version, safe to lose, safe for two writers to race on
     (link-if-absent, first wins, both wrote identical bytes)."""
 
-    def __init__(self, root: str | os.PathLike, checkpoint_interval: int | None = 16):
+    def __init__(
+        self,
+        root: str | os.PathLike,
+        checkpoint_interval: int | None = 16,
+        store: CommitStore | None = None,
+    ):
         self.root = Path(root)
         self.log_dir = self.root / "_txlog"
         self.checkpoint_interval = checkpoint_interval
+        self.store = store if store is not None else CommitStore()
 
     # -- bootstrap ---------------------------------------------------------
 
     @classmethod
-    def create(cls, root: str | os.PathLike) -> "TxLogTable":
-        t = cls(root)
+    def create(
+        cls, root: str | os.PathLike, store: CommitStore | None = None
+    ) -> "TxLogTable":
+        t = cls(root, store=store)
         t.log_dir.mkdir(parents=True, exist_ok=True)
         return t
 
@@ -129,22 +180,13 @@ class TxLogTable:
         return [self._read_commit(v) for v in range(last + 1)]
 
     def _try_publish(self, payload: dict, version: int) -> bool:
-        """Atomically publish ``payload`` as ``version``. False on a lost
-        race (the version already exists) — never a partial commit."""
+        """Atomically publish ``payload`` as ``version`` through the
+        injected :class:`CommitStore`. False on a lost race (the version
+        already exists) — never a partial commit."""
         payload = {**payload, "version": version}
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(payload, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, self._commit_path(version))  # atomic; EEXIST = conflict
-                return True
-            except FileExistsError:
-                return False
-        finally:
-            os.unlink(tmp)
+        return self.store.put_if_absent(
+            self._commit_path(version), json.dumps(payload).encode("utf-8")
+        )
 
     def last_txn_batch(self, app: str, as_of: int | None = None) -> int | None:
         """Highest committed batch id for a streaming writer ``app``."""
@@ -189,18 +231,10 @@ class TxLogTable:
             ],
             "txn_watermarks": txn,
         }
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(payload, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, self._ckpt_path(v))
-            except FileExistsError:
-                pass  # identical derived bytes already published
-        finally:
-            os.unlink(tmp)
+        # derived state: a lost race means identical bytes already published
+        self.store.put_if_absent(
+            self._ckpt_path(v), json.dumps(payload).encode("utf-8")
+        )
         return v
 
     def _maybe_auto_checkpoint(self, version: int) -> None:
@@ -330,6 +364,7 @@ class TxLogTable:
         target_files: int | None = None,
         max_retries: int = 5,
         allow_schema_evolution: bool = False,
+        broadcast_key_limit: int = 4_000_000,
     ) -> int:
         """Copy-on-write MERGE (upsert; ``delete=True`` → anti-delete by
         key). Only files whose footer key range overlaps the source batch
@@ -343,11 +378,20 @@ class TxLogTable:
                 return self.latest_version()  # replayed batch → no-op, no work
         src = source.localCheckpoint(eager=True)  # stable across retries
         bounds = src.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+            F.count("*").alias("n"),
         ).first()
         if bounds["lo"] is None:
             raise ValueError("merge source is empty")
         lo, hi = bounds["lo"], bounds["hi"]
+        # a forced broadcast of an unbounded source key set bypasses AQE's
+        # size-based choice and OOMs the executors at large batch sizes —
+        # hint only when the (already-counted) batch is verifiably small,
+        # otherwise let AQE pick the join strategy
+        src_keys = src.select(key_col)
+        if bounds["n"] <= broadcast_key_limit:
+            src_keys = F.broadcast(src_keys)
 
         for _ in range(max_retries + 1):
             base = self.latest_version()
@@ -361,9 +405,7 @@ class TxLogTable:
                 current = spark.read.parquet(
                     *[str(self.root / f.path) for f in touched]
                 )
-                survivors = current.join(
-                    F.broadcast(src.select(key_col)), on=key_col, how="left_anti"
-                )
+                survivors = current.join(src_keys, on=key_col, how="left_anti")
                 rewritten = (
                     survivors
                     if delete
@@ -429,17 +471,31 @@ class TxLogTable:
                 return base + 1
         raise ConflictError(f"compact lost {max_retries} commit races on {self.root}")
 
-    def vacuum(self, as_of_retained: int = 0) -> list[str]:
+    def vacuum(
+        self, as_of_retained: int = 0, min_file_age_s: float = 3600.0
+    ) -> list[str]:
         """Delete data files no commit ≥ ``as_of_retained`` references
-        (plus never-committed write garbage). Returns removed rel-paths."""
+        (plus never-committed write garbage). Returns removed rel-paths.
+
+        ``min_file_age_s`` protects IN-FLIGHT writers: data intentionally
+        lands before the commit that references it (``_write_data``), so
+        an unreferenced file may belong to an append/merge that has not
+        published yet — deleting it would make that writer's commit
+        reference missing files and break reads of the new version. Files
+        younger than the threshold are skipped (the Delta
+        ``deletedFileRetentionDuration`` pattern); pass ``0`` only when
+        writers are known quiescent."""
+        import time
+
         referenced: set[str] = set()  # live at ANY retained version
         for v in range(as_of_retained, self.latest_version() + 1):
             referenced.update(f.path for f in self.live_files(as_of=v))
+        cutoff = time.time() - min_file_age_s
         removed = []
         for sub in self.root.glob("data-*/"):
             for p in sub.glob("*.parquet"):
                 rel = f"{sub.name}/{p.name}"
-                if rel not in referenced:
+                if rel not in referenced and p.stat().st_mtime <= cutoff:
                     p.unlink()
                     removed.append(rel)
         return removed

@@ -42,6 +42,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.functions.vector import as_double, dot, norm
 from dibimbing_case_study_etl_spark.queries import query
@@ -233,7 +234,7 @@ def f03_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cb").cast("double") - F.col("ca")) / (F.col("mb") - F.col("ma"))).alias("s"),
         )
     )
-    ws = W.orderBy("s", "ma", "mb")
+    ws = _gw().orderBy("s", "ma", "mb")
     med_s = F.broadcast(
         slopes.select(
             "s",
@@ -243,7 +244,7 @@ def f03_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
         .select(F.col("s").alias("theil"), F.col("n").cast("bigint").alias("n_pairs"))
     )
-    wi = W.orderBy("r", "m")
+    wi = _gw().orderBy("r", "m")
     med_i = F.broadcast(
         rel.crossJoin(med_s.select("theil"))
         .select((F.col("cents") - F.col("theil") * F.col("m")).alias("r"), "m")
@@ -652,7 +653,7 @@ def t42_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     byf = freq.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    wdesc = W.orderBy(F.desc("f"))
+    wdesc = _gw().orderBy(F.desc("f"))
     top = byf.select(
         "f",
         "m",
@@ -931,7 +932,7 @@ def u08_txlog_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         audit("pre_vacuum", 0)
         audit("pre_vacuum", 1)
-        table.vacuum(as_of_retained=1)
+        table.vacuum(as_of_retained=1, min_file_age_s=0)  # single-writer query: quiescent
         audit("post_vacuum", 0)
         audit("post_vacuum", 1)
     finally:
@@ -1211,7 +1212,7 @@ def x05_msprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = stats.filter(F.col("se2") > 0).select(
         "d", "n1", "n0", "delta", log_lambda.alias("log_lambda")
     )
-    wmin = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wmin = _gw().orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
     return lam.select(
         F.col("d").cast("int").alias("decile"),
         F.col("n1").alias("n_treat"),
@@ -1740,7 +1741,7 @@ def r07_ranker_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     the two rankers' shared one-explode tf pass."""
     from dibimbing_case_study_etl_spark.queries.llm_ops7 import r01_bm25_topk
 
-    wa = W.orderBy(F.col("score").desc(), "doc_id")
+    wa = _gw().orderBy(F.col("score").desc(), "doc_id")
     ra = r01_bm25_topk(spark, sf_dir).select(
         "doc_id", F.row_number().over(wa).cast("bigint").alias("rnk")
     )

@@ -83,3 +83,44 @@ def test_oracle_layers_match_spark_at_depth(spark, tmp_path):
     duck = [tuple(r) for r in con.execute(sql_bpe_merges(12)).fetchall()]
     con.close()
     assert [tuple(m) for m in merges] == duck
+
+
+def test_exhausted_merges_keep_oracle_layers_alive(spark, tmp_path):
+    # A corpus so tiny the train split exhausts merge pairs before
+    # n_merges: the layers past exhaustion are empty-argmax no-ops, not
+    # collapses (a CROSS JOIN there would EMPTY every later w/h layer —
+    # train stats and held-out stats would read zero/NULL while Spark's
+    # shorter merge list reports real numbers).
+    from dibimbing_case_study_etl_spark.operators.bpe import (
+        apply_merges,
+        bpe_token_stats,
+        sql_bpe_heldout_stats,
+        wrap_word_vocab,
+    )
+
+    rows = [(i, "ab ab cd") for i in range(4)]  # exhausts after ~3 merges
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    n_deep = 8  # far past exhaustion
+
+    merges = learn_bpe_merges(df, "text", n_merges=n_deep)
+    assert len(merges) < n_deep  # the degenerate premise: early exhaustion
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    # 1) merge list parity at the requested (too-deep) depth
+    duck = [tuple(r) for r in con.execute(sql_bpe_merges(n_deep)).fetchall()]
+    assert [tuple(m) for m in merges] == duck
+    # 2) held-out stats stay real (non-zero) and match Spark end-to-end
+    train_w, hold_w = "WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1"
+    sql = sql_bpe_heldout_stats(n_deep, train_w, hold_w)
+    orc = con.execute(sql).fetchdf()
+    con.close()
+    assert int(orc["n_tokens_heldout"].iloc[0]) > 0
+    train_merges = learn_bpe_merges(df.filter("doc_id % 2 = 0"), "text", n_merges=n_deep)
+    held = apply_merges(wrap_word_vocab(df.filter("doc_id % 2 = 1"), "text"), train_merges)
+    got = bpe_token_stats(held).collect()[0]
+    assert got["n_tokens"] == int(orc["n_tokens_heldout"].iloc[0])
+    assert float(got["fertility"]) == float(orc["fertility_heldout"].iloc[0])

@@ -173,7 +173,9 @@ def test_vacuum_removes_only_unreferenced(spark, table):
     }
     live_now = {f.path for f in table.live_files()}
     # retain only the latest version → v0's rewritten-away file goes
-    removed = set(table.vacuum(as_of_retained=table.latest_version()))
+    removed = set(
+        table.vacuum(as_of_retained=table.latest_version(), min_file_age_s=0)
+    )
     assert removed == all_files - live_now and removed
     assert _state(table, spark) == {1: "A"}
 
@@ -244,7 +246,7 @@ def test_compact_is_data_identical_and_preserves_history(spark, table):
     assert _state(table, spark) == before  # data-identical
     # history before compaction still reads (files linger until vacuum)
     assert _state(table, spark, as_of=pre_compact_version) == before
-    table.vacuum(as_of_retained=table.latest_version())
+    table.vacuum(as_of_retained=table.latest_version(), min_file_age_s=0)
     assert _state(table, spark) == before
 
 
@@ -449,3 +451,98 @@ def test_multiprocess_writers_serialize(spark, table):
         for j in range(2):
             expect[100 + wid * 10 + j] = f"p{wid}_{j}"
     assert _state(table, spark) == expect
+
+
+class _RacingStore:
+    """CommitStore that LOSES the first ``n_races`` publishes: before each
+    of the writer's first N attempts, a phantom competitor publishes the
+    same version first (through a plain store), so the writer's
+    put-if-absent returns False and it must retry under a new version —
+    the deterministic injection of the optimistic-concurrency race."""
+
+    def __init__(self, n_races: int):
+        from dibimbing_case_study_etl_spark.operators.txlog import CommitStore
+
+        self._inner = CommitStore()
+        self.races_left = n_races
+        self.attempts = 0
+
+    def put_if_absent(self, target, payload) -> bool:
+        self.attempts += 1
+        if self.races_left > 0 and not target.exists():
+            self.races_left -= 1
+            competitor = json.dumps(
+                {"op": "append", "added": [], "removed": [], "key_col": None,
+                 "txn": None, "version": int(target.name.split(".")[0])}
+            ).encode()
+            assert self._inner.put_if_absent(target, competitor)
+            # now the writer's own attempt hits the occupied slot
+        return self._inner.put_if_absent(target, payload)
+
+
+def test_commit_store_cas_losing_races_still_commits(spark, tmp_path):
+    """The injectable-store seam: an append that loses 3 CAS races (a
+    competitor lands each version first) retries and still commits, with
+    every competitor commit preserved — no lost update, no gap."""
+    store = _RacingStore(n_races=3)
+    table = TxLogTable.create(tmp_path / "t", store=store)
+    v = table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    # versions 0..2 went to the phantom competitors, ours landed at 3
+    assert v == 3
+    assert store.attempts == 4
+    assert [c["version"] for c in table.commits()] == [0, 1, 2, 3]
+    assert _state(table, spark) == {1: "a"}
+
+
+def test_commit_store_cas_exhausting_retries_raises(spark, tmp_path):
+    store = _RacingStore(n_races=10**9)
+    table = TxLogTable.create(tmp_path / "t", store=store)
+    with pytest.raises(ConflictError):
+        table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1, max_retries=2)
+
+
+def test_vacuum_age_guard_protects_inflight_writes(spark, table):
+    """Data lands before the commit that references it, so a vacuum racing
+    an in-flight writer must not delete young unreferenced files — only
+    files older than ``min_file_age_s`` go."""
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+    # simulate an in-flight writer: data written, commit not yet published
+    added = table._write_data(_rows(spark, [(9, "z")]), "k", 1)
+    assert (table.root / added[0]["path"]).exists()
+    removed = table.vacuum(as_of_retained=table.latest_version())  # default age guard
+    assert removed == []  # the just-written file survives
+    # the in-flight writer can still publish a commit referencing it
+    payload = {"op": "append", "added": added, "removed": [], "key_col": "k", "txn": None}
+    assert table._try_publish(payload, table.latest_version() + 1)
+    assert _state(table, spark) == {1: "a", 9: "z"}
+    # quiescent-writer vacuum (age 0) removes nothing either: all referenced
+    assert table.vacuum(as_of_retained=0, min_file_age_s=0) == []
+
+
+def test_string_key_records_no_stats_and_merge_stays_exact(spark, tmp_path):
+    """String footer min/max can be writer-truncated (a too-small max would
+    wrongly PRUNE a file that holds matching keys → duplicate keys after
+    merge); non-integral key columns therefore record no stats — every
+    file is always a rewrite candidate, and merge output stays exact."""
+    table = TxLogTable.create(tmp_path / "t")
+    df = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v bigint")
+    table.append(df, key_col="k", target_files=1)
+    assert all(
+        f.min_key is None and f.max_key is None for f in table.live_files()
+    )
+    src = spark.createDataFrame([("k2", 20), ("k3", 30)], "k string, v bigint")
+    table.merge(spark, src, "k", target_files=1)
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"k1": 1, "k2": 20, "k3": 30}
+
+
+def test_merge_broadcast_hint_is_gated_on_source_size(spark, table):
+    """A forced broadcast of an unbounded key set bypasses AQE and OOMs at
+    scale; above the limit the merge must still be correct (AQE picks the
+    strategy), below it the hint applies. Both paths value-checked."""
+    table.append(_rows(spark, [(i, f"v{i}") for i in range(8)]), key_col="k", target_files=1)
+    src = _rows(spark, [(2, "X"), (9, "Y")])
+    table.merge(spark, src, "k", target_files=1, broadcast_key_limit=1)  # over limit → no hint
+    assert _state(table, spark)[2] == "X" and _state(table, spark)[9] == "Y"
+    table.merge(spark, _rows(spark, [(3, "Z")]), "k", target_files=1)  # under limit → hinted
+    assert _state(table, spark)[3] == "Z"
