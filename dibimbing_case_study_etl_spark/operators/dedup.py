@@ -649,6 +649,7 @@ def edit_distance_pairs(
     prefix_len: int = 16,
     max_len_diff: int = 8,
     max_dist: int = 32,
+    block_cap: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by exact Levenshtein distance under deterministic
     prefix blocking: candidates share their first ``prefix_len`` chars and
@@ -680,30 +681,176 @@ def edit_distance_pairs(
       (replica corpora: same base text, tiny appended marker) that
       dominates candidate mass in a dedup workload.
 
+    Prefix blocking is SKEW-GUARANTEED on boilerplate-heavy corpora
+    (crawl headers, license preambles: one shared 16-char prefix —
+    exactly what web text looks like), and neither AQE's skew-join
+    split (byte-threshold, 256 MB default) nor any shuffle hashing
+    saves a single join key that owns the whole corpus. So blocks are
+    SALT-CELLED past ``block_cap`` rows: a block of n rows splits into
+    s = ⌈n / block_cap⌉ hash cells, the build row keeps its one cell,
+    and the probe row fans out to all s — every pair still meets in
+    exactly one (band, cell), so the emitted pair set is unchanged
+    while no task ever verifies more than ~``block_cap`` × probe-share
+    comparisons. Block sizes come from one tiny count agg that
+    broadcast-joins back onto both sides; for every non-degenerate
+    block s = 1 and the salt is a no-op.
+
+    Even salt-celled, a degenerate block's candidate COUNT is quadratic
+    (the semantics demand it), so the per-candidate VERIFY must be near
+    -free for far pairs: a 16-char frequency profile gives an exact
+    Levenshtein lower bound (insert/delete moves one counter by 1,
+    substitute moves two — so L1(profile_a, profile_b) ≤ 2·dist, and any
+    projection onto a char subset only shrinks L1). Candidates with
+    profile-L1 > 2·``max_dist`` are provably > ``max_dist`` and skip the
+    DP entirely: ~16 integer ops instead of an O(len·k) DP per rejected
+    pair (~1000× on typical doc lengths) — exactly the boilerplate case
+    where millions of same-prefix candidates share nothing else.
+
     Integer output ⇒ exact SQL oracle."""
     band = max_len_diff + 1
-    a = df.select(
-        F.col(id_col).alias("doc_a"),
-        F.col(text_col).alias("__ta"),
+    # per-ROW char-frequency profile over the 16 most common English text
+    # chars (any subset keeps the bound exact), PACKED into four bigints
+    # (four 16-bit lanes each, counts saturated at 65535 — saturation only
+    # shrinks L1, keeping the bound valid). Packing matters twice: the
+    # pair-side L1 stays in whole-stage codegen (an aggregate/zip_with HOF
+    # is interpreted, ~µs per candidate), and the candidate row carries 4
+    # longs instead of 16 — at 10⁹ emissions the UnsafeRow copy width IS
+    # the join's run time.
+    profile_chars = " etaoinsrhldcumf"
+
+    def _count(c: str):
+        n = F.length(text_col) - F.length(
+            F.replace(F.col(text_col), F.lit(c), F.lit(""))
+        )
+        return F.least(n, F.lit(65535)).cast("bigint")
+
+    packed_cols = [
+        sum(
+            (
+                _count(profile_chars[4 * w + lane]) * F.lit(1 << (16 * lane))
+                for lane in range(4)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias(f"__cp{w}")
+        for w in range(4)
+    ]
+    # SLIM candidate sides: ids + ints only. Carrying the texts through
+    # the pair join would memcpy two full documents into every candidate
+    # row (a degenerate block's 10⁹ candidates × KB-scale strings = TBs
+    # of row copying before the first filter runs); the texts re-join by
+    # id onto the L1-surviving pairs only.
+    base = df.select(
+        F.col(id_col).alias("__id"),
         F.substring(text_col, 1, prefix_len).alias("__blk"),
-        F.length(text_col).alias("__la"),
+        F.length(text_col).alias("__len"),
         (F.length(text_col) / band).cast("bigint").alias("__lband"),
+        *packed_cols,
+    )
+    # block census on the BUILD side's natural (prefix, band) key: tiny
+    # (≤ one row per distinct prefix×band), broadcast back onto both sides
+    sizes = base.groupBy("__blk", "__lband").agg(
+        F.ceil(F.count("*") / block_cap).cast("int").alias("__ncell")
+    )
+    # the salt is TWO-dimensional: the build row keeps one hash CELL and
+    # fans out over probe CHUNKS; the probe row keeps one hash chunk and
+    # fans out over build cells. A task owns one (cell, chunk) square of
+    # ≤ ~block_cap² comparisons however large the block — a 1D salt's
+    # per-task work (cap × block size) would still grow linearly, and a
+    # 10⁶-row boilerplate block would hand each of s tasks 10⁹ probes.
+    # Every pair still meets exactly once: at (cell(a), chunk(b)).
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    salt_keys = ["__blk", "__lband", "__cell", "__chunk"]
+    a = (
+        base.join(F.broadcast(sizes), ["__blk", "__lband"])
+        .select(
+            F.col("__id").alias("doc_a"),
+            "__blk",
+            F.col("__len").alias("__la"),
+            "__lband",
+            *[F.col(f"__cp{w}").alias(f"__cpa{w}") for w in range(4)],
+            F.pmod(F.xxhash64("__id"), F.col("__ncell")).cast("int").alias("__cell"),
+            F.col("__ncell").alias("__nc_a"),
+        )
+        .withColumn(
+            "__chunk",
+            F.explode(F.sequence(F.lit(0), (F.col("__nc_a") - 1).cast("int"))),
+        )
+        .drop("__nc_a")
+        .repartition(n_shuffle, *salt_keys)
     )
     # probe side: each row joins its own band and both neighbors — any
     # pair with |Δlen| ≤ max_len_diff lands in ≥1 of the three, pairs
-    # further apart in length can no longer meet at all
-    b = df.select(
-        F.col(id_col).alias("doc_b"),
-        F.col(text_col).alias("__tb"),
-        F.substring(text_col, 1, prefix_len).alias("__blk"),
-        F.length(text_col).alias("__lb"),
-        F.explode(
-            F.array(
-                (F.length(text_col) / band).cast("bigint") - 1,
-                (F.length(text_col) / band).cast("bigint"),
-                (F.length(text_col) / band).cast("bigint") + 1,
+    # further apart in length can no longer meet at all. Within each
+    # probed band the row keeps its own chunk and fans out over the
+    # build cells (ncell = 1 ⇒ single no-op cell/chunk).
+    b = (
+        df.select(
+            F.col(id_col).alias("doc_b"),
+            F.substring(text_col, 1, prefix_len).alias("__blk"),
+            F.length(text_col).alias("__lb"),
+            *[c.alias(f"__cpb{w}") for w, c in enumerate(packed_cols)],
+            F.explode(
+                F.array(
+                    (F.length(text_col) / band).cast("bigint") - 1,
+                    (F.length(text_col) / band).cast("bigint"),
+                    (F.length(text_col) / band).cast("bigint") + 1,
+                )
+            ).alias("__lband"),
+        )
+        .join(F.broadcast(sizes), ["__blk", "__lband"])
+        .withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64("doc_b"), F.col("__ncell")).cast("int"),
+        )
+        .withColumn(
+            "__cell",
+            F.explode(F.sequence(F.lit(0), (F.col("__ncell") - 1).cast("int"))),
+        )
+        .drop("__ncell")
+        .repartition(n_shuffle, *salt_keys)
+    )
+    # exact Levenshtein lower bound from the packed profiles: prune before
+    # any per-pair O(len) work (plain codegen shift/mask arithmetic)
+    lane_mask = F.lit(0xFFFF).cast("bigint")
+    profile_l1 = sum(
+        (
+            F.abs(
+                F.shiftright(F.col(f"__cpa{w}"), 16 * lane).bitwiseAND(lane_mask)
+                - F.shiftright(F.col(f"__cpb{w}"), 16 * lane).bitwiseAND(lane_mask)
             )
-        ).alias("__lband"),
+            for w in range(4)
+            for lane in range(4)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    # the pair join must be a CO-PARTITIONED shuffle join on the salt keys:
+    # left alone the planner broadcasts one fanned side and runs the pair
+    # loop inside the other side's file-scan stage, serializing the whole
+    # candidate mass onto the scan's few splits. Both sides arrive
+    # pre-partitioned by the same pinned (N, keys) — an N-less repartition
+    # is AQE-coalescible and the bytes are tiny precisely because the rows
+    # are slim — so the hinted join adds no exchange and every (cell,
+    # chunk) square lands on its own reducer.
+    survivors = (
+        a.hint("shuffle_hash").join(b, salt_keys)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_len_diff)
+            & (profile_l1 <= 2 * max_dist)
+        )
+        .select("doc_a", "doc_b", "__la", "__lb")
+    )
+    # fetch texts for the (few) L1 survivors only, then run the DP
+    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__txt"))
+    paired = (
+        survivors.join(texts, survivors["doc_a"] == texts["__tid"])
+        .withColumnRenamed("__txt", "__ta")
+        .drop("__tid")
+        .join(texts, survivors["doc_b"] == texts["__tid"])
+        .withColumnRenamed("__txt", "__tb")
+        .drop("__tid")
     )
     h = F.greatest(F.lit(0), F.least("__la", "__lb") - F.lit(48))
     tail_a = F.col("__ta").substr(h + 1, F.lit(1 << 20))
@@ -713,12 +860,7 @@ def edit_distance_pairs(
         F.levenshtein(tail_a, tail_b, max_dist),
     ).otherwise(F.levenshtein("__ta", "__tb", max_dist))
     return (
-        a.join(b, ["__blk", "__lband"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("__la") - F.col("__lb")) <= max_len_diff)
-        )
-        .withColumn("edit_dist", dist)
+        paired.withColumn("edit_dist", dist)
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .select("doc_a", "doc_b", "edit_dist")
     )

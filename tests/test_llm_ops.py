@@ -772,3 +772,52 @@ def test_t22_epoch_shuffle_is_deterministic_and_epochs_differ(spark, sf_dir):
     assert o3a == o3b
     assert o3a != o4
     assert sorted(o3a) == sorted(o4)  # same corpus, different permutation
+
+
+def test_d08_salt_cells_preserve_pair_set_on_degenerate_block(spark):
+    """The 2D salt (build cell × probe chunk) must not change the emitted
+    pair set: on a corpus whose every doc shares ONE (prefix16, lenband)
+    block — the boilerplate worst case — the salted kernel must equal a
+    brute-force reference, and the L1 char-profile prune must never drop
+    a true pair."""
+    import itertools
+
+    from dibimbing_case_study_etl_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    rows = []
+    for i in range(600):
+        # same 16-char prefix; lengths within one band; bodies: 200 docs
+        # are suffix-perturbed clones (true pairs), the rest differ widely
+        if i % 3 == 0:
+            rows.append((i, base + f"v{i % 7}"))
+        else:
+            body = "".join(chr(97 + (i * 7 + k) % 26) for k in range(140))
+            rows.append((i, base[:40] + body + "x" * (42 + i % 4)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in edit_distance_pairs(df, "doc_id", "text", block_cap=64).collect()
+    }
+    # brute-force reference of the exact semantics (DuckDB levenshtein)
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+            FROM documents a JOIN documents b
+              ON substring(a.text, 1, 16) = substring(b.text, 1, 16)
+             AND a.doc_id < b.doc_id
+            WHERE abs(length(a.text) - length(b.text)) <= 8
+              AND levenshtein(a.text, b.text) <= 32
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == ref and len(ref) > 1000  # non-vacuous: real pair mass
