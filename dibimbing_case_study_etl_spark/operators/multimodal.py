@@ -6,9 +6,12 @@ Image decode is REAL: ``_decode_real`` uses Pillow when importable and
 falls back to the dependency-free subset PNG codec
 (``functions/imaging.py``) otherwise, so :func:`decode_image_features`
 runs end-to-end in this container against :func:`synth_png_table`'s
-spec-valid PNGs. Audio/video codecs remain stubbed (``stub=True`` paths
-emit deterministic byte-level features) — a deployment with
-torchaudio/ffmpeg extends ``_decode_real`` the same way.
+spec-valid PNGs. Audio decode is REAL too: :func:`synth_wav_table` /
+:func:`resample_audio_real` run the dependency-free 16-bit mono PCM
+RIFF WAVE codec (``functions/audio.py``). Compressed audio and video
+codecs remain stubbed (``stub=True`` paths emit deterministic byte-level
+features) — a deployment with torchaudio/ffmpeg extends ``_decode_real``
+the same way.
 """
 
 from __future__ import annotations
@@ -308,6 +311,92 @@ def resample_audio(audio: DataFrame, factor: int = 4, stub: bool = True) -> Data
                 rows["n_in"].append(len(blob))
                 rows["n_out"].append(len(decimated))
                 rows["checksum"].append(sum(decimated))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(resample, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+def synth_wav_table(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic REAL-WAV table: each document's UTF-8 bytes become
+    int16 samples (``(byte - 128) * 256`` — full-scale, reconstructible by
+    the SQL oracle) wrapped in a spec-valid 16-bit mono PCM RIFF WAVE by
+    the dependency-free codec (``functions/audio.py``). Unlike the
+    fake-pcm8 stand-ins these blobs open in any audio tool — the fixture
+    generator for the genuinely-executable audio decode path (the m07
+    PNG precedent applied to audio).
+
+    Encoding runs in an Arrow-batched ``mapInPandas`` stage, partition
+    -spread first like every expensive Python hop."""
+    from dibimbing_case_study_etl_spark.functions.audio import encode_wav
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for payload in pdf["payload"]:
+                buf = (
+                    np.frombuffer(payload, dtype=np.uint8)
+                    if len(payload)
+                    else np.full(1, 128, np.uint8)  # empty doc → one zero sample
+                )
+                samples = (buf.astype(np.int32) - 128) * 256
+                blobs.append(encode_wav(samples.astype(np.int16), sample_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "format": ["wav"] * len(blobs),
+                }
+            )
+
+    rendered = src.mapInPandas(render, schema="doc_id bigint, content binary, format string")
+    return rendered.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.col("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def resample_audio_real(audio: DataFrame, factor: int = 4) -> DataFrame:
+    """Decimation resample over REAL WAV blobs: decode each RIFF/PCM
+    payload with the subset codec (no stub — the sample rate and samples
+    come from the container, not the synthetic metadata), keep every
+    ``factor``-th sample, and fingerprint the decimated int16 signal.
+    One Arrow-batched ``mapInPandas`` pass, partition-spread first; the
+    per-doc work is O(n_samples) numpy slicing."""
+    audio = audio.repartition(
+        audio.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dibimbing_case_study_etl_spark.functions.audio import decode_wav
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "sr_in": [], "sr_out": [],
+                "n_in": [], "n_out": [], "checksum": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                sr, samples = decode_wav(bytes(blob))
+                decimated = samples[::factor]
+                rows["doc_id"].append(doc_id)
+                rows["sr_in"].append(sr)
+                rows["sr_out"].append(sr // factor)
+                rows["n_in"].append(len(samples))
+                rows["n_out"].append(len(decimated))
+                rows["checksum"].append(int(decimated.astype("int64").sum()))
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(resample, schema=AUDIO_RESAMPLE_SCHEMA)

@@ -815,26 +815,35 @@ def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            16000 AS sr_in,
            4000 AS sr_out,
-           CAST(length(text) AS BIGINT) AS n_in,
-           CAST((length(text) + 3) // 4 AS BIGINT) AS n_out,
+           CAST(GREATEST(length(text), 1) AS BIGINT) AS n_in,
+           CAST((GREATEST(length(text), 1) + 3) // 4 AS BIGINT) AS n_out,
            CAST(COALESCE(list_sum(list_transform(
              generate_series(1, CAST(length(text) AS BIGINT), 4),
-             i -> unicode(substring(text, CAST(i AS INTEGER), 1))
+             i -> (unicode(substring(text, CAST(i AS INTEGER), 1)) - 128) * 256
            )), 0) AS BIGINT) AS checksum
     FROM documents
     """,
-    tags=("llm", "multimodal", "audio"),
+    tags=("llm", "multimodal", "audio", "decode"),
 )
 def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-shaped multimodal pipeline: pack documents as fake 8-bit PCM
-    (binary payload + typed codec metadata), then decimation-resample 4:1
-    with a fingerprint of the decimated signal. The oracle recomputes the
-    same stride arithmetic from the synthetic construction (ASCII text ⇒
-    byte == codepoint), so the byte-exact decimation path is value-checked,
-    with only the production anti-alias filter stubbed."""
+    """Audio-shaped multimodal pipeline on a REAL codec (no stub): pack
+    documents as spec-valid 16-bit mono PCM RIFF WAVE blobs (samples
+    ``(byte − 128) · 256``, the m07 real-PNG precedent applied to audio),
+    decode each container with the dependency-free WAV parser
+    (``functions/audio.py`` — sample rate and samples come from the RIFF
+    chunks, not from synthetic metadata), then decimation-resample 4:1
+    and fingerprint the decimated int16 signal. The oracle reconstructs
+    the sample arithmetic from the text (ASCII ⇒ byte == codepoint), so
+    encode → container parse → decimate is value-checked end-to-end;
+    only compressed codecs (MP3/AAC) remain deployment-documented."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        resample_audio_real,
+        synth_wav_table,
+    )
+
     t = register(spark, sf_dir, ("documents",))
-    audio = synth_audio_table(t["documents"], "doc_id", "text", sample_rate=16000)
-    return resample_audio(audio, factor=4)
+    audio = synth_wav_table(t["documents"], "doc_id", "text", sample_rate=16000)
+    return resample_audio_real(audio, factor=4)
 
 
 @query(

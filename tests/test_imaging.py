@@ -107,3 +107,60 @@ def test_decoder_rejects_non_png_and_unsupported_variants():
 def test_encoder_rejects_bad_shapes():
     with pytest.raises(ValueError, match="unsupported array shape"):
         encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
+
+
+# --- WAV subset codec (functions/audio.py — the m07 precedent for audio) ---
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.audio import decode_wav, encode_wav
+
+    rng = np.arange(-32768, 32768, 997, dtype=np.int16)
+    blob = encode_wav(rng, 16000)
+    sr, out = decode_wav(blob)
+    assert sr == 16000
+    assert np.array_equal(out, rng)
+
+
+def test_wav_header_is_spec_valid_riff():
+    import struct
+
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.audio import encode_wav
+
+    blob = encode_wav(np.array([0, 1, -1], dtype=np.int16), 8000)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    assert riff_size == len(blob) - 8  # the RIFF size invariant
+    assert blob[12:16] == b"fmt " and b"data" in blob
+
+
+def test_wav_decoder_skips_foreign_chunks_and_rejects_bad_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dibimbing_case_study_etl_spark.functions.audio import decode_wav, encode_wav
+
+    samples = np.array([5, -7, 9], dtype=np.int16)
+    blob = bytearray(encode_wav(samples, 44100))
+    # splice a LIST/INFO chunk (odd size → pad byte) between fmt and data,
+    # the way real encoders do — the chunk walk must skip it
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    fmt_end = blob.index(b"data")
+    spliced = bytes(blob[:fmt_end]) + info + bytes(blob[fmt_end:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, out = decode_wav(spliced)
+    assert sr == 44100 and np.array_equal(out, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")  # not WAVE
+    # stereo is outside the subset contract
+    stereo = bytearray(encode_wav(samples, 8000))
+    i = stereo.index(b"fmt ") + 8
+    stereo[i + 2 : i + 4] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
