@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.queries import query
 
@@ -475,7 +476,7 @@ def r05_ranking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rel_expr = marker_score(F.col("text"), _BM25_TERMS)
     rels = docs.select("doc_id", rel_expr.alias("rel")).localCheckpoint(eager=False)
-    w = W.orderBy(F.col("score").desc(), "doc_id")
+    w = _gw().orderBy(F.col("score").desc(), "doc_id")
     ranked = (
         r01_bm25_topk(spark, sf_dir)
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -501,7 +502,7 @@ def r05_ranking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rels.orderBy(F.col("rel").desc(), "doc_id")
         .limit(10)
         .withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.col("rel").desc(), "doc_id")).cast("bigint")
+            "rnk", F.row_number().over(_gw().orderBy(F.col("rel").desc(), "doc_id")).cast("bigint")
         )
         .agg(F.sum(gain()).cast("bigint").alias("idcg_s"))
     )

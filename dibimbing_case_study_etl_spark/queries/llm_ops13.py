@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.functions.text import fingerprint, sql_fingerprint
 from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
@@ -346,7 +347,7 @@ def t39_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn(
             "rank",
             F.row_number()
-            .over(W.orderBy(F.col("sample_key").desc(), "doc_id"))
+            .over(_gw().orderBy(F.col("sample_key").desc(), "doc_id"))
             .cast("bigint"),
         )
     )

@@ -52,6 +52,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import (
     iround,
     sql_iround,
@@ -97,6 +98,7 @@ _V01_ORACLE = f"""
 
 @query(
     "v01_k_anonymity_audit",
+    bench=True,  # r7: track the privacy family round-over-round
     oracle=_V01_ORACLE,
     tags=("llm", "privacy"),
 )
@@ -497,7 +499,7 @@ def x06_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = _welch_p_frame(spark, sf_dir)
     # ≤125 rows past this point: the ranking window and the BH step
     # function run on a model-sized table, never on the fact scan.
-    w = W.orderBy("p_value", "c_nationkey", "c_mktsegment")
+    w = _gw().orderBy("p_value", "c_nationkey", "c_mktsegment")
     ranked = z.select(
         "*",
         F.row_number().over(w).cast("int").alias("rnk"),
@@ -692,7 +694,7 @@ def x08_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.call_function("rint", F.col("diff") * F.lit(10000.0))
             .cast("bigint")
             .alias("e4"),
-            F.row_number().over(W.orderBy("diff", "r")).alias("rn"),
+            F.row_number().over(_gw().orderBy("diff", "r")).alias("rn"),
         )
         .crossJoin(est)
     )
@@ -749,6 +751,7 @@ _G03_ORACLE = f"""
 
 @query(
     "g03_supply_chain_reach",
+    bench=True,  # r7: track the BSP-BFS graph shape round-over-round
     oracle=_G03_ORACLE,
     tags=("graph",),
 )
@@ -2753,6 +2756,7 @@ _Q85_ORACLE = """
 
 @query(
     "q85_cumulative_distinct_users",
+    bench=True,  # r7: track the first-occurrence cumulative-distinct shape
     oracle=_Q85_ORACLE,
     tags=("relational", "events"),
 )
@@ -2777,7 +2781,7 @@ def q85_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "day", "dau", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
     )
     # the cumulative window runs on the calendar-bounded day table only
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = _gw().orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     return joined.select(
         F.col("day").cast("timestamp").alias("day"),
         F.col("dau").cast("bigint").alias("dau"),

@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.queries.llm_ops2 import _D09_ORACLE, _MAX_DF, _MIN_SHARED
 from dibimbing_case_study_etl_spark.functions.text import (
@@ -382,7 +383,7 @@ def t15_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             F.row_number()
-            .over(W.orderBy(F.desc("n"), F.asc("term")))
+            .over(_gw().orderBy(F.desc("n"), F.asc("term")))
             .cast("bigint")
             .alias("id"),
         )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.queries import query
 
@@ -360,7 +361,7 @@ def s15_ivfpq_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         norms.orderBy("vec_id")
         .limit(_S15_KSUB)
-        .select("nv", (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"))
+        .select("nv", (F.row_number().over(_gw().orderBy("vec_id")) - 1).alias("code"))
     )
     js = spark.range(_S15_M).select(F.col("id").cast("int").alias("j"))
     books = F.broadcast(

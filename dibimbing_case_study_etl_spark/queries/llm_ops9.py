@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.windows import global_bounded as _gw
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.functions.text import token_count, tokens
 from dibimbing_case_study_etl_spark.operators.dedup import minhash_lsh_pairs
@@ -406,13 +407,13 @@ def r03_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nq") == len(_BM25_TERMS))
     )
     ql_rank = (
-        ql.withColumn("rb", F.row_number().over(W.orderBy(F.desc("s_i"), F.asc("doc_id"))))
+        ql.withColumn("rb", F.row_number().over(_gw().orderBy(F.desc("s_i"), F.asc("doc_id"))))
         .filter(F.col("rb") <= _R03_LIST)
         .select("doc_id", "rb")
     )
     bm25_rank = r01_bm25_topk(spark, sf_dir, tf_table=tf).select(
         "doc_id",
-        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))).alias("ra"),
+        F.row_number().over(_gw().orderBy(F.desc("score"), F.asc("doc_id"))).alias("ra"),
     )
     fused = bm25_rank.join(ql_rank, "doc_id", "full_outer").select(
         "doc_id",
@@ -644,9 +645,9 @@ def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_user.select(
         "freq",
         "cents",
-        F.ntile(_Q78_NT).over(W.orderBy(F.desc("last_d"), F.asc("user_id"))).alias("r_score"),
-        F.ntile(_Q78_NT).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
-        F.ntile(_Q78_NT).over(W.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m_score"),
+        F.ntile(_Q78_NT).over(_gw().orderBy(F.desc("last_d"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(_Q78_NT).over(_gw().orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(_Q78_NT).over(_gw().orderBy(F.desc("cents"), F.asc("user_id"))).alias("m_score"),
     )
     return (
         scored.groupBy(
