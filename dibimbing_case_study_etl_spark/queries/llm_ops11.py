@@ -84,6 +84,7 @@ _U06_ORACLE = f"""
 
 @query(
     "u06_txlog_merge_timetravel",
+    bench=True,  # r7: track the txlog family round-over-round
     oracle=_U06_ORACLE,
     tags=("warehouse", "acid", "merge", "timetravel"),
 )

@@ -154,3 +154,20 @@ def test_no_query_builder_leaks_session_conf():
         "query builders mutate session conf without a try/finally restore "
         f"(rollup.py:88-92 pattern): {offenders}"
     )
+
+
+def test_no_unpartitioned_dataframe_windows():
+    """Whole-table windows must go through functions/windows.global_bounded
+    (constant partition key): an empty partition spec moves all data to one
+    partition AND spams the logs with the WindowExec WARN that would mask a
+    real skew regression. Corpus-scale orderings use prefix_sum instead."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("/root/repo/dibimbing_case_study_etl_spark")
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if re.search(r"\bW(indow)?\.orderBy\(", line):
+                offenders.append(f"{path.name}:{i}")
+    assert not offenders, f"unpartitioned Window.orderBy sites: {offenders}"
