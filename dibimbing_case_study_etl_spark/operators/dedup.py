@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
 
 from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
@@ -115,15 +116,52 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     )
 
 
-def _pairs_from_common(sh: DataFrame, common: DataFrame, threshold: float) -> DataFrame:
-    """common(doc_a, doc_b, n_common) + per-doc shingle sizes → Jaccard filter."""
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+def _rarity_prefix(sh: DataFrame, prefix_len) -> DataFrame:
+    """Per-doc PREFIX of the shingle index under one global rarity order
+    (document frequency asc, shingle asc — a total order shared by every
+    doc), hashed to a bigint join key. ``prefix_len`` is a Column over
+    ``__n`` (the doc's shingle-set size). Returns (__id, __n, __h)."""
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     return (
-        common.join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        sh.join(dfreq, "__s")
+        .join(sizes, "__id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("__id").orderBy("__df", "__s")),
+        )
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__id", "__n", F.xxhash64("__s").alias("__h"))
+    )
+
+
+def _verify_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, k: int, candidates: DataFrame
+) -> DataFrame:
+    """Attach both docs' full shingle ARRAYS to each candidate pair and
+    count the exact intersection in whole-stage codegen (the d03 verify
+    shape) — one O(|A|+|B|) pass per DISTINCT candidate, never one row
+    per common shingle. Returns (doc_a, doc_b, __nc, __na, __nb)."""
+    shing = df.select(
+        F.col(id_col).alias("__sid"),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    ).filter(F.size("__sh") >= 1)
+    return (
+        candidates.join(
+            shing.select(F.col("__sid").alias("doc_a"), F.col("__sh").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            shing.select(F.col("__sid").alias("doc_b"), F.col("__sh").alias("__sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__nc"),
+            F.size("__sa").alias("__na"),
+            F.size("__sb").alias("__nb"),
+        )
     )
 
 
@@ -132,22 +170,59 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-``k``-gram Jaccard ≥ ``threshold`` (exact).
 
-    Plan: inverted index on shingles → self-join on the shingle (the only
-    wide shuffle, keyed by shingle hash) → count common shingles per pair →
-    Jaccard from per-doc set sizes.
+    Plan (the AllPairs/PPJoin prefix filter — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08 — not the naive posting self-join): J(A,B) ≥ t
+    forces |A∩B| ≥ ⌈t·|A|⌉, so under ONE global shingle order (rarity
+    asc) the smallest shared shingle must sit inside each doc's first
+    |A| − ⌈t·|A|⌉ + 1 shingles. Only those PREFIXES are indexed and
+    self-joined (rarest shingles first → the fan-out lands on the least
+    shared keys); distinct candidate pairs then verify ONCE each with a
+    codegen ``array_intersect`` over the full shingle arrays.
 
-    Scale: exact pairwise Jaccard degrades when a shingle is shared by
-    huge numbers of documents (join fan-out ~ df²); this operator is the
-    correctness baseline — :func:`minhash_lsh_pairs` is the scale path.
+    Why not the naive join: its output is one row per (pair, common
+    shingle) — Σ|A∩B| rows shuffled through a groupBy. On clone-heavy
+    corpora that is (pairs × |doc|): the r7 sf4 measurement was 1.2e9
+    emission rows, 603 s, and per-pair cost GREW 3.8× from sf1 to sf4.
+    Prefix filtering emits at most (pairs × prefix overlap) ≈ (1−t) of
+    that, and the verify is one row per pair. Same exact output either
+    way — :func:`minhash_lsh_pairs` (d03) remains the sub-candidate
+    scale path when even exact prefixes are too many.
     """
-    sh = _materialize(_shingle_index(df, id_col, text_col, k))  # used 3× below
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sh = _materialize(_shingle_index(df, id_col, text_col, k))  # 2 consumers
+    # prefix length: exactly |A| − ⌈t·|A|⌉ + 1 — PLUS one slack element.
+    # The slack is load-bearing: the final filter compares DOUBLES
+    # (jaccard ≥ t), and a boundary pair like |∩|=44, |∪|=55 at t=0.8
+    # (44/55 ≥ 0.8 is TRUE in doubles) needs one more prefix element than
+    # float floor((1−t)·n)+1 yields, because (1−t) and t·n round the
+    # wrong way at exactly these boundaries. One extra candidate element
+    # can only ADD candidates (the verify is exact); a too-short prefix
+    # silently LOSES pairs — measured: 55 of 248,962 pairs at sf1.
+    pref = _rarity_prefix(
+        sh, F.floor(F.lit(1.0 - threshold) * F.col("__n")) + 2
     )
-    return _pairs_from_common(sh, common, threshold)
+    a, b = pref.alias("a"), pref.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # size filter: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prunes cross-size
+            # candidates before the verify ever sees them (−1 slack for
+            # the same double-boundary reason as the prefix length)
+            & (F.col("a.__n") >= threshold * F.col("b.__n") - 1)
+            & (F.col("b.__n") >= threshold * F.col("a.__n") - 1),
+        )
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        _verify_pairs_exact(df, id_col, text_col, k, candidates)
+        .withColumn(
+            "jaccard", F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def containment_pairs(
@@ -162,23 +237,45 @@ def containment_pairs(
     union is dominated by the longer side. The standard companion filter
     to :func:`jaccard_pairs` in web-corpus dedup.
 
-    Plan: identical to :func:`jaccard_pairs` — inverted index, one wide
-    shuffle keyed by shingle, per-pair common count — only the final
-    ratio differs, so the same scale posture (and the same LSH escape
-    hatch) applies.
+    Plan: the ASYMMETRIC prefix filter. C ≥ t only bounds the overlap
+    against the SMALLER doc (|A∩B| ≥ ⌈t·min⌉), so the smaller side joins
+    by its rarity prefix while the larger side stays fully indexed —
+    prefix(A) ⋈ full(B) with |A| ≤ |B| — then distinct candidates verify
+    once via the same codegen ``array_intersect``. Emissions fall from
+    Σ|A∩B| (one row per common shingle; 473 s at sf4 on clone data) to
+    Σ|prefix(A) ∩ B| ≈ (1−t) of it, and the per-pair verify count-shuffle
+    disappears. :func:`minhash_lsh_pairs` remains the sub-candidate
+    scale path.
     """
     sh = _materialize(_shingle_index(df, id_col, text_col, k))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # +2 = the exact ⌈t·n⌉ prefix plus one double-boundary slack element
+    # (see jaccard_pairs — a too-short prefix silently loses pairs)
+    pref = _rarity_prefix(
+        sh, F.floor(F.lit(1.0 - threshold) * F.col("__n")) + 2
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    full = sh.join(sizes, "__id").select(
+        "__id", "__n", F.xxhash64("__s").alias("__h")
+    )
+    p, g = pref.alias("p"), full.alias("g")
+    raw = p.join(
+        g,
+        (F.col("p.__h") == F.col("g.__h"))
+        & (F.col("p.__id") != F.col("g.__id"))
+        # the prefix side must be the smaller doc (ties broken by id so
+        # each unordered pair is generated from exactly one direction)
+        & (
+            (F.col("p.__n") < F.col("g.__n"))
+            | ((F.col("p.__n") == F.col("g.__n")) & (F.col("p.__id") < F.col("g.__id")))
+        ),
+    )
+    candidates = raw.select(
+        F.least(F.col("p.__id"), F.col("g.__id")).alias("doc_a"),
+        F.greatest(F.col("p.__id"), F.col("g.__id")).alias("doc_b"),
+    ).distinct()
     return (
-        common.join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("containment", F.col("n_common") / F.least("na", "nb"))
+        _verify_pairs_exact(df, id_col, text_col, k, candidates)
+        .withColumn("containment", F.col("__nc") / F.least("__na", "__nb"))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )

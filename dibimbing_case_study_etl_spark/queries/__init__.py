@@ -133,17 +133,22 @@ DRIVER_PRIORITY: list[str] = [
     "m12_png_crc_quarantine",
     "q85_cumulative_distinct_users",
     "t47_ngram_novelty_rate",
-    # (b) changed this round (m04 displaces q37_approx_aggregates from the
-    # stale block: q37 is rows-only — the least informative row type — and
-    # its oracled audit twin q37r is hash-green r5)
+    # (b) changed this round. Displacements from the stale block, each with
+    # a newer proxy: q37 (rows-only — the least informative row type; its
+    # oracled audit twin q37r is hash-green r5) yields to m04; q26 (event
+    # -time bucketing; in the bench set, exercised every round, and its
+    # shape is re-proven by q77/q80, green r5) yields to d02; q10 (top-k ≈
+    # q02/q03; q03 benches every round) yields to d10; q61 (funnel
+    # semantics re-proven via q79, green r5) yields to d20.
     "d08_edit_distance_pairs",
     "b03_bpe_heldout_generalization",
     "m04_audio_resample",
+    "d02_dedup_jaccard_pairs",
+    "d10_containment_pairs",
+    "d20_dedup_threshold_sensitivity",
     # (c) the full r2-stale block — oldest greens rotate through
     "t07_stratified_sample",
     "q09_nation_year_profit",
-    "q10_returned_revenue_topk",
-    "q26_events_hourly",
     "q28_events_json_props",
     "q31_percentiles",
     "q32_correlated_avg_subquery",
@@ -167,7 +172,6 @@ DRIVER_PRIORITY: list[str] = [
     "q57_sole_blame_suppliers",
     "q58_map_type_aggregation",
     "q60_first_last_ignore_nulls",
-    "q61_sequential_funnel",
     "q62_important_part_values",
     "q63_supplier_diversity",
     "q64_heavy_widget_suppliers",

@@ -821,3 +821,55 @@ def test_d08_salt_cells_preserve_pair_set_on_degenerate_block(spark):
     }
     con.close()
     assert got == ref and len(ref) > 1000  # non-vacuous: real pair mass
+
+
+def test_prefix_filter_jaccard_exact_at_double_boundaries(spark):
+    """The AllPairs prefix filter must not lose pairs whose Jaccard sits
+    EXACTLY at the double-rounded threshold (|∩|=44,|∪|=55 at t=0.8:
+    44/55 ≥ 0.8 is TRUE in doubles, yet float prefix lengths round one
+    element short — the first cut of the r7 rewrite silently dropped 55
+    of 248,962 sf1 pairs this way). Reference = the naive posting
+    self-join, run inline; both kernels must emit the identical pair set
+    on a corpus engineered to live on the boundary."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        _shingle_index,
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    # Build docs as explicit word sets so shingle sets (k=1) are exact:
+    # family i has a 55-word doc and a 44-word subset doc (J = 44/55 =
+    # 0.8 exactly), plus noise docs sharing half the words.
+    rows = []
+    for i in range(40):
+        words55 = [f"w{i}_{j}" for j in range(55)]
+        rows.append((i * 10 + 1, " ".join(words55)))
+        rows.append((i * 10 + 2, " ".join(words55[:44])))
+        rows.append((i * 10 + 3, " ".join(words55[:28] + [f"n{i}_{j}" for j in range(27)])))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def naive(threshold):
+        sh = _shingle_index(df, "doc_id", "text", 1)
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            common.join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        )
+
+    jn = naive(0.8).withColumn("j", F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc")))
+    ref_j = {(r["doc_a"], r["doc_b"]) for r in jn.filter("j >= 0.8").collect()}
+    got_j = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(df, "doc_id", "text", k=1, threshold=0.8).collect()}
+    assert got_j == ref_j and len(ref_j) >= 40  # every boundary pair present
+
+    cn = naive(0.8).withColumn("c", F.col("nc") / F.least("na", "nb"))
+    ref_c = {(r["doc_a"], r["doc_b"]) for r in cn.filter("c >= 1.0").collect()}
+    got_c = {(r["doc_a"], r["doc_b"]) for r in containment_pairs(df, "doc_id", "text", k=1, threshold=1.0).collect()}
+    assert got_c == ref_c and len(ref_c) >= 40  # exact-containment boundary
