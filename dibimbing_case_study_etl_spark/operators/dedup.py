@@ -165,6 +165,49 @@ def _verify_pairs_exact(
     )
 
 
+def _jaccard_pairs_naive(
+    df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+) -> DataFrame:
+    """The posting-list count-join: emissions ∝ Σ|A∩B| over co-shingle
+    pairs, reduced by a map-side-combining groupBy. The right kernel at
+    LOOSE thresholds, where prefix filtering's candidate set degenerates
+    toward all co-shingle pairs while still paying an O(|A|+|B|) verify
+    per candidate (measured at sf4, t=0.5: 525M distinct candidates,
+    471 s — vs Σ|A∩B| count-join finishing in half that)."""
+    sh = _materialize(_shingle_index(df, id_col, text_col, k))  # used 3× below
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        common.join(
+            sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("__n", "__na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("__n", "__nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard", F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# Below this threshold the prefix filter stops paying: its candidate set
+# degenerates toward "all pairs sharing any mid-frequency shingle" (the
+# prefix is (1−t) of each doc) while every candidate still buys a full
+# array verify — the count-join's Σ|A∩B| emissions are then the cheaper
+# currency. Measured crossover on the replica corpora: t=0.8 prefix wins
+# 5.7× at sf4; t=0.5 the count-join wins ~2×.
+_PREFIX_FILTER_MIN_T = 0.7
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
@@ -187,7 +230,14 @@ def jaccard_pairs(
     that, and the verify is one row per pair. Same exact output either
     way — :func:`minhash_lsh_pairs` (d03) remains the sub-candidate
     scale path when even exact prefixes are too many.
+
+    Loose thresholds (< ``_PREFIX_FILTER_MIN_T``) dispatch to the
+    count-join kernel instead: with a prefix covering half the doc the
+    candidate set degenerates to all co-shingle pairs and the per
+    -candidate verify dominates (see ``_jaccard_pairs_naive``).
     """
+    if threshold < _PREFIX_FILTER_MIN_T:
+        return _jaccard_pairs_naive(df, id_col, text_col, k, threshold)
     sh = _materialize(_shingle_index(df, id_col, text_col, k))  # 2 consumers
     # prefix length: exactly |A| − ⌈t·|A|⌉ + 1 — PLUS one slack element.
     # The slack is load-bearing: the final filter compares DOUBLES

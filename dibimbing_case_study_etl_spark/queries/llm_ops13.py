@@ -231,7 +231,9 @@ def d20_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFra
     t = register(spark, sf_dir, ("documents",))
     pairs = jaccard_pairs(
         t["documents"], "doc_id", "text", k=3, threshold=_D20_THRESHOLDS[0]
-    ).localCheckpoint(eager=False)  # feeds the pair histogram AND doc maxima
+    ).localCheckpoint(eager=True)  # feeds the pair histogram AND doc maxima —
+    # EAGER: both consumers sit in ONE job, and two sibling scans of a lazy
+    # checkpoint compute the whole (prefix-filter + verify) subtree twice
 
     def bucket(col: F.Column) -> F.Column:
         b = F.lit(0)
