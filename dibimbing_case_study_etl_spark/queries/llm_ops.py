@@ -40,15 +40,8 @@ from dibimbing_case_study_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from dibimbing_case_study_etl_spark.operators.multimodal import (
-    decode_features_arrow,
-    resample_audio,
-    sample_frames,
-    synth_audio_table,
-    synth_video_table,
     decode_features,
-    resize_images,
-    synth_image_table,
-    to_blob_table,
+    decode_features_arrow,
 )
 from dibimbing_case_study_etl_spark.operators.similarity import (
     cosine_pairs,
@@ -752,61 +745,136 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(pngs, stub=False)
 
 
+def _m02_px(y_expr: str, x_expr: str) -> str:
+    """Oracle fragment: the tiled fixture pixel at (y, x) — byte
+    ``(y·w + x) mod n`` of the ASCII text (0 for empty docs, matching
+    synth_png_table's single-zero-pixel buffer)."""
+    return (
+        f"(CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text, "
+        f"CAST((({y_expr}) * w + ({x_expr})) % n AS INT) + 1, 1)) END)"
+    )
+
+
 @query(
     "m02_image_resize_pipeline",
-    oracle="""
+    # Full-codec resize oracle: the synth pixels are the document's bytes
+    # tiled to a doc_id-derived geometry, and the resize is an EXACT
+    # integer 2×2 box filter — so DuckDB reproduces every resized pixel
+    # (and therefore px_sum/px_mean) WITHOUT a codec. Any disagreement
+    # means the PNG decode or the resample moved a pixel. ASCII corpus ⇒
+    # codepoint == byte (the m07 equivalence); odd trailing row/column is
+    # truncated on both sides.
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id, text, length(text) AS n,
+             8 + doc_id % 9       AS w,
+             8 + (doc_id * 3) % 9 AS h,
+             (8 + doc_id % 9) // 2       AS ow,
+             (8 + (doc_id * 3) % 9) // 2 AS oh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, ow, oh,
+             list_sum(list_transform(generate_series(0, CAST(ow * oh AS BIGINT) - 1, 1), p ->
+               ( {_m02_px("2 * (p // ow)", "2 * (p % ow)")}
+               + {_m02_px("2 * (p // ow)", "2 * (p % ow) + 1")}
+               + {_m02_px("2 * (p // ow) + 1", "2 * (p % ow)")}
+               + {_m02_px("2 * (p // ow) + 1", "2 * (p % ow) + 1")} ) // 4
+             )) AS px_sum
+      FROM geom
+    )
     SELECT doc_id,
-           16 + doc_id % 64                        AS orig_w,
-           16 + (doc_id * 7) % 64                  AS orig_h,
-           GREATEST(1, (16 + doc_id % 64) // 2)        AS new_w,
-           GREATEST(1, (16 + (doc_id * 7) % 64) // 2)  AS new_h,
-           GREATEST(1, (16 + doc_id % 64) // 2)
-             * GREATEST(1, (16 + (doc_id * 7) % 64) // 2) AS n_pixels,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                        i -> unicode(substr(text, i, 1)))) % 65536 AS BIGINT)
-             AS checksum
-    FROM documents
+           CAST(w AS BIGINT)  AS orig_w,
+           CAST(h AS BIGINT)  AS orig_h,
+           CAST(ow AS BIGINT) AS out_w,
+           CAST(oh AS BIGINT) AS out_h,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           {sql_iround("px_sum / CAST(ow * oh AS DOUBLE)", 6)} AS px_mean
+    FROM px
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "decode"),
 )
 def m02_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-shaped multimodal pipeline: binary content + typed
-    struct<format, width, height> metadata → Arrow-batched resize pass
-    (halve dimensions, min 1) → features. Decode/resample is the stubbed
-    step; schema, metadata math, batch shape, and partitioning are real
-    and oracle-checked end-to-end."""
+    """Image resize on a REAL codec (closes the last image-path stub —
+    the m04 audio precedent applied to resize): render each document to a
+    spec-valid greyscale PNG, decode it back with the actual decoder
+    (Pillow or the built-in subset codec), 2×2 box-filter downsample in
+    exact integer arithmetic, and report the resized geometry + pixel
+    statistics. Both hops are Arrow-batched ``mapInPandas`` stages,
+    partition-spread before the Python work.
+
+    Scale: encode/decode/resample are embarrassingly parallel per-row
+    Python stages — nothing shuffles except the initial spread — and the
+    oracle pins the decode→resample loop bit-exactly at every SF."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        resize_images_real,
+        synth_png_table,
+    )
+
     t = register(spark, sf_dir, ("documents",))
-    return resize_images(synth_image_table(t["documents"], "doc_id", "text"), stub=True)
+    out = resize_images_real(synth_png_table(t["documents"], "doc_id", "text"))
+    return out.select(
+        "doc_id", "orig_w", "orig_h", "out_w", "out_h", "px_sum",
+        iround(F.col("px_mean"), 6).alias("px_mean"),
+    )
 
 
 @query(
     "m03_video_frame_sample",
-    oracle="""
-    WITH frames AS (
-      SELECT doc_id,
-             UNNEST(generate_series(0, CAST(length(text) // 8 AS BIGINT) - 1, 4)) AS frame_idx
+    # Full-container oracle: geometry, frame count, and each sampled
+    # frame's luma plane are all derived from (doc_id, text) by the
+    # fixture construction, so DuckDB reproduces every value WITHOUT a
+    # video reader — any disagreement means the Y4M header parse or the
+    # frame-boundary seek read the wrong bytes. Frame f's plane holds the
+    # text bytes tiled from absolute offset f·w·h (zeros when empty);
+    # every doc has ≥ 1 frame so frame 0 always appears.
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id, text, length(text) AS n,
+             8 + doc_id % 5       AS w,
+             4 + (doc_id * 3) % 5 AS h,
+             1 + doc_id % 7       AS nf
       FROM documents
-      WHERE length(text) >= 8
+    ),
+    frames AS (
+      SELECT doc_id, text, n, w, h, w * h AS fs,
+             UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1, 4)) AS frame_idx
+      FROM geom
     )
-    SELECT f.doc_id, f.frame_idx,
-           CAST(list_sum(list_transform(
-             generate_series(1, 8),
-             i -> unicode(substring(d.text, CAST(f.frame_idx * 8 + i AS INTEGER), 1))
-           )) AS BIGINT) AS checksum
-    FROM frames f JOIN documents d USING (doc_id)
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, CAST(fs AS BIGINT) - 1, 1),
+               i -> unicode(substr(text, CAST((frame_idx * fs + i) % n AS INT) + 1, 1))))
+           END AS BIGINT) AS luma_sum
+    FROM frames
     """,
-    tags=("llm", "multimodal", "video"),
+    tags=("llm", "multimodal", "video", "decode"),
 )
 def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-shaped multimodal pipeline: pack documents as fake videos
-    (binary payload = fixed 8-byte frames + typed metadata), then sample
-    every 4th frame byte-exactly with a per-frame fingerprint. The oracle
-    recomputes the same slicing arithmetic from the synthetic construction
-    (ASCII text ⇒ byte sum == codepoint sum), so the full binary fan-out
-    path is value-checked, with only the codec decode stubbed."""
+    """Video frame sampling on a REAL container (closes the video-path
+    stub): render each document as a spec-valid greyscale YUV4MPEG2
+    stream (the public uncompressed video interchange format — plain-text
+    header + per-frame ``FRAME`` markers + raw luma planes), then
+    container-parse it back and keep every 4th frame with a per-frame
+    luma fingerprint. Geometry comes from the parsed header and the seek
+    arithmetic is marker-verified per frame — the actual work of a video
+    reader, minus only compressed-codec entropy decode (ffmpeg seam,
+    documented in ``functions/video.py``).
+
+    Scale: encode/parse are embarrassingly parallel per-row Python stages
+    behind Arrow batches; output fan-out is ≤ 2 frames/doc at this
+    fixture's 1–7-frame range and the oracle pins every sampled plane."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        sample_frames_y4m,
+        synth_y4m_table,
+    )
+
     t = register(spark, sf_dir, ("documents",))
-    videos = synth_video_table(t["documents"], "doc_id", "text", frame_bytes=8, fps=24)
-    return sample_frames(videos, step=4)
+    videos = synth_y4m_table(t["documents"], "doc_id", "text", fps=24)
+    return sample_frames_y4m(videos, step=4)
 
 
 @query(

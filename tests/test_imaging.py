@@ -164,3 +164,69 @@ def test_wav_decoder_skips_foreign_chunks_and_rejects_bad_variants():
     stereo[i + 2 : i + 4] = struct.pack("<H", 2)
     with pytest.raises(ValueError):
         decode_wav(bytes(stereo))
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.video import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (5, 6, 9), dtype=np.uint8)
+    fps, back = decode_y4m(encode_y4m(frames, fps=30))
+    assert fps == 30
+    assert back.shape == frames.shape and np.array_equal(back, frames)
+
+
+def test_y4m_header_is_spec_valid():
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.video import encode_y4m
+
+    blob = encode_y4m(np.zeros((2, 4, 8), np.uint8), fps=24)
+    header = blob[: blob.index(b"\n")].decode("ascii")
+    toks = header.split(" ")
+    assert toks[0] == "YUV4MPEG2"
+    assert "W8" in toks and "H4" in toks and "F24:1" in toks and "Cmono" in toks
+    # frame markers sit exactly one frame_size apart
+    first = blob.index(b"FRAME\n")
+    assert blob[first + 6 + 32 : first + 6 + 32 + 6] == b"FRAME\n"
+
+
+def test_y4m_decoder_rejects_bad_streams():
+    import numpy as np
+    import pytest
+
+    from dibimbing_case_study_etl_spark.functions.video import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"MPEG4 W4 H4\n")  # wrong magic
+    with pytest.raises(ValueError):  # non-mono colourspace is outside the subset
+        decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 C420jpeg\n" + b"FRAME\n" + bytes(6))
+    good = encode_y4m(np.zeros((2, 3, 3), np.uint8))
+    with pytest.raises(ValueError):  # truncated final frame
+        decode_y4m(good[:-2])
+    with pytest.raises(ValueError):  # corrupt frame marker
+        decode_y4m(good.replace(b"FRAME\n", b"FRAMS\n", 1))
+
+
+def test_box_resize_matches_exact_integer_reference():
+    """resize_images_real's kernel: decode→2×2 floor-mean box filter must
+    equal the direct integer reference on the tiled fixture pixels."""
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.functions.imaging import decode_png, encode_png
+
+    text = b"The quick brown fox jumps over the lazy dog 0123456789"
+    for did in (0, 1, 5, 8, 13):
+        w, h = 8 + did % 9, 8 + (did * 3) % 9
+        px = np.resize(np.frombuffer(text, np.uint8), (h, w))
+        a = decode_png(encode_png(px)).astype(np.int64)
+        oh, ow = h // 2, w // 2
+        b = a[: 2 * oh, : 2 * ow]
+        out = (b[0::2, 0::2] + b[0::2, 1::2] + b[1::2, 0::2] + b[1::2, 1::2]) // 4
+        ref = np.empty((oh, ow), np.int64)
+        for y in range(oh):
+            for x in range(ow):
+                ref[y, x] = int(a[2 * y : 2 * y + 2, 2 * x : 2 * x + 2].sum()) // 4
+        assert np.array_equal(out, ref), did
