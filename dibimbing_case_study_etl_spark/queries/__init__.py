@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops14,
         llm_ops15,
         llm_ops16,
+        llm_ops17,
         relational,
         relational2,
         relational3,
@@ -113,9 +114,13 @@ def load_all() -> dict[str, QuerySpec]:
 # (c) the r2-latest greens (the q26–q65 relational block, q09/q10, t07;
 #     q37 yields its slot to m04, see (b)) — after this window the only
 #     pre-r3 latest-check left is q37, whose oracled twin q37r is newer.
-# Registered AFTER the r7 window froze at 50 (the t36/s17 precedent —
-# they MUST lead the r8 window as never-checked): v07 user-capped DP
-# histogram, u12 layout clustering-depth audit, m13 WAV signal stats.
+# Window re-cut mid-r7 (session 2): v07/u12/m13 — originally deferred to
+# r8 as post-freeze registrations — plus the session-2 additions f07/t48
+# (new, oracled) and m02/m03 (codecs went REAL: exact-integer PNG box
+# resize, Y4M container parse — the m04 precedent) are pulled INTO the
+# window so r7 ends with ZERO never-checked queries; the equivalent
+# count of oldest-stale rotations (q57–q65 tail) yields slots — each
+# keeps its local oracle coverage and a green row ≤ r2.
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered after the r6 window froze
     "r08_index_capacity_stats",
@@ -133,6 +138,12 @@ DRIVER_PRIORITY: list[str] = [
     "m12_png_crc_quarantine",
     "q85_cumulative_distinct_users",
     "t47_ngram_novelty_rate",
+    # (a2) never driver-checked — registered during r7
+    "v07_user_capped_dp_histogram",
+    "u12_layout_clustering_depth",
+    "m13_wav_signal_stats",
+    "f07_cusum_changepoint",
+    "t48_countmin_heavy_hitters",
     # (b) changed this round. Displacements from the stale block, each with
     # a newer proxy: q37 (rows-only — the least informative row type; its
     # oracled audit twin q37r is hash-green r5) yields to m04; q26 (event
@@ -143,10 +154,14 @@ DRIVER_PRIORITY: list[str] = [
     "d08_edit_distance_pairs",
     "b03_bpe_heldout_generalization",
     "m04_audio_resample",
+    "m02_image_resize_pipeline",
+    "m03_video_frame_sample",
     "d02_dedup_jaccard_pairs",
     "d10_containment_pairs",
     "d20_dedup_threshold_sensitivity",
-    # (c) the full r2-stale block — oldest greens rotate through
+    # (c) the r2-stale block — oldest greens rotate through (the
+    # q57–q65 tail yielded its slots to (a2)/(b); all keep green r2
+    # rows + local oracles)
     "t07_stratified_sample",
     "q09_nation_year_profit",
     "q28_events_json_props",
@@ -169,13 +184,6 @@ DRIVER_PRIORITY: list[str] = [
     "q54_window_interval_range_frame",
     "q55_cogrouped_order_reconciliation",
     "q56_variant_semistructured",
-    "q57_sole_blame_suppliers",
-    "q58_map_type_aggregation",
-    "q60_first_last_ignore_nulls",
-    "q62_important_part_values",
-    "q63_supplier_diversity",
-    "q64_heavy_widget_suppliers",
-    "q65_nation_revenue_share",
 ]
 
 

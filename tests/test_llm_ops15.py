@@ -239,3 +239,53 @@ def test_t46_survivorship_conserves_mass(spark, sf_dir):
     assert pdf["n_docs_post"].sum() == n_texts
     assert pdf["n_docs_post"].sum() <= pdf["n_docs_pre"].sum()
     assert pdf["tokens_post"].sum() <= pdf["tokens_pre"].sum()
+
+
+def test_t48_countmin_never_underestimates(spark, sf_dir):
+    """The Count-Min one-sided guarantee: every estimate ≥ its true count
+    (counters only ever add mass), and the probed set is exactly the
+    top-k by true count."""
+    pdf = _run(spark, sf_dir, "t48_countmin_heavy_hitters")
+    assert (pdf["overestimate"] >= 0).all()
+    assert (pdf["est_count"] >= pdf["true_count"]).all()
+    assert (pdf["err_ratio"] >= 1.0).all()
+    import duckdb
+
+    from dibimbing_case_study_etl_spark.catalog import table_path
+
+    kth = duckdb.sql(
+        f"""
+        WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+                     FROM read_parquet('{table_path(sf_dir, 'documents')}')),
+        c AS (SELECT w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY w)
+        SELECT MIN(c) FROM (SELECT c FROM c ORDER BY c DESC, w LIMIT {len(pdf)})
+        """
+    ).fetchone()[0]
+    assert pdf["true_count"].min() == kth
+
+
+def test_f07_cusum_structure(spark, sf_dir):
+    """CUSUM invariants: both accumulators are non-negative everywhere
+    (S = P − min(0, running-min P) ≥ 0 by construction), alarms are
+    binary and only fire where the accumulator is large, and the daily
+    revenue reconciles with a direct aggregation."""
+    pdf = _run(spark, sf_dir, "f07_cusum_changepoint").sort_values("d")
+    assert (pdf["cusum_up"] >= 0).all() and (pdf["cusum_down"] >= 0).all()
+    assert set(pdf["alarm_up"].unique()) <= {0, 1}
+    assert set(pdf["alarm_down"].unique()) <= {0, 1}
+    # an alarm day must carry a strictly larger accumulator than every
+    # non-alarm day (the threshold is one global constant)
+    for side in ("up", "down"):
+        fired = pdf[pdf[f"alarm_{side}"] == 1][f"cusum_{side}"]
+        quiet = pdf[pdf[f"alarm_{side}"] == 0][f"cusum_{side}"]
+        if len(fired) and len(quiet):
+            assert fired.min() > quiet.max()
+    import duckdb
+
+    from dibimbing_case_study_etl_spark.catalog import table_path
+
+    total = duckdb.sql(
+        f"SELECT SUM(CAST(round_even(o_totalprice, 0) AS BIGINT)) "
+        f"FROM read_parquet('{table_path(sf_dir, 'orders')}')"
+    ).fetchone()[0]
+    assert pdf["revenue"].sum() == total

@@ -900,9 +900,25 @@ def test_m11_header_parse_is_jvm_side(spark, sf_dir):
 
 def test_q82_uses_union_loop(spark, sf_dir):
     """WITH RECURSIVE must plan as the native UnionLoop operator (one
-    distributed self-map per level), not fall back to anything driver-side."""
+    distributed self-map per level), not fall back to anything
+    driver-side. The builder eagerly checkpoints so it can restore the
+    recursion-row-limit conf before returning (the r7 conf-leak fix), so
+    the recursive plan is inspected on the inner SQL, and the builder's
+    returned frame must be exactly that pinned checkpoint."""
+    import contextlib
+    import io
+
+    from dibimbing_case_study_etl_spark.catalog import register
+    from dibimbing_case_study_etl_spark.queries.llm_ops15 import _Q82_SPARK_SQL
+
+    t = register(spark, sf_dir, ("part",))
+    t["part"].createOrReplaceTempView("part")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql(_Q82_SPARK_SQL).explain("formatted")
+    assert "UnionLoop" in buf.getvalue()
     plan = explain_str(spark, sf_dir, "q82_recursive_part_closure")
-    assert "UnionLoop" in plan
+    assert "Scan ExistingRDD" in plan  # the conf-scoping eager checkpoint
 
 
 def test_r08_no_window_single_scan(spark, sf_dir):
