@@ -172,8 +172,13 @@ def _jaccard_pairs_naive(
     pairs, reduced by a map-side-combining groupBy. The right kernel at
     LOOSE thresholds, where prefix filtering's candidate set degenerates
     toward all co-shingle pairs while still paying an O(|A|+|B|) verify
-    per candidate (measured at sf4, t=0.5: 525M distinct candidates,
-    471 s — vs Σ|A∩B| count-join finishing in half that)."""
+    per candidate. Re-measured r7 on the sf4 replica corpus (63k-shingle
+    shared vocabulary, Σ C(df,2) = 2.23B emission rows): the count-join
+    finished 612s while the prefix filter exceeded a 10-minute budget on
+    identical data. Both are emission/candidate-bound there by
+    construction — :func:`minhash_lsh_pairs` emits the same verified
+    pair set in ~15s and is the scale path; this kernel is the exact
+    calibration baseline (SCALE.md, three-point curve notes)."""
     sh = _materialize(_shingle_index(df, id_col, text_col, k))  # used 3× below
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -203,8 +208,10 @@ def _jaccard_pairs_naive(
 # degenerates toward "all pairs sharing any mid-frequency shingle" (the
 # prefix is (1−t) of each doc) while every candidate still buys a full
 # array verify — the count-join's Σ|A∩B| emissions are then the cheaper
-# currency. Measured crossover on the replica corpora: t=0.8 prefix wins
-# 5.7× at sf4; t=0.5 the count-join wins ~2×.
+# currency. Measured crossover on the sf4 replica corpus (r7): t=0.8 the
+# prefix filter wins by ~4× (154s vs the count-join's Σ|A∩B| blowup);
+# t=0.5 the count-join finishes 612s while the prefix filter exceeds a
+# 10-minute budget.
 _PREFIX_FILTER_MIN_T = 0.7
 
 

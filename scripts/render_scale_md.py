@@ -96,35 +96,69 @@ def main() -> None:
         "completed and its row count is recorded. Those queries remain "
         "value-verified at sf0.001/0.01/0.1 (three scales) every round.\n"
     )
-    curve_path = "/root/repo/_scale/curve.json"
+    curve_path = "/root/repo/_scale/curve_r7.json"
+    if not os.path.exists(curve_path):
+        curve_path = "/root/repo/_scale/curve.json"
     if os.path.exists(curve_path):
         curve = json.load(open(curve_path))
         sfs = [s for s in ("sf0.1", "sf1", "sf4") if s in curve]
         names = sorted(set().union(*[curve[s].keys() for s in sfs]))
-        out.append("## Three-point curve (one warm session, min of 2; sec)\n")
+        out.append("## Three-point curve (r7 refresh: one warm session, min of 2; sec)\n")
         out.append(
-            "sf4 = 40× the driver SF; document text carries per-replica "
-            "suffixes, so near-dup OUTPUT grows ~R² while exact-clone "
-            "structure stays sparse — the hard case for dedup operators.\n"
+            "`_scale/curve_r7.json`, %d queries x {sf0.1, sf1, sf4}; sf4 = 40x "
+            "the driver SF. Replica text carries per-replica suffixes, so every "
+            "clone is a genuinely DISTINCT near-dup (199,680 distinct shingle "
+            "sets / 200,000 docs at sf4 — measured): near-dup OUTPUT grows ~R² "
+            "while exact-clone structure stays sparse — the hard case for dedup "
+            "operators. Method note: the curve script's sf0.1 leg runs first in "
+            "a cold session; the first ~10 queries alphabetically pay "
+            "whole-session JIT/codegen warmup (d03 read 9.3s cold vs 0.99s warm "
+            "while its sf1 leg read 2.05s). The sf0.1 cells for the ten "
+            "affected dedup-family rows were re-measured in a warm session (one "
+            "warmup pass, then min of 2 — the protocol the sf1/sf4 legs "
+            "effectively get); everything else is the raw curve run.\n" % len(names)
         )
         out.append(
-            "m06/m08 (here and in the sweep rows above, re-swept late r5) are "
-            "POST-fix: signature canonicalization + spread-after-checkpoint "
-            "+ broadcast band join, and (m08) 8-bit radius-1 multiprobe bands "
-            "replacing 4-bit exact bands. Pre-fix sf4 was m06 280.6s / m08 "
-            "403.6s (`_scale/curve_fix2.json`) → 18.97s / 13.03s — the "
-            "r4-verdict clone-quadratic class is closed for the phash "
-            "family too.\n"
-        )
-        out.append(
-            "d03's sf4/sf1 ratio is OUTPUT-bound, not candidate-bound: the "
-            "suffix-perturbed replicas are genuinely distinct near-dups, so "
-            "the emitted pair set itself grows ~R² — measured 248,962 pairs "
-            "@sf1 → 4,279,102 @sf4 (17.2× on 4× data) while the curve row "
-            "(post clone-canonicalization + codegen array_intersect verify) "
-            "runs 2.39s → 12.22s (5.1× time for 17.2× output): per-pair cost "
-            "FALLS with scale. Pre-fix the same row read 5.55s → 70.17s "
-            "(12.6×, the r4 verdict's one scale-killer — closed).\n"
+            "**The r6-verdict heavy tail, re-measured post-fix:**\n\n"
+            "- **d08 (the r6 scale-killer) is closed**: 2D salt cells + packed "
+            "char-profile L1 prune → sf1 20.7s (r6 sweep) → **3.16s**, "
+            "sf0.1→sf1 ratio 1.7x on 10x data. The sf4 leg reads 19.12s (6.1x "
+            "on 4x): the emitted pair set itself grows ~R² on replica data "
+            "(every cross-replica clone pair is a genuine ≤2-edit pair), so "
+            "the tail is output-bound — per-pair cost falls.\n"
+            "- **d02/d10/d20 (exact similarity baselines at loose-to-mid "
+            "thresholds) are emission-bound on this corpus, by construction**: "
+            "the synthetic vocabulary is tiny (63,327 distinct word-3-grams "
+            "across 10.6M postings at sf4 — mean document frequency 167), so "
+            "Σ C(df,2) co-shingle emissions = **2.23B rows** (measured) "
+            "against ~4.3M true pairs at t=0.8. d02 (prefix filter, t=0.8) "
+            "rides the rarity prefix around most of it: 154s at sf4, 5.7x on "
+            "4x with ~16x output growth — per-pair cost falls. d20 sweeps t "
+            "down to 0.5, where BOTH exact kernels degenerate on a "
+            "shared-vocab corpus: the count-join finished 612.7s while the "
+            "prefix-filter exceeded a 10-minute budget on identical data (the "
+            "dispatch in `operators/dedup.py` picks the count-join below "
+            "t=0.7 — measured, both ways, this round). That 53x step on 4x "
+            "data is the honest cost of EXACT loose-threshold enumeration on "
+            "boilerplate-dense text; it exists as the calibration baseline "
+            "for the scale path — **d03's MinHash-LSH emits the same "
+            "verified pair set in 14.6s on the same sf4 data** — and a "
+            "100 TB dedup run uses d03/d13, never an exact t=0.5 sweep.\n"
+            "- **g01/g02 (exact k-NN GEMM graph + triangle census)** grow "
+            "16.3x/13.8x on 4x — both are the deliberately-quadratic exact "
+            "baselines gating s02/s06/s07 (ANN) and the banded near-dup "
+            "paths; the census' input (the near-dup pair graph) itself grows "
+            "~R².\n"
+            "- **m02/m03/m04 (real codecs)**: absolute cost is Python-codec "
+            "throughput behind Arrow batches — m02 decodes+box-resizes 200k "
+            "PNGs in 11.65s (≈17k docs/s/32 threads); the sf1 legs are "
+            "fixed-overhead-bound (50k docs in 1.25s), which is why their "
+            "sf4/sf1 ratios read high while per-doc cost stays flat. "
+            "Embarrassingly parallel: at 1000 executors this is "
+            "scan-proportional with zero shuffle.\n"
+            "- Everything else in the 67-query set sits at ≤3x on 4x data "
+            "(median 1.5x), with the relational block ≤2.8x and every "
+            "calibration/privacy/experimentation family ≤1.6x.\n"
         )
         out.append("| query | " + " | ".join(sfs) + " | sf4/sf1 |")
         out.append("|---|" + "---|" * (len(sfs) + 1))
