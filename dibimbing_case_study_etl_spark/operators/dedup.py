@@ -17,7 +17,7 @@ in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
@@ -474,6 +474,7 @@ def minhash_lsh_pairs(
                 "doc_id": np.array([], dtype=np.int64),
                 "band": np.array([], dtype=np.int32),
                 "sig": np.array([], dtype=np.int64),
+                "sigs": np.array([], dtype=object),
             }
         )
         for pdf in batches:
@@ -510,20 +511,27 @@ def minhash_lsh_pairs(
             h = np.zeros((len(ids), bands), dtype=np.uint64)
             for r in range(rows):
                 h = h * fnv + S[:, :, r]
+            h_int = h.view(np.int64)
+            sig_lists = [row.tolist() for row in h_int]
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(ids, bands),
                     "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
-                    "sig": h.view(np.int64).reshape(-1),
+                    "sig": h_int.reshape(-1),
+                    # the doc's FULL band-sig vector rides along so the
+                    # bucket stage can emit each pair from its first
+                    # matching band only (see below)
+                    "sigs": [lst for lst in sig_lists for _ in range(bands)],
                 }
             )
 
-    # ONE shuffle-free mapInPandas pass emits (doc_id, band, band_sig)
-    # directly — no JVM banding stage (the 32-band struct-array explode
-    # compiled a large codegen unit and forced an extra persist). Input is
-    # the canonicalized representative set, not the raw corpus.
+    # ONE shuffle-free mapInPandas pass emits (doc_id, band, band_sig,
+    # all_band_sigs) directly — no JVM banding stage (the 32-band
+    # struct-array explode compiled a large codegen unit and forced an
+    # extra persist). Input is the canonicalized representative set, not
+    # the raw corpus.
     stacked = _spread(reps, id_col).mapInPandas(
-        band_batches, schema="doc_id long, band int, sig long"
+        band_batches, schema="doc_id long, band int, sig long, sigs array<long>"
     )
 
     # bucket-pairs instead of a self-join: ONE shuffle keyed by (band, sig)
@@ -533,26 +541,51 @@ def minhash_lsh_pairs(
     # join fan-out stage; this shape also survives 100 TB, where the only
     # risk is a degenerate giant bucket (identical band values), which is
     # exactly the case where the pair list is genuinely quadratic.
-    ids = F.sort_array(F.col("ids"))
-    n = F.size(ids)
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("doc_a"), F.element_at(ids, j).alias("doc_b")
-                ),
+    #
+    # FIRST-MATCH-BAND emission (the m06/band_hamming_pairs trick, ported
+    # r7): a near-identical pair collides in ~ALL `bands` buckets, so
+    # enumerate-then-distinct emits it ~`bands` times and the distinct
+    # shuffles the whole duplicated candidate stream — at sf16 (160× the
+    # driver SF, ~64M true pairs) that is a ~2×10⁹-row shuffle for a
+    # 6.4×10⁷-row candidate set. Instead each member row carries its full
+    # band-sig vector (rep-count-proportional weight, paid once in the
+    # bucket shuffle), and bucket (band=j) emits pair (a, b) only when NO
+    # band before j matched — `exists` short-circuits on the first hit,
+    # which for clone pairs is band 0, so the rejection test is ~O(1)
+    # exactly where duplication is worst. Exactly-once by construction:
+    # the distinct (and its shuffle) disappears.
+    m = F.sort_array(F.col("members"))
+    n = F.size(m)
+
+    def _pair(i: Column, j: Column) -> Column:
+        a, b = F.element_at(m, i), F.element_at(m, j)
+        prior_band_matched = F.exists(
+            F.zip_with(
+                F.slice(a["sigs"], F.lit(1), F.col("band")),
+                F.slice(b["sigs"], F.lit(1), F.col("band")),
+                lambda x, y: x == y,
             ),
+            lambda v: v,
+        )
+        return F.when(
+            ~prior_band_matched,
+            F.struct(a["doc_id"].alias("doc_a"), b["doc_id"].alias("doc_b")),
+        )
+
+    combos = F.array_compact(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(F.sequence(i + 1, n), lambda j: _pair(i, j)),
+            )
         )
     )
     candidates = _materialize(
         stacked.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.collect_list(F.struct("doc_id", "sigs")).alias("members"))
+        .filter(F.size("members") > 1)
         .select(F.explode(combos).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
 
     # exact verification restricted to candidates: join the candidate list

@@ -122,10 +122,18 @@ def f07_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.call_function("rint", F.col("o_totalprice")).cast("bigint")).alias("s")
         )
     )
-    base = daily.filter(F.col("d") < F.lit(_F07_BASELINE_END).cast("timestamp")).agg(
-        F.sum("s").alias("s0"), F.count(F.lit(1)).alias("n0")
-    )
-    inc = daily.crossJoin(F.broadcast(base)).select(
+    # baseline totals as window aggregates over the SAME bounded calendar
+    # partition the monitor runs in: one orders scan, one groupBy(day),
+    # zero joins (a separate filter+agg would re-derive `daily` and scan
+    # orders twice — the plan pin in tests/test_plans.py holds this shape)
+    in_base = F.col("d") < F.lit(_F07_BASELINE_END).cast("timestamp")
+    w_all = _gw().orderBy("d").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    inc = daily.select(
+        "d",
+        "s",
+        F.sum(F.when(in_base, F.col("s"))).over(w_all).alias("s0"),
+        F.sum(F.when(in_base, F.lit(1)).otherwise(F.lit(0))).over(w_all).alias("n0"),
+    ).select(
         "d",
         "s",
         "s0",

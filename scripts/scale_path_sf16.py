@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Four-point scale-path curve: run the DESIGNATED scale paths (the
+operators a 100 TB pipeline would actually deploy — LSH/banded/bloom/
+salted kernels, never the exact quadratic baselines) at sf0.1 / sf1 /
+sf4 / sf16 in ONE warm session. sf16 = 160× the driver SF (~1M docs,
+~24M lineitem rows): the point is to show the scale paths' cost tracks
+OUTPUT and DATA, not pair-space, two decades past the driver scale.
+
+Usage: python scripts/scale_path_sf16.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": "/root/repo/_scale/sf1",
+    "sf4": "/root/repo/_scale/sf4",
+    "sf16": "/root/repo/_scale/sf16",
+}
+
+# The scale paths + a relational/events/codec spine. Deliberately NO
+# exact pair-enumeration baselines (d02/d08/d10/d20/g01/g02/s09 — their
+# cost is pair-space by definition; SCALE.md's three-point curve covers
+# them with the emission-bound analysis).
+QUERIES = [
+    "d01_dedup_exact",
+    "d03_dedup_minhash_lsh",
+    "d13_bloom_decontamination",
+    "m06_phash_neardup",
+    "m08_png_phash_neardup",
+    "t26_substring_dedup_spans",
+    "t02_quality_score",
+    "s02_ann_lsh_topk",
+    "p01_training_data_pipeline",
+    "q01_pricing_summary",
+    "q26_events_hourly",
+    "q23_dedup_latest_per_key",
+    "f07_cusum_changepoint",
+    "t48_countmin_heavy_hitters",
+]
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/_scale/curve_sf16.json"
+
+    from dibimbing_case_study_etl_spark.queries import load_all
+    from dibimbing_case_study_etl_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="scale-path-sf16", shuffle_partitions=128)
+    curve: dict[str, dict[str, float]] = {}
+    for sf_label, sf_dir in SFS.items():
+        if not os.path.isdir(sf_dir):
+            continue
+        curve[sf_label] = {}
+        # warmup pass amortizes whole-session JIT into the first leg
+        if sf_label == "sf0.1":
+            for name in QUERIES:
+                registry[name].build(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+        for name in QUERIES:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name].build(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            curve[sf_label][name] = round(best, 2)
+            print(json.dumps({"sf": sf_label, "q": name, "sec": curve[sf_label][name]}), flush=True)
+
+    with open(out_json, "w") as f:
+        json.dump(curve, f, indent=1)
+    print("wrote", out_json)
+
+
+if __name__ == "__main__":
+    main()

@@ -1019,3 +1019,41 @@ def test_t47_novelty_has_no_join(spark, sf_dir):
     n — any join node means the anti-join shape snuck back in."""
     plan = explain_str(spark, sf_dir, "t47_ngram_novelty_rate")
     assert "Join" not in plan
+
+
+def test_f07_single_fact_scan_bounded_windows(spark, sf_dir):
+    """CUSUM reads orders ONCE (one partial-aggregable groupBy(day); the
+    baseline totals are window aggregates over the same bounded calendar
+    partition, so no second scan and no join exist); the prefix-sum/
+    running-min windows run under the sanctioned constant partition key —
+    never a corpus-scale single-partition sort."""
+    plan = explain_str(spark, sf_dir, "f07_cusum_changepoint")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one orders scan
+    assert "Join" not in plan
+    assert "SPARK_PARTITION_ID() * 0" in plan  # global_bounded(), not bare orderBy
+
+
+def test_t48_sketch_broadcasts_to_probe(spark, sf_dir):
+    """The D×W counter table (≤1024 rows) must BROADCAST to the top-k
+    probe — a shuffle join there would repartition the corpus-derived
+    exact-count table by (j, bucket) for a 30-row probe side. The token
+    stream collapses via hash aggregation (map-side combine), and no
+    Python stage exists anywhere."""
+    plan = explain_str(spark, sf_dir, "t48_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_m02_m03_single_python_hop_per_stage(spark, sf_dir):
+    """The real-codec queries are render → parse/resize: exactly two
+    Arrow-batched Python stages (fixture renderer + codec), nothing else
+    leaves the JVM, and no shuffle beyond the two partition spreads."""
+    for name, codec_fn in (
+        ("m02_image_resize_pipeline", "resize("),
+        ("m03_video_frame_sample", "sample("),
+    ):
+        plan = explain_str(spark, sf_dir, name)
+        assert plan.count("Arguments: render(") == 1, name
+        assert plan.count(f"Arguments: {codec_fn}") == 1, name
+        assert "SortMergeJoin" not in plan, name
