@@ -11,13 +11,15 @@
                                  Hamming distance ≤ k.
 
 Every operator is pure DataFrame composition (shuffles on shingle/band/
-bucket keys only, map-side combines everywhere); no collects, no Python
-in the hot path.
+bucket keys only, map-side combines everywhere); no collects, no
+row-at-a-time Python anywhere — the two Python hops in the LSH path
+(minhash banding, bucket-pair emission) are vectorized Arrow-batched
+numpy kernels.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
@@ -546,46 +548,65 @@ def minhash_lsh_pairs(
     # r7): a near-identical pair collides in ~ALL `bands` buckets, so
     # enumerate-then-distinct emits it ~`bands` times and the distinct
     # shuffles the whole duplicated candidate stream — at sf16 (160× the
-    # driver SF, ~64M true pairs) that is a ~2×10⁹-row shuffle for a
-    # 6.4×10⁷-row candidate set. Instead each member row carries its full
-    # band-sig vector (rep-count-proportional weight, paid once in the
-    # bucket shuffle), and bucket (band=j) emits pair (a, b) only when NO
-    # band before j matched — `exists` short-circuits on the first hit,
-    # which for clone pairs is band 0, so the rejection test is ~O(1)
-    # exactly where duplication is worst. Exactly-once by construction:
-    # the distinct (and its shuffle) disappears.
-    m = F.sort_array(F.col("members"))
-    n = F.size(m)
-
-    def _pair(i: Column, j: Column) -> Column:
-        a, b = F.element_at(m, i), F.element_at(m, j)
-        prior_band_matched = F.exists(
-            F.zip_with(
-                F.slice(a["sigs"], F.lit(1), F.col("band")),
-                F.slice(b["sigs"], F.lit(1), F.col("band")),
-                lambda x, y: x == y,
-            ),
-            lambda v: v,
-        )
-        return F.when(
-            ~prior_band_matched,
-            F.struct(a["doc_id"].alias("doc_a"), b["doc_id"].alias("doc_b")),
-        )
-
-    combos = F.array_compact(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(F.sequence(i + 1, n), lambda j: _pair(i, j)),
-            )
-        )
-    )
-    candidates = _materialize(
+    # driver SF, ~64M true pairs, 1.8×10⁹ in-bucket pair slots measured)
+    # that is a ~2×10⁹-row shuffle for a 6.4×10⁷-row candidate set.
+    # Instead each member row carries its full band-sig vector
+    # (rep-count-proportional weight, paid once in the bucket shuffle),
+    # and bucket (band=j) emits pair (a, b) only when NO band before j
+    # matched. Exactly-once by construction: the distinct (and its
+    # shuffle) disappears.
+    #
+    # The slot test runs as a VECTORIZED numpy kernel, not a SQL HOF
+    # lambda: slots are pair-space-sized (those same 1.8×10⁹), and
+    # Catalyst evaluates higher-order-function lambdas interpreted at
+    # ~µs/slot (the d08 lesson) — 30+ min at sf16 — while numpy's
+    # m×m×j broadcast equality over each bucket's sig matrix is memory
+    # -bandwidth-bound (~20 s for the same slots). The bucket row is
+    # flattened to primitive arrays first (ids + m×bands sig matrix) so
+    # Arrow never materializes per-member Python structs.
+    mem_sorted = F.sort_array(F.col("members"))  # orders by doc_id (first field)
+    buckets = (
         stacked.groupBy("band", "sig")
         .agg(F.collect_list(F.struct("doc_id", "sigs")).alias("members"))
         .filter(F.size("members") > 1)
-        .select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            "band",
+            F.transform(mem_sorted, lambda s: s["doc_id"]).alias("ids"),
+            F.flatten(F.transform(mem_sorted, lambda s: s["sigs"])).alias("sigmat"),
+        )
+    )
+
+    def bucket_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for band_j, ids_l, sig_l in zip(pdf["band"], pdf["ids"], pdf["sigmat"]):
+                ids_arr = np.asarray(ids_l, dtype=np.int64)
+                m = len(ids_arr)
+                iu, ju = np.triu_indices(m, k=1)
+                if band_j > 0:
+                    S = np.asarray(sig_l, dtype=np.int64).reshape(m, bands)[:, :band_j]
+                    prior = np.zeros((m, m), dtype=bool)
+                    for kk in range(int(band_j)):
+                        col = S[:, kk]
+                        prior |= col[:, None] == col[None, :]
+                    keep = ~prior[iu, ju]
+                    iu, ju = iu[keep], ju[keep]
+                out_a.append(ids_arr[iu])
+                out_b.append(ids_arr[ju])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                    }
+                )
+
+    candidates = _materialize(
+        buckets.mapInPandas(bucket_pairs, schema="doc_a long, doc_b long")
     )
 
     # exact verification restricted to candidates: join the candidate list
