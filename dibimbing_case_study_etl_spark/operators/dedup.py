@@ -29,6 +29,12 @@ from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
 # Mersenne prime 2^31-1: universal-hash modulus; (a*x + b) stays < 2^62.
 _P = 2_147_483_647
 
+# Candidate count above which minhash_lsh_pairs verifies on certified
+# xxhash64-encoded shingle arrays instead of strings (see the verify
+# comment in that function). Below it the string verify is cheap and the
+# plan stays byte-identical to the pre-r7 shape.
+_HASH_VERIFY_MIN_CANDIDATES = 2_000_000
+
 
 def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Group identical content; keep the lowest id as the canonical copy.
@@ -627,10 +633,38 @@ def minhash_lsh_pairs(
     # dominant cost. The arithmetic stays engine-neutral: integer set
     # sizes and one double division, bit-identical to the inverted-index
     # verification and to the oracle.
+    #
+    # CERTIFIED HASH-ENCODED verify at scale (r7): attaching STRING
+    # shingle arrays to tens of millions of candidate rows is the
+    # dominant shuffle at sf16 (~20 B+/element vs 8; this verify's two
+    # joins ENOSPC'd a 75 GB disk inside p01). Past a candidate-count
+    # threshold the arrays are xxhash64-encoded — |A∩B| on hashed sets
+    # equals the true intersection whenever the hash is injective on the
+    # corpus vocabulary, and injectivity is PROVED per run by one cheap
+    # partial-agg certificate (distinct shingles == distinct hashes; a
+    # 64-bit collision needs ~5×10⁹ distinct shingles for even a 50%
+    # birthday chance, and the fallback keeps the operator exact rather
+    # than probabilistic if one ever appears). Below the threshold the
+    # string verify runs unchanged — bench/driver plans are byte
+    # -identical to r6; the count is free (``_materialize`` already ran
+    # it, the second ``count()`` reads the persisted blocks).
     shing = reps.select(
         F.col(id_col).alias("__sid"),
         word_shingles(F.col(text_col), k).alias("__sh"),
     ).filter(F.size("__sh") >= 1)
+    if candidates.count() > _HASH_VERIFY_MIN_CANDIDATES:
+        cert = (
+            shing.select(F.explode("__sh").alias("__s"))
+            .agg(
+                F.countDistinct("__s").alias("d"),
+                F.countDistinct(F.xxhash64("__s")).alias("dh"),
+            )
+            .collect()[0]  # bounded: one row
+        )
+        if cert["d"] == cert["dh"]:
+            shing = shing.select(
+                "__sid", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+            )
     with_sets = (
         candidates.join(
             shing.select(F.col("__sid").alias("doc_a"), F.col("__sh").alias("__sa")),

@@ -77,6 +77,17 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             curve[sf_label][name] = round(best, 2)
             print(json.dumps({"sf": sf_label, "q": name, "sec": curve[sf_label][name]}), flush=True)
+            if sf_label == "sf16":
+                # shuffle files from the pair-heavy queries accumulate for
+                # the session (ContextCleaner frees them only after the
+                # RDD objects are GC'd) — at sf16 each dedup query leaves
+                # tens of GB; nudge both GCs so the next query starts on a
+                # clean disk instead of ENOSPCing the suite
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(2)
 
     with open(out_json, "w") as f:
         json.dump(curve, f, indent=1)

@@ -873,3 +873,24 @@ def test_prefix_filter_jaccard_exact_at_double_boundaries(spark):
     ref_c = {(r["doc_a"], r["doc_b"]) for r in cn.filter("c >= 1.0").collect()}
     got_c = {(r["doc_a"], r["doc_b"]) for r in containment_pairs(df, "doc_id", "text", k=1, threshold=1.0).collect()}
     assert got_c == ref_c and len(ref_c) >= 40  # exact-containment boundary
+
+
+def test_minhash_hashed_verify_equals_string_verify(spark, sf_dir, monkeypatch):
+    """The certified xxhash64-encoded verify (engaged past the candidate
+    -count threshold at scale) must emit the identical (pair, jaccard)
+    set as the string verify — forced on here by dropping the dispatch
+    threshold to zero."""
+    import dibimbing_case_study_etl_spark.operators.dedup as dd
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    monkeypatch.setattr(dd, "_HASH_VERIFY_MIN_CANDIDATES", 0)
+    hashed = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert baseline == hashed and len(baseline) > 0
