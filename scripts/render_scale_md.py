@@ -198,6 +198,11 @@ def main() -> None:
             )
         out.append("")
 
+    sf16_section = "/root/repo/_scale/sf16_section.md"
+    if os.path.exists(sf16_section):
+        out.append(open(sf16_section).read().rstrip("\n"))
+        out.append("")
+
     with open("/root/repo/SCALE.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote SCALE.md", len(rows), "queries")
