@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries (registry entries flagged
 ``bench=True``) at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
-on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+on ``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+Output contract (the driver captures only the LAST ~2000 chars of stdout
+and parses the final JSON line — r7's single 31-query line outgrew that
+window and the round lost its headline number):
+
+1. a FULL JSON line with per-query best + mean dicts (may exceed the
+   driver's tail window; also dumped to ``_scale/bench_full_last.json``);
+2. a final COMPACT JSON line — ``{"metric", "value", "unit", "sf",
+   "runs", "value_mean", "calibration_sec", "nqueries"}`` — guaranteed
+   to fit any tail buffer regardless of headline-set size.
+
+``calibration_sec`` is a fixed-work, data-independent canary (the warmup
+join/window/explode pipeline, timed, min of 2) so uniform hypervisor
+throttles are separable from plan regressions in round-over-round reads.
 
 Each query is materialized with the no-op sink (full computation, no
 result serialization cost); timings exclude session startup but include
@@ -38,27 +49,38 @@ def main() -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
+    def _calibration_pipeline() -> None:
+        # Fixed-work, data-independent pipeline (synthetic range input):
+        # join + window + explode + hash-agg + sort.  Used twice — untimed
+        # as JIT warmup here, then timed below as the throttle canary.
+        df = spark.range(200_000).select(
+            "id",
+            (F.col("id") % 97).alias("k"),
+            (F.col("id") * 0.001).alias("v"),
+        )
+        dim = spark.range(97).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+        (
+            df.join(dim, "k")
+            .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id")))
+            .withColumn("arr", F.array("id", "k"))
+            .select("*", F.explode("arr").alias("e"))
+            .groupBy("k")
+            .agg(
+                F.sum(F.call_function("rint", F.col("v") * 100).cast("bigint")).alias("s"),
+                F.avg("v").alias("a"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .orderBy("s")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    _calibration_pipeline()
     df = spark.range(200_000).select(
         "id",
         (F.col("id") % 97).alias("k"),
         (F.col("id") * 0.001).alias("v"),
-    )
-    dim = spark.range(97).select(F.col("id").alias("k"), F.lit("x").alias("name"))
-    (
-        df.join(dim, "k")
-        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id")))
-        .withColumn("arr", F.array("id", "k"))
-        .select("*", F.explode("arr").alias("e"))
-        .groupBy("k")
-        .agg(
-            F.sum(F.call_function("rint", F.col("v") * 100).cast("bigint")).alias("s"),
-            F.avg("v").alias("a"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        .orderBy("s")
-        .write.mode("overwrite")
-        .format("noop")
-        .save()
     )
     df.mapInPandas(lambda it: it, schema="id long, k long, v double").groupBy(
         "k"
@@ -86,6 +108,17 @@ def main() -> None:
     # interleaved passes is the standard throttle-resistant estimator
     # (both passes still include planning + full execution).
     runs = 2
+    # Throttle canary: same fixed pipeline as the warmup, now timed (min
+    # of 2 — the warmup run above already absorbed one-time JIT cost).
+    # Uniform VM slowdowns move this number with the suite; plan
+    # regressions move only the suite.
+    cal_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _calibration_pipeline()
+        cal_times.append(time.perf_counter() - t0)
+    calibration_sec = round(min(cal_times), 3)
+
     best: dict[str, float] = {}
     acc: dict[str, float] = {}
     for _ in range(runs):
@@ -99,23 +132,49 @@ def main() -> None:
 
     mean = {n: round(s / runs, 3) for n, s in acc.items()}
     total = round(sum(best.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall time (per-query best of %d)" % runs,
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                # mean over the same interleaved passes — reported alongside
-                # the min so round-over-round comparisons can use either
-                # estimator (r1 was single-run ≈ mean; r3+ headline is min).
-                "queries_mean": mean,
-                "value_mean": round(sum(mean.values()), 3),
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline query suite wall time (per-query best of %d)" % runs,
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        # mean over the same interleaved passes — reported alongside
+        # the min so round-over-round comparisons can use either
+        # estimator (r1 was single-run ≈ mean; r3+ headline is min).
+        "queries_mean": mean,
+        "value_mean": round(sum(mean.values()), 3),
+        "runs": runs,
+        "sf": sf,
+        "calibration_sec": calibration_sec,
+    }
+    # Full per-query line first (may exceed the driver's 2000-char tail
+    # window; preserved verbatim in _scale/bench_full_last.json) …
+    print(json.dumps(full))
+    try:
+        os.makedirs("_scale", exist_ok=True)
+        with open("_scale/bench_full_last.json", "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    # … then the compact headline line LAST so it always fits the tail
+    # capture whatever the headline-set size (r7 lesson: never let the
+    # final line grow unboundedly with the query count).
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "value_mean": full["value_mean"],
+        "runs": runs,
+        "sf": sf,
+        "calibration_sec": calibration_sec,
+        "nqueries": len(best),
+        "queries": best,
+    }
+    if len(json.dumps(compact)) > 1700:
+        # Per-query dict no longer fits the driver's 2000-char tail window
+        # alongside the headline fields — drop it from the final line (it
+        # is on the full line above and in _scale/bench_full_last.json).
+        compact["queries"] = {}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
