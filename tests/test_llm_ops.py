@@ -894,3 +894,72 @@ def test_minhash_hashed_verify_equals_string_verify(spark, sf_dir, monkeypatch):
         for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
     }
     assert baseline == hashed and len(baseline) > 0
+
+
+def test_lsh_strip_kernel_invariant_to_strip_size(spark, sf_dir, monkeypatch):
+    """The strip-chunked bucket-pair kernel (r8: bounded memory in bucket
+    size) must emit the identical pair set whatever the strip/flush sizes
+    — shrunk here so every real bucket spans multiple strips and the
+    drain() path fires mid-bucket."""
+    import dibimbing_case_study_etl_spark.operators.dedup as dd
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    monkeypatch.setattr(dd, "_PAIR_STRIP_ELEMS", 7)
+    monkeypatch.setattr(dd, "_PAIR_EMIT_ROWS", 3)
+    tiny = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert baseline == tiny and len(baseline) > 0
+
+
+def test_lsh_giant_bucket_star_downgrade(spark):
+    """The r7 verdict's one perf-weak item: a degenerate LSH bucket with
+    1e5 DISTINCT near-identical members must complete under a fixed
+    memory budget. With ``bucket_cap`` set, giant buckets downgrade to
+    star emission (hub spokes): O(m) output, O(m x bands) kernel cost,
+    same connected components for cluster-then-keeper pipelines.
+
+    Corpus: 30 shared words + one unique tail word per doc -> every pair
+    has Jaccard 28/30 ~= 0.933 (one differing shingle of 29), so all 1e5
+    docs are one true near-dup cluster and verified spokes pass the 0.8
+    threshold."""
+    import dibimbing_case_study_etl_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    core = " ".join(f"w{i}" for i in range(30))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(core + " u"), F.col("id").cast("string")).alias("text"),
+    )
+    out = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, bucket_cap=4096
+    )
+    rows = out.collect()
+    # star output is corpus-linear, not quadratic
+    assert 0 < len(rows) < 5 * n
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+    # union-find: the emitted spokes must stitch (nearly) every doc into
+    # one component — the property cluster-then-keeper consumers need
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            parent[a] = b
+    roots = {find(x) for x in range(n)}
+    covered = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
+    assert len(covered) >= 0.99 * n
+    assert len(roots) <= 1 + (n - len(covered)) + 0.01 * n
