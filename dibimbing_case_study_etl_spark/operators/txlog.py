@@ -89,6 +89,78 @@ class CommitStore:
             os.unlink(tmp)
 
 
+class S3CommitStore(CommitStore):
+    """Production CAS for S3-compatible object stores (AWS S3, MinIO):
+    ``put_if_absent`` is one conditional ``PutObject`` with
+    ``If-None-Match: *`` — the store accepts the write only when the key
+    does not exist and answers **412 PreconditionFailed** (409 during a
+    concurrent-write window on AWS) when it does, which is exactly the
+    lost-race signal the optimistic-concurrency protocol needs. No
+    external lock table (the DynamoDB pattern Delta documents for
+    pre-conditional-put S3) is required since S3/MinIO shipped
+    conditional writes.
+
+    Scope: this class is the PUBLISH seam (the only storage primitive
+    ``TxLogTable`` mutates the log through). Running a whole table
+    against S3 additionally needs the read side (list/get of commit
+    JSONs and parquet data) pointed at the same bucket — e.g. an s3a/
+    s3fs-mounted root — which is orthogonal to the commit atomicity this
+    class provides.
+
+    ``client`` is injectable (anything with S3's ``put_object``
+    signature) so the publish/race contract is testable without a live
+    endpoint; by default a ``boto3`` client is built lazily
+    (``endpoint_url`` supports MinIO). Keys are ``prefix`` + the target
+    path relative to ``root`` (or the absolute path sans leading slash
+    when no root is given).
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        root: Path | None = None,
+        client=None,
+        endpoint_url: str | None = None,
+    ):
+        if client is None:
+            import boto3  # optional dependency: only the S3 store needs it
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        self._client = client
+        self._bucket = bucket
+        self._prefix = prefix
+        self._root = root
+
+    def _key(self, target: Path) -> str:
+        rel = (
+            str(target.relative_to(self._root))
+            if self._root is not None
+            else str(target).lstrip("/")
+        )
+        return f"{self._prefix}{rel}"
+
+    def put_if_absent(self, target: Path, payload: bytes) -> bool:
+        try:
+            self._client.put_object(
+                Bucket=self._bucket,
+                Key=self._key(target),
+                Body=payload,
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as ex:  # botocore ClientError without a hard import
+            resp = getattr(ex, "response", None) or {}
+            status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+            code = (resp.get("Error") or {}).get("Code")
+            if status in (409, 412) or code in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
+                return False
+            raise
+
+
 @dataclass(frozen=True)
 class _DataFile:
     path: str  # relative to the table root

@@ -162,3 +162,37 @@ def test_minio_s3a_parquet_round_trip(spark):
     assert back.count() == 3
     # partition pruning must reach the object store listing
     assert back.filter(back.ds == "2024-01-02").count() == 1
+
+
+@pytest.mark.skipif(
+    not (S3A_ENDPOINT and S3A_BUCKET),
+    reason="live MinIO test needs SPARK_GRAFT_S3A_ENDPOINT and SPARK_GRAFT_S3A_BUCKET",
+)
+def test_minio_s3_commit_store_conditional_put():
+    """S3CommitStore's publish/race contract against a REAL MinIO
+    endpoint: the first conditional put (If-None-Match: *) wins, the
+    second observes the 412 lost-race signal and must not overwrite.
+    Requires a MinIO release with conditional-write support (RELEASE
+    2024-08+); skips on endpoints that ignore the precondition."""
+    from pathlib import Path
+
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    store_a = S3CommitStore(
+        S3A_BUCKET,
+        prefix=f"it/{uuid.uuid4().hex[:8]}/",
+        root=Path("/"),
+        endpoint_url=("http://" + S3A_ENDPOINT if "://" not in S3A_ENDPOINT else S3A_ENDPOINT),
+    )
+    store_b = S3CommitStore(
+        S3A_BUCKET, prefix=store_a._prefix, root=Path("/"), client=store_a._client
+    )
+    target = Path("/") / "_txlog" / "00000000.json"
+    assert store_a.put_if_absent(target, b'{"version": 0}') is True
+    second = store_b.put_if_absent(target, b'{"version": 0, "loser": true}')
+    if second is not False:
+        pytest.skip("endpoint accepted a duplicate conditional put (pre-2024-08 MinIO)")
+    body = store_a._client.get_object(
+        Bucket=S3A_BUCKET, Key=store_a._key(target)
+    )["Body"].read()
+    assert body == b'{"version": 0}'

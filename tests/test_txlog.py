@@ -546,3 +546,69 @@ def test_merge_broadcast_hint_is_gated_on_source_size(spark, table):
     assert _state(table, spark)[2] == "X" and _state(table, spark)[9] == "Y"
     table.merge(spark, _rows(spark, [(3, "Z")]), "k", target_files=1)  # under limit → hinted
     assert _state(table, spark)[3] == "Z"
+
+
+class _FakeS3Client:
+    """In-memory S3 conditional-put semantics: IfNoneMatch='*' accepted
+    only for absent keys, else a botocore-shaped 412 ClientError."""
+
+    def __init__(self):
+        self.objects: dict[tuple[str, str], bytes] = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "commit publish must be conditional"
+        if (Bucket, Key) in self.objects:
+            from botocore.exceptions import ClientError
+
+            raise ClientError(
+                {
+                    "Error": {"Code": "PreconditionFailed", "Message": "exists"},
+                    "ResponseMetadata": {"HTTPStatusCode": 412},
+                },
+                "PutObject",
+            )
+        self.objects[(Bucket, Key)] = bytes(Body)
+        return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+
+def test_s3_commit_store_put_if_absent_contract(tmp_path):
+    """First conditional put wins; the second returns False and must NOT
+    overwrite the winner's payload; non-CAS errors propagate."""
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    fake = _FakeS3Client()
+    store = S3CommitStore("b", prefix="tbl/", root=tmp_path, client=fake)
+    target = tmp_path / "_txlog" / "00000001.json"
+    assert store.put_if_absent(target, b"winner") is True
+    assert store.put_if_absent(target, b"loser") is False
+    assert fake.objects[("b", "tbl/_txlog/00000001.json")] == b"winner"
+
+    class _Boom(_FakeS3Client):
+        def put_object(self, **kw):
+            raise RuntimeError("network down")
+
+    broken = S3CommitStore("b", client=_Boom())
+    with pytest.raises(RuntimeError, match="network down"):
+        broken.put_if_absent(target, b"x")
+
+
+def test_s3_commit_store_race_exactly_one_winner(tmp_path):
+    """Two independent writers (separate store instances, one backend)
+    racing on every version: exactly one conditional put per key
+    succeeds, losers all observe False — the optimistic-concurrency
+    signal TxLogTable retries on."""
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    fake = _FakeS3Client()
+    w1 = S3CommitStore("b", root=tmp_path, client=fake)
+    w2 = S3CommitStore("b", root=tmp_path, client=fake)
+    wins = {1: 0, 2: 0}
+    for v in range(20):
+        target = tmp_path / "_txlog" / f"{v:08d}.json"
+        first, second = (w1, w2) if v % 3 else (w2, w1)
+        r_first = first.put_if_absent(target, b"first")
+        r_second = second.put_if_absent(target, b"second")
+        assert (r_first, r_second) == (True, False)
+        wins[1 if first is w1 else 2] += 1
+        assert fake.objects[("b", f"_txlog/{v:08d}.json")] == b"first"
+    assert wins[1] > 0 and wins[2] > 0
