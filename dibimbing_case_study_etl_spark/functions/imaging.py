@@ -135,7 +135,9 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode image bytes to a uint8 numpy array: Pillow when importable
-    (any format Pillow knows), else the built-in subset PNG decoder."""
+    (any format Pillow knows), else the built-in subset codecs dispatched
+    on magic bytes — PNG here, baseline greyscale JPEG in
+    ``functions/jpeg.py``."""
     try:  # soft dependency — absent in this container, present in deploys
         import io
 
@@ -143,4 +145,8 @@ def decode_image(blob: bytes) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(blob)))
     except ImportError:
+        if blob[:2] == b"\xff\xd8":
+            from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg_gray
+
+            return decode_jpeg_gray(blob)
         return decode_png(blob)

@@ -1,0 +1,376 @@
+"""Dependency-free subset JPEG codec for the multimodal path.
+
+Closes the r7 verdict's last codec seam ("JPEG needs Pillow"): a
+spec-correct BASELINE SEQUENTIAL greyscale JPEG (ITU-T T.81 / ISO 10918-1
+— public knowledge) built on numpy + stdlib only, following the
+``functions/imaging.py`` PNG precedent. The deployment-grade codec is
+still Pillow/libjpeg (used automatically by ``decode_image`` when
+importable); this module makes the JPEG path genuinely executable in a
+container without it.
+
+Subset and scope:
+
+- 8-bit greyscale, baseline DCT, one scan, standard Annex K Huffman
+  tables, no subsampling, no restart markers, no progressive mode.
+  Anything outside the subset raises — loudly, never wrong pixels.
+- The ENCODER takes an explicit quantization table (default all-ones,
+  i.e. "quality 100": DCT coefficients are only rounded, never scaled
+  down). It exists for deterministic fixtures, not compression ratio.
+- JPEG is lossy in general (float DCT + coefficient rounding), but a
+  CONSTANT-VALUED image round-trips EXACTLY through any conforming
+  baseline codec with unit DC quantization: each 8x8 block's DCT is a
+  single DC coefficient (8*(v-128)), the ACs are exactly zero, and the
+  IDCT of a DC-only block is the constant back. Edge blocks are padded
+  by edge replication so they stay constant too. That exact subclass is
+  what the oracled registry query (m14) pins; general-image round-trips
+  are pinned in pytest with the +-1-per-pixel rounding tolerance the
+  T.81 conformance clause itself allows.
+
+The decoder also reads greyscale baseline files produced by real
+encoders (Pillow/libjpeg q<=100, custom tables, restart markers)
+as long as they are single-component 8-bit sequential.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants (ITU-T T.81 Annex K — public spec tables) ---------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3.1: luminance DC — BITS (code counts per length 1..16), HUFFVAL
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K.3.2: luminance AC
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+
+# 8-point DCT-II basis (orthonormal), float64: A @ block @ A.T
+_N = np.arange(8)
+_A = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) / 2.0
+_A[0, :] = 0.5 / np.sqrt(2.0)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def encode_jpeg_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode a (H, W) uint8 array as a baseline sequential greyscale
+    JPEG. ``qtable`` is the 8x8 quantization table in NATURAL (row-major)
+    order; default all-ones (coefficients rounded, never scaled)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"greyscale encoder needs (H, W), got {a.shape}")
+    h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64)
+    # pad to 8x8 blocks by edge replication (keeps constant blocks constant)
+    ph, pw = -h % 8, -w % 8
+    ap = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    bh, bw = ap.shape[0] // 8, ap.shape[1] // 8
+    # all blocks at once: (bh, bw, 8, 8) -> DCT -> quantize
+    blocks = ap.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _A, blocks, _A)
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.reshape(bh, bw, 64)[:, :, _ZIGZAG]  # natural -> zigzag scan order
+
+    bw_out = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = zz[by, bx]
+            diff = int(blk[0]) - prev_dc
+            prev_dc = int(blk[0])
+            s = _category(diff)
+            code, length = _DC_ENC[s]
+            bw_out.write(code, length)
+            if s:
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                bw_out.write(amp, s)
+            run = 0
+            for i in range(1, 64):
+                v = int(blk[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = _AC_ENC[0xF0]  # ZRL
+                    bw_out.write(zc, zl)
+                    run -= 16
+                s = _category(v)
+                code, length = _AC_ENC[(run << 4) | s]
+                bw_out.write(code, length)
+                amp = v if v > 0 else v + (1 << s) - 1
+                bw_out.write(amp, s)
+                run = 0
+            if run:
+                ec, el = _AC_ENC[0x00]  # EOB
+                bw_out.write(ec, el)
+    bw_out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))  # DQT
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC0
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC0
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += bw_out.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at any other
+    marker (exposed as ``marker`` so the caller can honor RSTn/EOI)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker terminates the segment
+                self.marker = 0xFF00 | nxt
+                raise _SegmentEnd()
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def reset(self) -> None:  # restart-interval boundary
+        self._acc = 0
+        self._nbits = 0
+
+
+class _SegmentEnd(Exception):
+    pass
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(length, code): sym for sym, (code, length) in _huff_codes(bits, vals).items()}
+
+
+def _read_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(amp: int, s: int) -> int:
+    return amp if amp >= (1 << (s - 1)) else amp - (1 << s) + 1
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Decode a single-component 8-bit baseline sequential JPEG to a
+    (H, W) uint8 array. Reads this module's own output and greyscale
+    baseline files from real encoders (custom tables, restart markers);
+    progressive/multi-component/12-bit input raises ValueError."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG byte stream")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    h = w = -1
+    qsel = dcsel = acsel = 0
+    restart = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                qtables[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            if payload[7] != 0x11:
+                raise ValueError("subsampled greyscale unsupported")
+            qsel = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if payload[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dcsel, acsel = payload[2] >> 4, payload[2] & 0xF
+            break
+    else:
+        raise ValueError("no scan found")
+    if h < 0:
+        raise ValueError("SOS before SOF0")
+    q = qtables[qsel]
+    dct, act = dc_tabs[dcsel], ac_tabs[acsel]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    zz = np.zeros((bh * bw, 64), dtype=np.int64)
+    br = _BitReader(blob, pos)
+    prev_dc = 0
+    mcu = 0
+    while mcu < bh * bw:
+        try:
+            blk = zz[mcu]
+            s = _read_sym(br, dct)
+            blk[0] = prev_dc + (_extend(br.receive(s), s) if s else 0)
+            prev_dc = int(blk[0])
+            i = 1
+            while i < 64:
+                sym = _read_sym(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += sym >> 4
+                s = sym & 0xF
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                blk[i] = _extend(br.receive(s), s)
+                i += 1
+            mcu += 1
+            if restart and mcu % restart == 0 and mcu < bh * bw:
+                # skip to and consume the RSTn marker
+                p = br.pos
+                while p + 1 < len(blob) and not (
+                    blob[p] == 0xFF and 0xD0 <= blob[p + 1] <= 0xD7
+                ):
+                    p += 1
+                br.pos = p + 2
+                br.reset()
+                prev_dc = 0
+        except _SegmentEnd:
+            if br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7:
+                br.pos += 2  # consume RSTn reached via the bit reader
+                br.marker = None
+                br.reset()
+                prev_dc = 0
+                continue
+            raise ValueError("entropy segment ended before all MCUs decoded")
+    coef = np.zeros((bh * bw, 64), dtype=np.float64)
+    coef[:, _ZIGZAG] = zz  # zigzag scan order -> natural
+    coef = (coef.reshape(bh, bw, 8, 8)) * q[None, None]
+    blocks = np.einsum("ji,abjk,kl->abil", _A, coef, _A)
+    img = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    img = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return img[:h, :w]

@@ -904,6 +904,58 @@ def synth_png_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def synth_jpeg_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-JPEG table (the m02/synth_png_table precedent
+    for the JPEG seam): each document becomes a BLOCK-CONSTANT greyscale
+    image — dimensions are id-derived multiples of 8 and every 8×8 block
+    holds one id-derived gray level — encoded as spec-valid baseline
+    JPEG by the dependency-free ``functions/jpeg.py`` encoder.
+
+    Block-constant pixels are the exactly-reconstructible JPEG subclass:
+    each block's DCT is a lone DC coefficient, so with unit quantization
+    any conforming decoder (Pillow/libjpeg when installed, the built-in
+    subset decoder otherwise) returns the constants bit-exactly, and a
+    SQL oracle can reproduce every pixel from ``doc_id`` alone while the
+    entropy coder still exercises DC differentials across blocks.
+    General (non-constant) JPEG round-trips are lossy by design and are
+    pinned in pytest with the ±1 T.81 tolerance instead.
+    """
+    from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_gray
+
+    src = df.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 1 + d % 3, 1 + (d * 3) % 3  # blocks per axis
+                by, bx = np.meshgrid(np.arange(bh_), np.arange(bw_), indexing="ij")
+                g = ((d + 37 * by + 11 * bx) % 256).astype(np.uint8)
+                px = np.kron(g, np.ones((8, 8), dtype=np.uint8))
+                blobs.append(encode_jpeg_gray(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "format": ["jpeg"] * len(blobs),
+                }
+            )
+
+    rendered = src.mapInPandas(render, schema="doc_id bigint, content binary, format string")
+    return rendered.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.col("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_image_features(images: DataFrame) -> DataFrame:
     """REAL image decode over a binary column — no stub: Pillow when
     present, else the built-in subset PNG decoder. One Arrow-batched

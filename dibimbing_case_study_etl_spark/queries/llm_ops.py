@@ -1075,3 +1075,62 @@ def p01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "m14_jpeg_decode_stats",
+    # Full-codec JPEG oracle (the m02 pattern on the JPEG seam): the
+    # fixtures are BLOCK-CONSTANT greyscale images — id-derived multiples
+    # -of-8 geometry, one id-derived gray per 8x8 block — which is the
+    # exactly-reconstructible JPEG subclass (each block is DC-only under
+    # unit quantization, so ANY conforming decoder returns the constants
+    # bit-exactly). DuckDB reproduces every pixel from doc_id alone
+    # WITHOUT a codec; any disagreement means the entropy coder, the DC
+    # differentials, or the IDCT moved a pixel.
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id,
+             1 + doc_id % 3       AS bw,
+             1 + (doc_id * 3) % 3 AS bh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, bw, bh,
+             64 * list_sum(list_transform(generate_series(0, CAST(bw * bh AS BIGINT) - 1, 1),
+               b -> (doc_id + 37 * (b // bw) + 11 * (b % bw)) % 256)) AS px_sum
+      FROM geom
+    )
+    SELECT doc_id,
+           CAST(8 * bw AS BIGINT) AS width,
+           CAST(8 * bh AS BIGINT) AS height,
+           CAST(1 AS BIGINT)      AS channels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           {sql_iround("px_sum / CAST(64 * bw * bh AS DOUBLE)", 6)} AS px_mean
+    FROM px
+    """,
+    tags=("llm", "multimodal", "decode", "jpeg"),
+)
+def m14_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode on a REAL codec (closes the r7 verdict's last
+    dependency seam): render block-constant greyscale fixtures as
+    spec-valid baseline JPEG with the dependency-free T.81 subset
+    encoder (``functions/jpeg.py``), decode them back with the actual
+    decoder — Pillow/libjpeg when importable, the built-in subset
+    decoder otherwise — and report geometry + pixel statistics. Both
+    hops are Arrow-batched ``mapInPandas`` stages.
+
+    Scale: encode/decode are embarrassingly parallel per-row Python
+    stages, zero shuffle beyond the initial spread; general (lossy)
+    JPEG round-trips are pinned in pytest with the T.81 ±1 tolerance
+    (`tests/test_multimodal.py`)."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_jpeg_table,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    out = decode_image_features(synth_jpeg_table(t["documents"], "doc_id"))
+    return out.select(
+        "doc_id", "width", "height", "channels", "px_sum",
+        iround(F.col("px_mean"), 6).alias("px_mean"),
+    )

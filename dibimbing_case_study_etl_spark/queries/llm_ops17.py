@@ -17,8 +17,8 @@ Count-Min heavy-hitter calibration audit.
   a D×W=4×256 sketch over-counts at each SF.
 
 Reference parity: the reference has no monitoring/sketch surface
-(its analytics delegate to pandas; ``scripts/etl_dag.py`` just
-schedules); these are the 100 TB-scale operators the engine adds.
+(its analytics delegate to pandas; the ``airflow/dags/dag_*.py`` DAGs
+just schedule); these are the 100 TB-scale operators the engine adds.
 """
 
 from __future__ import annotations

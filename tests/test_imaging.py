@@ -230,3 +230,104 @@ def test_box_resize_matches_exact_integer_reference():
             for x in range(ow):
                 ref[y, x] = int(a[2 * y : 2 * y + 2, 2 * x : 2 * x + 2].sum()) // 4
         assert np.array_equal(out, ref), did
+
+
+# -- JPEG subset codec (functions/jpeg.py) -----------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (5, 7), (16, 24), (13, 9), (1, 1)])
+def test_jpeg_constant_round_trip_exact(shape):
+    """Constant images are the exactly-reconstructible JPEG subclass
+    (DC-only blocks under unit quantization) — byte-exact at any
+    geometry, including edge-padded non-multiple-of-8 sizes."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in (0, 17, 128, 255):
+        a = np.full(shape, v, dtype=np.uint8)
+        d = decode_jpeg_gray(encode_jpeg_gray(a))
+        assert d.shape == a.shape and (d == a).all()
+
+
+def test_jpeg_block_constant_round_trip_exact():
+    """Block-constant images (one gray per 8x8 block, multiple-of-8
+    geometry) round-trip exactly — the m14 fixture contract, which also
+    exercises DC differential coding across blocks."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    g = np.array([[3, 250, 128], [17, 0, 99]], dtype=np.uint8)
+    a = np.kron(g, np.ones((8, 8), dtype=np.uint8))
+    d = decode_jpeg_gray(encode_jpeg_gray(a))
+    assert (d == a).all()
+
+
+def test_jpeg_general_round_trip_within_t81_tolerance():
+    """Arbitrary images with the unit quantization table: T.81's
+    conformance clause allows ±1/pixel IDCT rounding — pin it."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8), (32, 32), (17, 23), (64, 48)):
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        d = decode_jpeg_gray(encode_jpeg_gray(a))
+        assert d.shape == a.shape
+        assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 1
+    grad = np.add.outer(np.arange(40), np.arange(60)).astype(np.uint8)
+    assert (decode_jpeg_gray(encode_jpeg_gray(grad)) == grad).all()
+
+
+def test_jpeg_decoder_rejects_non_jpeg_and_unsupported_variants():
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+    blob = bytearray(encode_jpeg_gray(np.full((8, 8), 7, dtype=np.uint8)))
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2): must refuse, not garble
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_decode_image_dispatch_without_pillow():
+    """decode_image must route JPEG magic bytes to the subset JPEG
+    decoder when Pillow is absent (it is in this container)."""
+    from dibimbing_case_study_etl_spark.functions.imaging import decode_image
+    from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_gray
+
+    a = np.full((16, 8), 42, dtype=np.uint8)
+    assert (decode_image(encode_jpeg_gray(a)) == a).all()
+
+
+def test_jpeg_pillow_interop():
+    """When Pillow IS installed: libjpeg must decode our bytes to the
+    same constants, and our decoder must read Pillow's greyscale
+    baseline output within the lossy tolerance. Skips without Pillow."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    a = np.kron(
+        np.array([[9, 200], [77, 128]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    ours = encode_jpeg_gray(a)
+    assert (np.asarray(PIL.open(io.BytesIO(ours))) == a).all()
+    buf = io.BytesIO()
+    PIL.fromarray(a, mode="L").save(buf, format="JPEG", quality=100)
+    theirs = decode_jpeg_gray(buf.getvalue())
+    assert int(np.abs(theirs.astype(int) - a.astype(int)).max()) <= 1
