@@ -94,96 +94,78 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r7 window (rotated from CORRECTNESS_r01–r06 staleness; all 50 r6 rows
-# were hash-green, so nothing needs a retest slot):
-# (a) the 15 queries registered after the r6 window froze — the only
-#     entries with NO driver row at all (local-oracle-green at sf0.001
-#     and sf1; never-checked outranks everything, the t36/s17 precedent);
-# (b) the 2 queries whose code or oracle materially changed this round:
-#     d08 (kernel rewrite: 2D salt cells + packed char-profile L1 prune +
-#     slim-join/deferred text fetch — the pair SET is proven unchanged by
-#     tests/test_llm_ops.py brute-force parity, but the driver row is the
-#     gate) and b03 (its oracle's merge layers became LEFT-JOIN no-op
-#     -guarded so degenerate corpora cannot collapse the held-out stats;
-#     equal on non-degenerate inputs, re-proven here). q82's conf-leak fix
-#     and b01/b04's shared-CTE guard are output-identical and re-proven by
-#     the local oracle suite; u06–u08's txlog internals (gated broadcast,
-#     stats-type validation, vacuum age guard) are property/process-tested
-#     in tests/test_txlog.py — they yield their slots to the stale block;
-#     m04 is IN (its codec went real: WAV container parse + new oracle);
-# (c) the r2-latest greens (the q26–q65 relational block, q09/q10, t07;
-#     q37 yields its slot to m04, see (b)) — after this window the only
-#     pre-r3 latest-check left is q37, whose oracled twin q37r is newer.
-# Window re-cut mid-r7 (session 2): v07/u12/m13 — originally deferred to
-# r8 as post-freeze registrations — plus the session-2 additions f07/t48
-# (new, oracled) and m02/m03 (codecs went REAL: exact-integer PNG box
-# resize, Y4M container parse — the m04 precedent) are pulled INTO the
-# window so r7 ends with ZERO never-checked queries; the equivalent
-# count of oldest-stale rotations (q57–q65 tail) yields slots — each
-# keeps its local oracle coverage and a green row ≤ r2.
+# r8 window: all 50 r7 rows were hash-green and r7 left ZERO
+# never-checked queries, so this window is almost pure staleness
+# rotation — the r7 verdict's ask #3 ("post-r8 no green older than r4").
+# One new registration (m14, the JPEG codec query) and one changed
+# kernel (d03) take the front; the remaining 48 slots drain the entire
+# r2-latest block (11) and 37 of the 45 r3-latest (the per-entry
+# comment below explains the 8 holdovers).
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked — registered after the r6 window froze
-    "r08_index_capacity_stats",
-    "u10_compaction_planner",
-    "v05_generalization_ladder",
-    "q83_spatial_neighbor_join",
-    "f06_forecast_reconciliation",
-    "u11_retention_policy_simulator",
-    "t46_dedup_survivorship_report",
-    "x09_aa_pvalue_calibration",
-    "s21_filtered_ann_recall",
-    "v06_t_closeness_audit",
-    "p04_private_release_pipeline",
-    "q84_join_cardinality_estimate",
-    "m12_png_crc_quarantine",
-    "q85_cumulative_distinct_users",
-    "t47_ngram_novelty_rate",
-    # (a2) never driver-checked — registered during r7
-    "v07_user_capped_dp_histogram",
-    "u12_layout_clustering_depth",
-    "m13_wav_signal_stats",
-    "f07_cusum_changepoint",
-    "t48_countmin_heavy_hitters",
-    # (b) changed this round. Displacements from the stale block, each with
-    # a newer proxy: q37 (rows-only — the least informative row type; its
-    # oracled audit twin q37r is hash-green r5) yields to m04; q26 (event
-    # -time bucketing; in the bench set, exercised every round, and its
-    # shape is re-proven by q77/q80, green r5) yields to d02; q10 (top-k ≈
-    # q02/q03; q03 benches every round) yields to d10; q61 (funnel
-    # semantics re-proven via q79, green r5) yields to d20.
-    "d08_edit_distance_pairs",
-    "b03_bpe_heldout_generalization",
-    "m04_audio_resample",
-    "m02_image_resize_pipeline",
-    "m03_video_frame_sample",
-    "d02_dedup_jaccard_pairs",
-    "d10_containment_pairs",
-    "d20_dedup_threshold_sensitivity",
-    # (c) the r2-stale block — oldest greens rotate through (the
-    # q57–q65 tail yielded its slots to (a2)/(b); all keep green r2
-    # rows + local oracles)
-    "t07_stratified_sample",
-    "q09_nation_year_profit",
-    "q28_events_json_props",
-    "q31_percentiles",
-    "q32_correlated_avg_subquery",
-    "q34_string_functions",
-    "q36_scalar_subquery_anti",
-    "q38_two_nation_volume",
-    "q40_top_supplier",
-    "q41_not_in_null_aware",
-    "q42_large_orders",
-    "q44_datetime_functions",
-    "q45_pandas_udf_scalar",
-    "q46_grouped_pandas_udf",
-    "q48_distribution_windows",
-    "q49_multiset_ops",
-    "q51_python_udtf_sentences",
-    "q52_stateful_running_totals",
-    "q53_recursive_month_spine",
-    "q54_window_interval_range_frame",
-    "q55_cogrouped_order_reconciliation",
-    "q56_variant_semistructured",
+    # (a) never driver-checked — registered this round
+    "m14_jpeg_decode_stats",
+    # (b) changed this round: d03's LSH kernel (prefix-sig emission,
+    # strip-chunked bucket-pair enumeration, bucket_cap seam). The pair
+    # set is proven unchanged by the strip-invariance pytest and a full
+    # sf0.01 registry-vs-oracle sweep, but the driver row is the gate.
+    # Its composite consumers (p01/t36/t46/d14/...) were all re-verified
+    # by the same sweep and keep their newer green rows.
+    "d03_dedup_minhash_lsh",
+    # (c) the staleness rotation, oldest first (COVERAGE.md two-round
+    # rule): all 11 r2-latest greens, then 37 of the 45 r3-latest. The 8
+    # r3 holdovers for r9 — d01/d13/q01/q03/q23/q27 (bench set and/or
+    # sf16 scale path, local-oracle-green every round) and s08/s09
+    # (rows-only by design; their oracled audit twins s08r/s09r carry
+    # newer hash-green rows) — have the strongest continuous secondary
+    # evidence.
+    "q10_returned_revenue_topk",
+    "q26_events_hourly",
+    "q37_approx_aggregates",
+    "q57_sole_blame_suppliers",
+    "q58_map_type_aggregation",
+    "q60_first_last_ignore_nulls",
+    "q61_sequential_funnel",
+    "q62_important_part_values",
+    "q63_supplier_diversity",
+    "q64_heavy_widget_suppliers",
+    "q65_nation_revenue_share",
+    "d11_semdedup_pairs",
+    "q02_topk_orders",
+    "q04_priority_semi_join",
+    "q05_region_nation_revenue",
+    "q06_revenue_filter",
+    "q07_customers_without_orders",
+    "q11_group_having",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_set_ops",
+    "q17_cube_status_priority",
+    "q18_distinct_counts",
+    "q19_theta_join_ranges",
+    "q20_window_topn_per_group",
+    "q21_window_running_total",
+    "q24_pivot_status_by_priority",
+    "q29_asof_join",
+    "q30_range_join",
+    "q33_grouping_sets",
+    "q35_sql_cte_ntile",
+    "q39_market_share",
+    "q43_array_agg",
+    "q47_unpivot_stack",
+    "q50_values_inline_dim",
+    "q66_min_cost_supplier",
+    "q67_lateral_topk_orders",
+    "q68_session_window_native",
+    "q69_sql_udf_discount",
+    "q70_error_tolerant_parse",
+    "t09_source_data_card",
+    "t10_unigram_surprisal",
+    "t11_sequence_packing",
+    "t12_mixture_weights",
+    "t13_pii_redaction",
+    "t14_ngram_topk",
+    "t15_tokenize_ids",
+    "u01_incremental_rollup",
 ]
 
 

@@ -26,12 +26,19 @@ SFS = {
 }
 
 # The scale paths + a relational/events/codec spine. Deliberately NO
-# exact pair-enumeration baselines (d02/d08/d10/d20/g01/g02/s09 — their
+# exact pair-enumeration baselines (d02/d10/d20/g01/g02/s09 — their
 # cost is pair-space by definition; SCALE.md's three-point curve covers
-# them with the emission-bound analysis).
+# them with the emission-bound analysis). d08 joined in r8: its r7 2D
+# -salt-cell + profile-prune kernel bounds per-task work regardless of
+# block degeneracy, which makes it a deployed kernel, not an exact
+# baseline. t36 joined in r8: it composes the d03 LSH candidates with
+# d06 label propagation — the heaviest composite never measured past
+# sf4.
 QUERIES = [
     "d01_dedup_exact",
     "d03_dedup_minhash_lsh",
+    "d08_edit_distance_pairs",
+    "t36_cluster_aware_split",
     "d13_bloom_decontamination",
     "m06_phash_neardup",
     "m08_png_phash_neardup",
