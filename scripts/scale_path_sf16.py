@@ -54,6 +54,25 @@ QUERIES = [
 ]
 
 
+def _drain_shuffle_dirs(spark, budget_s: float = 120.0, target_free_gb: float = 45.0) -> None:
+    """GC-nudge (Python + JVM) in a loop until the temp disk has at least
+    ``target_free_gb`` free or the budget expires. ContextCleaner deletes
+    a query's shuffle files asynchronously after its ShuffleDependency
+    objects are garbage-collected; a single fixed sleep races it."""
+    import gc
+    import shutil
+
+    deadline = time.monotonic() + budget_s
+    while True:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
+        free_gb = shutil.disk_usage("/tmp").free / 1e9
+        if free_gb >= target_free_gb or time.monotonic() > deadline:
+            print(json.dumps({"drain_free_gb": round(free_gb, 1)}), flush=True)
+            return
+
+
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/_scale/curve_sf16.json"
 
@@ -88,13 +107,13 @@ def main() -> None:
                 # shuffle files from the pair-heavy queries accumulate for
                 # the session (ContextCleaner frees them only after the
                 # RDD objects are GC'd) — at sf16 each dedup query leaves
-                # tens of GB; nudge both GCs so the next query starts on a
-                # clean disk instead of ENOSPCing the suite
-                import gc
-
-                gc.collect()
-                spark.sparkContext._jvm.System.gc()
-                time.sleep(2)
+                # tens of GB. The r7 fixed 2 s nudge stopped sufficing
+                # when d08 + t36 joined the leg (their extra ~60 GB of
+                # shuffle ENOSPC'd p01): now nudge both GCs REPEATEDLY
+                # until the disk actually drains (ContextCleaner is
+                # async) or the budget expires, so the next query starts
+                # on a clean disk however heavy the previous one was.
+                _drain_shuffle_dirs(spark)
 
     with open(out_json, "w") as f:
         json.dump(curve, f, indent=1)
