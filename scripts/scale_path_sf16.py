@@ -55,13 +55,26 @@ QUERIES = [
 
 
 def _drain_shuffle_dirs(spark, budget_s: float = 120.0, target_free_gb: float = 45.0) -> None:
-    """GC-nudge (Python + JVM) in a loop until the temp disk has at least
-    ``target_free_gb`` free or the budget expires. ContextCleaner deletes
-    a query's shuffle files asynchronously after its ShuffleDependency
-    objects are garbage-collected; a single fixed sleep races it."""
+    """Release a finished query's disk footprint before the next leg.
+
+    TWO mechanisms hold disk here, and they need different levers:
+
+    - CACHE blocks (``_materialize`` persists intermediates
+      MEMORY_AND_DISK): the session CacheManager keeps STRONG references,
+      so no amount of GC frees them — ``clearCache()`` is the only
+      release. Cross-query reuse is nil (each query rebuilds its own
+      subtree), so clearing between legs costs nothing. This was the r8
+      ENOSPC: d08's and t36's spilled caches pinned ~50 GB that the r7
+      GC nudge could never reclaim.
+    - SHUFFLE files: freed by the async ContextCleaner only after the
+      ShuffleDependency objects are garbage-collected — so GC-nudge both
+      runtimes in a loop until the disk actually drains or the budget
+      expires (a single fixed sleep races the cleaner).
+    """
     import gc
     import shutil
 
+    spark.catalog.clearCache()
     deadline = time.monotonic() + budget_s
     while True:
         gc.collect()
@@ -103,17 +116,16 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             curve[sf_label][name] = round(best, 2)
             print(json.dumps({"sf": sf_label, "q": name, "sec": curve[sf_label][name]}), flush=True)
-            if sf_label == "sf16":
-                # shuffle files from the pair-heavy queries accumulate for
-                # the session (ContextCleaner frees them only after the
-                # RDD objects are GC'd) — at sf16 each dedup query leaves
-                # tens of GB. The r7 fixed 2 s nudge stopped sufficing
-                # when d08 + t36 joined the leg (their extra ~60 GB of
-                # shuffle ENOSPC'd p01): now nudge both GCs REPEATEDLY
-                # until the disk actually drains (ContextCleaner is
-                # async) or the budget expires, so the next query starts
-                # on a clean disk however heavy the previous one was.
-                _drain_shuffle_dirs(spark)
+            if sf_label in ("sf4", "sf16"):
+                # see _drain_shuffle_dirs: clearCache() releases the
+                # pinned persists (un-GC-able), the GC loop releases the
+                # shuffle files. sf4 drains too — its caches would
+                # otherwise still be resident when the sf16 leg starts.
+                _drain_shuffle_dirs(
+                    spark, budget_s=(120.0 if sf_label == "sf16" else 15.0)
+                )
+        if sf_label in ("sf0.1", "sf1"):
+            _drain_shuffle_dirs(spark, budget_s=15.0)
 
     with open(out_json, "w") as f:
         json.dump(curve, f, indent=1)
