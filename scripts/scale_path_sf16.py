@@ -94,11 +94,37 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark(app_name="scale-path-sf16", shuffle_partitions=128)
+
+    def _calibration(spark) -> float:
+        # Fixed-work, data-independent throttle canary (bench.py's r8
+        # pattern): the hypervisor varies ~2x between sessions, so each
+        # leg records what a CONSTANT workload costs right then —
+        # separating VM weather from genuine slope in cross-round reads.
+        from pyspark.sql import functions as F
+
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                spark.range(2_000_000)
+                .select((F.col("id") % 9973).alias("k"), (F.col("id") * 0.001).alias("v"))
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+                .orderBy("s")
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     curve: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in SFS.items():
         if not os.path.isdir(sf_dir):
             continue
         curve[sf_label] = {}
+        curve[sf_label]["_calibration_sec"] = _calibration(spark)
         # warmup pass amortizes whole-session JIT into the first leg
         if sf_label == "sf0.1":
             for name in QUERIES:
