@@ -168,7 +168,7 @@ RESIZE_REAL_SCHEMA = (
 )
 
 
-def resize_images_real(images: DataFrame) -> DataFrame:
+def resize_images_real(images: DataFrame, spread: bool = True) -> DataFrame:
     """REAL image resize — no stub: decode each PNG blob with the actual
     codec (Pillow when importable, else the built-in subset decoder), then
     2×2 box-filter downsample in EXACT integer arithmetic — each output
@@ -181,10 +181,16 @@ def resize_images_real(images: DataFrame) -> DataFrame:
 
     One Arrow-batched ``mapInPandas`` pass, partition-spread first; the
     per-doc work is O(pixels) numpy, embarrassingly parallel — the
-    deployment posture for codec work on a cluster."""
-    images = images.repartition(
-        images.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    deployment posture for codec work on a cluster. ``spread=False`` skips the defensive
+    input spread — pass it when the producer (a ``synth_*_table``) has
+    already hash-spread by doc_id: the blobs then stay on their render
+    partitions and the codec plan carries ONE exchange instead of two
+    (at scale the second exchange re-ships every blob for zero
+    rebalancing gain)."""
+    if spread:
+        images = images.repartition(
+            images.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -428,16 +434,24 @@ def synth_wav_table(
     )
 
 
-def resample_audio_real(audio: DataFrame, factor: int = 4) -> DataFrame:
+def resample_audio_real(
+    audio: DataFrame, factor: int = 4, spread: bool = True
+) -> DataFrame:
     """Decimation resample over REAL WAV blobs: decode each RIFF/PCM
     payload with the subset codec (no stub — the sample rate and samples
     come from the container, not the synthetic metadata), keep every
     ``factor``-th sample, and fingerprint the decimated int16 signal.
     One Arrow-batched ``mapInPandas`` pass, partition-spread first; the
-    per-doc work is O(n_samples) numpy slicing."""
-    audio = audio.repartition(
-        audio.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    per-doc work is O(n_samples) numpy slicing. ``spread=False`` skips the defensive
+    input spread — pass it when the producer (a ``synth_*_table``) has
+    already hash-spread by doc_id: the blobs then stay on their render
+    partitions and the codec plan carries ONE exchange instead of two
+    (at scale the second exchange re-ships every blob for zero
+    rebalancing gain)."""
+    if spread:
+        audio = audio.repartition(
+            audio.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dibimbing_case_study_etl_spark.functions.audio import decode_wav
@@ -521,17 +535,25 @@ Y4M_FRAME_SCHEMA = (
 )
 
 
-def sample_frames_y4m(videos: DataFrame, step: int = 4) -> DataFrame:
+def sample_frames_y4m(
+    videos: DataFrame, step: int = 4, spread: bool = True
+) -> DataFrame:
     """REAL video frame sampling — no stub: container-parse each Y4M blob
     (header tokens + per-frame ``FRAME`` marker verification, the actual
     seek arithmetic a video reader performs), keep every ``step``-th
     frame, and fingerprint each kept luma plane. Geometry comes from the
     CONTAINER, not the synthetic metadata, so the parse itself is what
     the oracle checks. One Arrow-batched ``mapInPandas`` pass,
-    partition-spread first; per-doc work is O(payload) numpy."""
-    videos = videos.repartition(
-        videos.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    partition-spread first; per-doc work is O(payload) numpy. ``spread=False`` skips the defensive
+    input spread — pass it when the producer (a ``synth_*_table``) has
+    already hash-spread by doc_id: the blobs then stay on their render
+    partitions and the codec plan carries ONE exchange instead of two
+    (at scale the second exchange re-ships every blob for zero
+    rebalancing gain)."""
+    if spread:
+        videos = videos.repartition(
+            videos.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dibimbing_case_study_etl_spark.functions.video import decode_y4m
@@ -956,12 +978,21 @@ def synth_jpeg_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_image_features(images: DataFrame) -> DataFrame:
+def decode_image_features(images: DataFrame, spread: bool = True) -> DataFrame:
     """REAL image decode over a binary column — no stub: Pillow when
     present, else the built-in subset PNG decoder. One Arrow-batched
     ``mapInPandas`` pass emitting per-image geometry + pixel statistics;
-    a corrupt/unsupported blob raises rather than producing fake rows."""
-    images = images.repartition(images.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    a corrupt/unsupported blob raises rather than producing fake rows.
+    ``spread=False`` skips the defensive
+    input spread — pass it when the producer (a ``synth_*_table``) has
+    already hash-spread by doc_id: the blobs then stay on their render
+    partitions and the codec plan carries ONE exchange instead of two
+    (at scale the second exchange re-ships every blob for zero
+    rebalancing gain)."""
+    if spread:
+        images = images.repartition(
+            images.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -980,7 +1011,7 @@ def decode_image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(decode, schema=PNG_DECODE_SCHEMA)
 
 
-def decode_phash(images: DataFrame) -> DataFrame:
+def decode_phash(images: DataFrame, spread: bool = True) -> DataFrame:
     """REAL-decode perceptual hash: decode each image blob (Pillow or the
     built-in subset PNG codec), flatten the pixels row-major, and compute
     the same 64-bit aHash :func:`phash_cols` defines — bit j set iff
@@ -995,7 +1026,10 @@ def decode_phash(images: DataFrame) -> DataFrame:
     """
     from dibimbing_case_study_etl_spark.functions.imaging import decode_image
 
-    images = images.repartition(images.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    if spread:
+        images = images.repartition(
+            images.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -812,7 +812,9 @@ def m02_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = register(spark, sf_dir, ("documents",))
-    out = resize_images_real(synth_png_table(t["documents"], "doc_id", "text"))
+    out = resize_images_real(
+        synth_png_table(t["documents"], "doc_id", "text"), spread=False
+    )
     return out.select(
         "doc_id", "orig_w", "orig_h", "out_w", "out_h", "px_sum",
         iround(F.col("px_mean"), 6).alias("px_mean"),
@@ -874,7 +876,7 @@ def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("documents",))
     videos = synth_y4m_table(t["documents"], "doc_id", "text", fps=24)
-    return sample_frames_y4m(videos, step=4)
+    return sample_frames_y4m(videos, step=4, spread=False)
 
 
 @query(
@@ -911,7 +913,7 @@ def m04_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("documents",))
     audio = synth_wav_table(t["documents"], "doc_id", "text", sample_rate=16000)
-    return resample_audio_real(audio, factor=4)
+    return resample_audio_real(audio, factor=4, spread=False)
 
 
 @query(
@@ -1129,7 +1131,9 @@ def m14_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = register(spark, sf_dir, ("documents",))
-    out = decode_image_features(synth_jpeg_table(t["documents"], "doc_id"))
+    out = decode_image_features(
+        synth_jpeg_table(t["documents"], "doc_id"), spread=False
+    )
     return out.select(
         "doc_id", "width", "height", "channels", "px_sum",
         iround(F.col("px_mean"), 6).alias("px_mean"),

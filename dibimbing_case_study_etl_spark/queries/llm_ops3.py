@@ -475,7 +475,7 @@ def m07_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("documents",))
     pngs = synth_png_table(t["documents"], "doc_id", "text")
-    feats = decode_image_features(pngs)
+    feats = decode_image_features(pngs, spread=False)  # synth_png_table already spread
     return feats.select(
         "doc_id",
         "width",

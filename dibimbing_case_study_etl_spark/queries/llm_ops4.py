@@ -520,7 +520,7 @@ def m08_png_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register(spark, sf_dir, ("documents",))
     pngs = synth_png_table(t["documents"], "doc_id", "text")
-    sig = decode_phash(pngs)
+    sig = decode_phash(pngs, spread=False)  # synth_png_table already spread
     return band_hamming_pairs(sig, max_hamming=_M08_HAMMING, n_bands=8, probe_bits=1)
 
 

@@ -1057,3 +1057,34 @@ def test_m02_m03_single_python_hop_per_stage(spark, sf_dir):
         assert plan.count("Arguments: render(") == 1, name
         assert plan.count(f"Arguments: {codec_fn}") == 1, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_codec_queries_single_exchange(spark, sf_dir):
+    """r8: the synth_*_table producers already hash-spread by doc_id, so
+    the codec consumers take spread=False and each real-codec query plan
+    carries exactly ONE exchange (the producer's spread) — the r7 shape
+    re-shipped every blob through a second same-key exchange for zero
+    rebalancing gain, which at scale doubles the decode pipeline's
+    network cost."""
+    import re
+
+    for name in (
+        "m02_image_resize_pipeline",
+        "m03_video_frame_sample",
+        "m04_audio_resample",
+        "m07_png_decode_features",
+        "m14_jpeg_decode_stats",
+    ):
+        plan = explain_str(spark, sf_dir, name)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
+
+
+def test_m14_jpeg_two_python_stages_no_join(spark, sf_dir):
+    """m14 is render → decode: two Arrow-batched Python stages, nothing
+    else leaves the JVM, no join anywhere, and the scan is pruned to the
+    single doc_id column (the fixtures are id-derived)."""
+    plan = explain_str(spark, sf_dir, "m14_jpeg_decode_stats")
+    assert plan.count("Arguments: render(") == 1
+    assert plan.count("Arguments: decode(") == 1
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
