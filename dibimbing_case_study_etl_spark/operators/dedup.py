@@ -425,12 +425,21 @@ def minhash_lsh_pairs(
     pairs with the bucket's min-id hub only. A degenerate bucket (a
     template family with ~10⁵–10⁶ distinct near-identical members landing
     one band-0 bucket at web scale) has a genuinely quadratic all-pairs
-    output that is itself unusable downstream; the star keeps every member
-    connected to its cluster (union-find over star pairs yields the same
-    connected components, so cluster-then-keeper pipelines — d06/d07 —
-    are unaffected) at O(m) output and O(m·bands) kernel cost. Capped
+    output that is itself unusable downstream; the star emits each member
+    paired with the hub at O(m) output and O(m·bands) kernel cost. Capped
     emission still honors first-match-band exactly-once pruning, and all
     emitted pairs still go through the exact-Jaccard verifier.
+
+    Component-preservation caveat (the reason the cap is OPT-IN and never
+    on an oracle path): because hub–spoke pairs are verified against the
+    threshold like any other candidate, union-find over the surviving star
+    pairs reproduces the all-pairs connected components ONLY when every
+    capped-bucket member is within threshold of the hub — i.e. the bucket
+    is (approximately) a clique, the template-family case that motivates
+    the cap. A spoke below threshold to the hub but above it to some other
+    member loses that path and may split off. Exact components under a
+    cap would need spoke–spoke re-verification or a verified-medoid hub;
+    callers needing exact clustering must leave ``bucket_cap=None``.
 
     With 128 hashes in 32 bands of 4 rows, a pair at Jaccard 0.8 is missed
     with probability (1-0.8⁴)³² ≈ 5e-8 — effectively exhaustive recall while

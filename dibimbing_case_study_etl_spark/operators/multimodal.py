@@ -954,7 +954,11 @@ def synth_jpeg_table(df: DataFrame, id_col: str) -> DataFrame:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                bw_, bh_ = 1 + d % 3, 1 + (d * 3) % 3  # blocks per axis
+                # (d*3)%3 was identically 0 (r8 ADVICE): d//3 actually
+                # varies the height, so multi-block-ROW images (vertical
+                # MCU order, DC differentials across block rows) are on
+                # the registry/oracle path, not just in pytest
+                bw_, bh_ = 1 + d % 3, 1 + (d // 3) % 3  # blocks per axis
                 by, bx = np.meshgrid(np.arange(bh_), np.arange(bw_), indexing="ij")
                 g = ((d + 37 * by + 11 * bx) % 256).astype(np.uint8)
                 px = np.kron(g, np.ones((8, 8), dtype=np.uint8))

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import uuid
 from dataclasses import dataclass
@@ -88,24 +89,54 @@ class CommitStore:
         finally:
             os.unlink(tmp)
 
+    # -- read side ----------------------------------------------------------
+    # The log's only other storage needs: enumerate what's published under
+    # the log dir and fetch one published object. Together with
+    # ``put_if_absent`` this makes TxLogTable's LOG fully store-backed
+    # (commit → read → time-travel round-trips through the seam); the data
+    # files themselves are read by Spark's own parquet source (s3a/file),
+    # which is orthogonal.
+
+    def list_names(self, log_dir: Path) -> list[str]:
+        """Names (no directory part) of objects directly under ``log_dir``.
+        Missing directory = empty log, not an error."""
+        if not log_dir.is_dir():
+            return []
+        return [p.name for p in log_dir.iterdir() if p.is_file()]
+
+    def read(self, target: Path) -> bytes:
+        """Fetch one published object's payload."""
+        return target.read_bytes()
+
+    def ensure_dir(self, d: Path) -> None:
+        """Bootstrap hook: POSIX needs the directory to exist before
+        ``os.link``; object stores have no directories (no-op there)."""
+        d.mkdir(parents=True, exist_ok=True)
+
 
 class S3CommitStore(CommitStore):
     """Production CAS for S3-compatible object stores (AWS S3, MinIO):
     ``put_if_absent`` is one conditional ``PutObject`` with
     ``If-None-Match: *`` — the store accepts the write only when the key
-    does not exist and answers **412 PreconditionFailed** (409 during a
-    concurrent-write window on AWS) when it does, which is exactly the
-    lost-race signal the optimistic-concurrency protocol needs. No
+    does not exist and answers **412 PreconditionFailed** when it does,
+    which is exactly the lost-race signal the optimistic-concurrency
+    protocol needs. A **409 ConditionalRequestConflict** (AWS, while a
+    competing conditional write is still in flight) is NOT definitive —
+    the competitor may yet fail, leaving no object at the key — so 409
+    re-issues the conditional put with backoff until a definitive 200
+    (→ True) or 412 (→ False); mapping 409 straight to False could punch
+    a permanent hole at that version (the caller would retry at v+1,
+    breaking the contiguous-log replay in ``_fold_state``). No
     external lock table (the DynamoDB pattern Delta documents for
     pre-conditional-put S3) is required since S3/MinIO shipped
     conditional writes.
 
-    Scope: this class is the PUBLISH seam (the only storage primitive
-    ``TxLogTable`` mutates the log through). Running a whole table
-    against S3 additionally needs the read side (list/get of commit
-    JSONs and parquet data) pointed at the same bucket — e.g. an s3a/
-    s3fs-mounted root — which is orthogonal to the commit atomicity this
-    class provides.
+    Scope: this class covers the full LOG protocol — the publish CAS plus
+    the read side (``list_names`` via paginated ``ListObjectsV2``,
+    ``read`` via ``GetObject``) — so a TxLogTable's commit → read →
+    time-travel cycle round-trips entirely through the store. The parquet
+    DATA files are still read by Spark's own source (point the table root
+    at the same bucket via s3a), which is orthogonal to log atomicity.
 
     ``client`` is injectable (anything with S3's ``put_object``
     signature) so the publish/race contract is testable without a live
@@ -122,6 +153,8 @@ class S3CommitStore(CommitStore):
         root: Path | None = None,
         client=None,
         endpoint_url: str | None = None,
+        conflict_retries: int = 8,
+        conflict_backoff_s: float = 0.05,
     ):
         if client is None:
             import boto3  # optional dependency: only the S3 store needs it
@@ -131,6 +164,8 @@ class S3CommitStore(CommitStore):
         self._bucket = bucket
         self._prefix = prefix
         self._root = root
+        self._conflict_retries = conflict_retries
+        self._conflict_backoff_s = conflict_backoff_s
 
     def _key(self, target: Path) -> str:
         rel = (
@@ -141,24 +176,62 @@ class S3CommitStore(CommitStore):
         return f"{self._prefix}{rel}"
 
     def put_if_absent(self, target: Path, payload: bytes) -> bool:
-        try:
-            self._client.put_object(
-                Bucket=self._bucket,
-                Key=self._key(target),
-                Body=payload,
-                IfNoneMatch="*",
-            )
-            return True
-        except Exception as ex:  # botocore ClientError without a hard import
-            resp = getattr(ex, "response", None) or {}
-            status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
-            code = (resp.get("Error") or {}).get("Code")
-            if status in (409, 412) or code in (
-                "PreconditionFailed",
-                "ConditionalRequestConflict",
-            ):
-                return False
-            raise
+        import time as _time
+
+        attempts = self._conflict_retries + 1
+        for attempt in range(attempts):
+            try:
+                self._client.put_object(
+                    Bucket=self._bucket,
+                    Key=self._key(target),
+                    Body=payload,
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as ex:  # botocore ClientError without a hard import
+                resp = getattr(ex, "response", None) or {}
+                status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+                code = (resp.get("Error") or {}).get("Code")
+                if status == 412 or code == "PreconditionFailed":
+                    return False  # definitive: an object exists at the key
+                if status == 409 or code == "ConditionalRequestConflict":
+                    # indeterminate: a competing conditional write is in
+                    # flight and may still fail — retry until 200/412
+                    if attempt + 1 < attempts:
+                        _time.sleep(self._conflict_backoff_s * (2**attempt))
+                        continue
+                    raise ConflictError(
+                        f"conditional put on {self._key(target)} stayed "
+                        f"indeterminate (409) after {attempts} attempts"
+                    ) from ex
+                raise
+        raise AssertionError("unreachable")  # loop always returns or raises
+
+    def list_names(self, log_dir: Path) -> list[str]:
+        prefix = self._key(log_dir).rstrip("/") + "/"
+        names: list[str] = []
+        token: str | None = None
+        while True:
+            kw = {"Bucket": self._bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", ()) or ():
+                tail = obj["Key"][len(prefix):]
+                if tail and "/" not in tail:  # direct children only
+                    names.append(tail)
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def read(self, target: Path) -> bytes:
+        resp = self._client.get_object(Bucket=self._bucket, Key=self._key(target))
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else bytes(body)
+
+    def ensure_dir(self, d: Path) -> None:
+        """Object stores have no directories; publishing the first commit
+        key is all the bootstrap S3 needs."""
 
 
 @dataclass(frozen=True)
@@ -227,10 +300,13 @@ class TxLogTable:
 
     @classmethod
     def create(
-        cls, root: str | os.PathLike, store: CommitStore | None = None
+        cls,
+        root: str | os.PathLike,
+        store: CommitStore | None = None,
+        checkpoint_interval: int | None = 16,
     ) -> "TxLogTable":
-        t = cls(root, store=store)
-        t.log_dir.mkdir(parents=True, exist_ok=True)
+        t = cls(root, store=store, checkpoint_interval=checkpoint_interval)
+        t.store.ensure_dir(t.log_dir)
         return t
 
     # -- log plumbing ------------------------------------------------------
@@ -238,14 +314,19 @@ class TxLogTable:
     def _commit_path(self, version: int) -> Path:
         return self.log_dir / f"{version:08d}.json"
 
+    _COMMIT_RE = re.compile(r"^\d{8}\.json$")
+    _CKPT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
+
     def latest_version(self) -> int:
         versions = [
-            int(p.stem) for p in self.log_dir.glob("[0-9]" * 8 + ".json")
+            int(n.split(".")[0])
+            for n in self.store.list_names(self.log_dir)
+            if self._COMMIT_RE.match(n)
         ]
         return max(versions, default=-1)
 
     def _read_commit(self, version: int) -> dict:
-        return json.loads(self._commit_path(version).read_text())
+        return json.loads(self.store.read(self._commit_path(version)))
 
     def commits(self, as_of: int | None = None) -> list[dict]:
         last = self.latest_version() if as_of is None else as_of
@@ -272,13 +353,15 @@ class TxLogTable:
 
     def _latest_checkpoint(self, as_of: int) -> tuple[int, dict] | None:
         best = -1
-        for p in self.log_dir.glob("*.checkpoint.json"):
-            v = int(p.name.split(".")[0])
-            if v <= as_of and v > best:
-                best = v
+        for n in self.store.list_names(self.log_dir):
+            m = self._CKPT_RE.match(n)
+            if m:
+                v = int(m.group(1))
+                if v <= as_of and v > best:
+                    best = v
         if best < 0:
             return None
-        return best, json.loads(self._ckpt_path(best).read_text())
+        return best, json.loads(self.store.read(self._ckpt_path(best)))
 
     def checkpoint(self, as_of: int | None = None) -> int:
         """Write the folded manifest at ``as_of`` (default latest) so

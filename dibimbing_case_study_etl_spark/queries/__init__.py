@@ -94,78 +94,72 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r8 window: all 50 r7 rows were hash-green and r7 left ZERO
-# never-checked queries, so this window is almost pure staleness
-# rotation — the r7 verdict's ask #3 ("post-r8 no green older than r4").
-# One new registration (m14, the JPEG codec query) and one changed
-# kernel (d03) take the front; the remaining 48 slots drain the entire
-# r2-latest block (11) and 37 of the 45 r3-latest (the per-entry
-# comment below explains the 8 holdovers).
+# r9 window: (a) the r9-changed queries first — m14's fixture geometry
+# actually varies the block-row count now (r8 ADVICE: the old
+# (d*3)%3 height term was identically 0) with the oracle updated in the
+# same commit, and the six txlog-backed queries (u06–u08, u10–u12)
+# whose table's LOG read path moved behind the injectable CommitStore
+# seam (list_names/read) this round; (b) the 8 r3-latest holdovers the
+# r8 verdict's ask #2 names — d01/d13/q01/q03/q23/q27 plus rows-only
+# s08/s09, spending their slots directly so post-r9 NO query's latest
+# driver row is older than r4, zero exceptions; (c) 35 of the 40
+# r4-latest greens. The 5 r4 holdovers for r10: d04/s03/s06/s07
+# (rows-only by design, r5-green oracled twins d04r/s03r/s06r/s07r) and
+# s01 (bench set, re-measured + local-oracle-green every round).
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked — registered this round
+    # (a) changed this round
     "m14_jpeg_decode_stats",
-    # (b) changed this round: d03's LSH kernel (prefix-sig emission,
-    # strip-chunked bucket-pair enumeration, bucket_cap seam). The pair
-    # set is proven unchanged by the strip-invariance pytest and a full
-    # sf0.01 registry-vs-oracle sweep, but the driver row is the gate.
-    # Its composite consumers (p01/t36/t46/d14/...) were all re-verified
-    # by the same sweep and keep their newer green rows.
-    "d03_dedup_minhash_lsh",
-    # (c) the staleness rotation, oldest first (COVERAGE.md two-round
-    # rule): all 11 r2-latest greens, then 37 of the 45 r3-latest. The 8
-    # r3 holdovers for r9 — d01/d13/q01/q03/q23/q27 (bench set and/or
-    # sf16 scale path, local-oracle-green every round) and s08/s09
-    # (rows-only by design; their oracled audit twins s08r/s09r carry
-    # newer hash-green rows) — have the strongest continuous secondary
-    # evidence.
-    "q10_returned_revenue_topk",
-    "q26_events_hourly",
-    "q37_approx_aggregates",
-    "q57_sole_blame_suppliers",
-    "q58_map_type_aggregation",
-    "q60_first_last_ignore_nulls",
-    "q61_sequential_funnel",
-    "q62_important_part_values",
-    "q63_supplier_diversity",
-    "q64_heavy_widget_suppliers",
-    "q65_nation_revenue_share",
-    "d11_semdedup_pairs",
-    "q02_topk_orders",
-    "q04_priority_semi_join",
-    "q05_region_nation_revenue",
-    "q06_revenue_filter",
-    "q07_customers_without_orders",
-    "q11_group_having",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_set_ops",
-    "q17_cube_status_priority",
-    "q18_distinct_counts",
-    "q19_theta_join_ranges",
-    "q20_window_topn_per_group",
-    "q21_window_running_total",
-    "q24_pivot_status_by_priority",
-    "q29_asof_join",
-    "q30_range_join",
-    "q33_grouping_sets",
-    "q35_sql_cte_ntile",
-    "q39_market_share",
-    "q43_array_agg",
-    "q47_unpivot_stack",
-    "q50_values_inline_dim",
-    "q66_min_cost_supplier",
-    "q67_lateral_topk_orders",
-    "q68_session_window_native",
-    "q69_sql_udf_discount",
-    "q70_error_tolerant_parse",
-    "t09_source_data_card",
-    "t10_unigram_surprisal",
-    "t11_sequence_packing",
-    "t12_mixture_weights",
-    "t13_pii_redaction",
-    "t14_ngram_topk",
-    "t15_tokenize_ids",
-    "u01_incremental_rollup",
+    "u06_txlog_merge_timetravel",
+    "u07_txlog_incremental_rollup",
+    "u08_txlog_forget_audit",
+    "u10_compaction_planner",
+    "u11_retention_policy_simulator",
+    "u12_layout_clustering_depth",
+    # (b) the r3-latest staleness tail, retired in full
+    "d01_dedup_exact",
+    "d13_bloom_decontamination",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q23_dedup_latest_per_key",
+    "q27_events_sessionize",
+    "s08_embedding_pca_whiten",
+    "s09_knn_graph",
+    # (c) the r4-latest block, oldest-first rotation
+    "d05_embedding_neardup_pairs",
+    "d06_dedup_clusters",
+    "d07_dedup_resolution",
+    "d09_decontamination",
+    "d12_dup_ngram_fraction",
+    "d14_incremental_dedup",
+    "d15_cdc_span_pairs",
+    "m05_features_map_in_arrow",
+    "m07_png_decode_features",
+    "p01_training_data_pipeline",
+    "q12_shipmode_case_when",
+    "q16_rollup_region_nation",
+    "q22_window_lag_lead",
+    "q25_scalar_functions",
+    "q71_cohort_retention",
+    "q72_revenue_pareto",
+    "q73_integrity_audit",
+    "s04_embedding_dim_stats",
+    "s05_embedding_normalize",
+    "s10_embedding_quantize_int8",
+    "s11_cosine_histogram",
+    "s12_embedding_drift",
+    "t01_lang_id",
+    "t02_quality_score",
+    "t03_token_stats",
+    "t04_fingerprint",
+    "t05_hash_split",
+    "t06_vocab_topk",
+    "t16_document_chunking",
+    "t17_tfidf_top_terms",
+    "t18_bigram_surprisal",
+    "t19_langid_confusion",
+    "u02_scd2_dimension",
+    "u03_snapshot_diff",
+    "u04_cdc_apply",
 ]
 
 

@@ -1092,8 +1092,8 @@ def p01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH geom AS (
       SELECT doc_id,
-             1 + doc_id % 3       AS bw,
-             1 + (doc_id * 3) % 3 AS bh
+             1 + doc_id % 3        AS bw,
+             1 + (doc_id // 3) % 3 AS bh
       FROM documents
     ),
     px AS (
@@ -1124,7 +1124,7 @@ def m14_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: encode/decode are embarrassingly parallel per-row Python
     stages, zero shuffle beyond the initial spread; general (lossy)
     JPEG round-trips are pinned in pytest with the T.81 ±1 tolerance
-    (`tests/test_multimodal.py`)."""
+    (`tests/test_imaging.py`)."""
     from dibimbing_case_study_etl_spark.operators.multimodal import (
         decode_image_features,
         synth_jpeg_table,

@@ -331,3 +331,65 @@ def test_jpeg_pillow_interop():
     PIL.fromarray(a, mode="L").save(buf, format="JPEG", quality=100)
     theirs = decode_jpeg_gray(buf.getvalue())
     assert int(np.abs(theirs.astype(int) - a.astype(int)).max()) <= 1
+
+
+def _colour_baseline_jpeg_header() -> bytes:
+    """Minimal marker stream for a 3-component (YCbCr, 4:2:0-subsampled
+    luma) baseline JPEG — enough structure for a decoder to reach SOF0.
+    Built from the public T.81 segment layout, no encoder involved."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += b"\x01\x22\x00"  # Y: 2x2 sampling
+    sof += b"\x02\x11\x01"  # Cb: 1x1
+    sof += b"\x03\x11\x01"  # Cr: 1x1
+    return b"\xff\xd8" + seg(0xFFC0, sof) + b"\xff\xd9"
+
+
+def test_jpeg_decoder_rejects_colour_and_subsampled_loudly():
+    """Out-of-subset inputs must raise, never return wrong pixels: a
+    3-component (colour) SOF0 and a chroma/luma-subsampled greyscale
+    SOF0 both refuse before any entropy decoding."""
+    import struct
+
+    from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg_gray
+
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_gray(_colour_baseline_jpeg_header())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    subsampled = (
+        b"\xff\xd8"
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 16, 16, 1) + b"\x01\x22\x00")
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg_gray(subsampled)
+
+
+def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
+    """The r8 verdict's colour-JPEG contract on the shared dispatch:
+    WITH Pillow importable, decode_image hands colour JPEG to libjpeg
+    and returns an (h, w, 3) array; WITHOUT it, the built-in decoder
+    raises loudly — under no configuration do wrong pixels come back."""
+    from dibimbing_case_study_etl_spark.functions.imaging import decode_image
+
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        with pytest.raises(ValueError, match="single-component"):
+            decode_image(_colour_baseline_jpeg_header())
+        return
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(rgb, mode="RGB").save(buf, format="JPEG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (16, 16, 3)

@@ -196,3 +196,9 @@ def test_minio_s3_commit_store_conditional_put():
         Bucket=S3A_BUCKET, Key=store_a._key(target)
     )["Body"].read()
     assert body == b'{"version": 0}'
+    # r9 read seam: the log's list/get round-trips through the store too
+    target2 = Path("/") / "_txlog" / "00000001.json"
+    assert store_a.put_if_absent(target2, b'{"version": 1}') is True
+    names = sorted(store_a.list_names(Path("/") / "_txlog"))
+    assert names == ["00000000.json", "00000001.json"]
+    assert store_a.read(target2) == b'{"version": 1}'

@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.operators.txlog import (
+    CommitStore,
     ConflictError,
     TxLogTable,
     foreach_batch_merge,
@@ -453,16 +454,16 @@ def test_multiprocess_writers_serialize(spark, table):
     assert _state(table, spark) == expect
 
 
-class _RacingStore:
+class _RacingStore(CommitStore):
     """CommitStore that LOSES the first ``n_races`` publishes: before each
     of the writer's first N attempts, a phantom competitor publishes the
     same version first (through a plain store), so the writer's
     put-if-absent returns False and it must retry under a new version —
-    the deterministic injection of the optimistic-concurrency race."""
+    the deterministic injection of the optimistic-concurrency race.
+    Read side (list_names/read) is the inherited POSIX implementation —
+    the r9 store seam routes ALL log reads through the store too."""
 
     def __init__(self, n_races: int):
-        from dibimbing_case_study_etl_spark.operators.txlog import CommitStore
-
         self._inner = CommitStore()
         self.races_left = n_races
         self.attempts = 0
@@ -549,8 +550,12 @@ def test_merge_broadcast_hint_is_gated_on_source_size(spark, table):
 
 
 class _FakeS3Client:
-    """In-memory S3 conditional-put semantics: IfNoneMatch='*' accepted
-    only for absent keys, else a botocore-shaped 412 ClientError."""
+    """In-memory S3 semantics for the store contract: conditional put
+    (IfNoneMatch='*' accepted only for absent keys, else a botocore-shaped
+    412 ClientError), GetObject, and paginated ListObjectsV2 (page size 2
+    so the continuation-token loop is actually exercised)."""
+
+    _PAGE = 2
 
     def __init__(self):
         self.objects: dict[tuple[str, str], bytes] = {}
@@ -569,6 +574,55 @@ class _FakeS3Client:
             )
         self.objects[(Bucket, Key)] = bytes(Body)
         return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        if (Bucket, Key) not in self.objects:
+            from botocore.exceptions import ClientError
+
+            raise ClientError(
+                {"Error": {"Code": "NoSuchKey"},
+                 "ResponseMetadata": {"HTTPStatusCode": 404}},
+                "GetObject",
+            )
+        return {"Body": io.BytesIO(self.objects[(Bucket, Key)])}
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        keys = sorted(k for b, k in self.objects if b == Bucket and k.startswith(Prefix))
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = keys[start : start + self._PAGE]
+        out = {"Contents": [{"Key": k} for k in page], "IsTruncated": False}
+        if start + self._PAGE < len(keys):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + self._PAGE)
+        return out
+
+
+class _Flaky409Client(_FakeS3Client):
+    """Answers 409 ConditionalRequestConflict for the first ``n_conflicts``
+    put attempts per key (the AWS concurrent-write window), then delegates
+    to the real conditional-put semantics."""
+
+    def __init__(self, n_conflicts: int):
+        super().__init__()
+        self.n_conflicts = n_conflicts
+        self.attempts: dict[str, int] = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        self.attempts[Key] = self.attempts.get(Key, 0) + 1
+        if self.attempts[Key] <= self.n_conflicts:
+            from botocore.exceptions import ClientError
+
+            raise ClientError(
+                {
+                    "Error": {"Code": "ConditionalRequestConflict",
+                              "Message": "concurrent conditional write"},
+                    "ResponseMetadata": {"HTTPStatusCode": 409},
+                },
+                "PutObject",
+            )
+        return super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
 
 
 def test_s3_commit_store_put_if_absent_contract(tmp_path):
@@ -612,3 +666,92 @@ def test_s3_commit_store_race_exactly_one_winner(tmp_path):
         wins[1 if first is w1 else 2] += 1
         assert fake.objects[("b", f"_txlog/{v:08d}.json")] == b"first"
     assert wins[1] > 0 and wins[2] > 0
+
+
+def test_s3_commit_store_409_retries_until_definitive(tmp_path):
+    """AWS's 409 ConditionalRequestConflict is INDETERMINATE (the competing
+    in-flight put may still fail, leaving NO object) — the store must
+    re-issue the conditional put until a definitive 200 (True) or 412
+    (False). Mapping 409 straight to False would let TxLogTable skip to
+    v+1 and leave a permanent hole in the contiguous log."""
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    target = tmp_path / "_txlog" / "00000003.json"
+
+    # 409 twice, then the key is free → must end True (the put landed)
+    flaky = _Flaky409Client(n_conflicts=2)
+    store = S3CommitStore("b", root=tmp_path, client=flaky, conflict_backoff_s=0.0)
+    assert store.put_if_absent(target, b"mine") is True
+    assert flaky.attempts["_txlog/00000003.json"] == 3
+    assert flaky.objects[("b", "_txlog/00000003.json")] == b"mine"
+
+    # 409 twice, then the COMPETITOR's object is there → definitive False
+    flaky2 = _Flaky409Client(n_conflicts=2)
+    flaky2.objects[("b", "_txlog/00000003.json")] = b"theirs"
+    store2 = S3CommitStore("b", root=tmp_path, client=flaky2, conflict_backoff_s=0.0)
+    assert store2.put_if_absent(target, b"mine") is False
+    assert flaky2.objects[("b", "_txlog/00000003.json")] == b"theirs"
+
+    # never-definitive 409 → ConflictError after the attempt budget,
+    # NEVER a silent False (a spurious False is the hole-punching bug)
+    stuck = _Flaky409Client(n_conflicts=10**9)
+    store3 = S3CommitStore(
+        "b", root=tmp_path, client=stuck, conflict_retries=3, conflict_backoff_s=0.0
+    )
+    with pytest.raises(ConflictError, match="indeterminate"):
+        store3.put_if_absent(target, b"mine")
+    assert stuck.attempts["_txlog/00000003.json"] == 4  # retries + 1
+
+
+def test_s3_commit_store_read_side_contract(tmp_path):
+    """list_names returns direct children only (no nested keys, no other
+    prefixes) across ListObjectsV2 pages; read round-trips the payload."""
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    fake = _FakeS3Client()
+    store = S3CommitStore("b", root=tmp_path, client=fake)
+    log = tmp_path / "_txlog"
+    for v in range(5):  # 5 keys > fake page size 2 → pagination exercised
+        assert store.put_if_absent(log / f"{v:08d}.json", b"{}") is True
+    fake.objects[("b", "_txlog/nested/deeper.json")] = b"{}"  # not a child
+    fake.objects[("b", "other/00000009.json")] = b"{}"  # different prefix
+    names = sorted(store.list_names(log))
+    assert names == [f"{v:08d}.json" for v in range(5)]
+    assert store.read(log / "00000002.json") == b"{}"
+
+
+def test_txlog_round_trips_entirely_through_s3_store(spark, tmp_path):
+    """Verdict-r8 ask #4: the LOG lives only in the injected store — commit,
+    read, time-travel, txn watermark, and checkpoint replay all go through
+    put_if_absent/list_names/read. The local _txlog dir must stay empty
+    (data parquet stays on the local root; Spark's source reads it)."""
+    from dibimbing_case_study_etl_spark.operators.txlog import S3CommitStore
+
+    fake = _FakeS3Client()
+    root = tmp_path / "t"
+    root.mkdir()
+    store = S3CommitStore("b", root=root, client=fake)
+    table = TxLogTable.create(root, store=store, checkpoint_interval=2)
+
+    table.append(_rows(spark, [(1, "a"), (2, "b")]), key_col="k", target_files=1)
+    table.merge(spark, _rows(spark, [(2, "B"), (3, "c")]), "k", target_files=1)
+    table.merge(spark, _rows(spark, [(1, "x")]), "k", delete=True, target_files=1)
+
+    assert _state(table, spark) == {2: "B", 3: "c"}
+    assert _state(table, spark, as_of=0) == {1: "a", 2: "b"}  # time travel
+    assert _state(table, spark, as_of=1) == {1: "a", 2: "B", 3: "c"}
+    assert table.latest_version() == 2
+
+    # exactly-once txn watermark folds through the store-backed log
+    v = table.append(_rows(spark, [(9, "z")]), key_col="k", txn=("app", 7))
+    assert table.append(_rows(spark, [(9, "dup")]), key_col="k", txn=("app", 7)) == v
+    assert table.last_txn_batch("app") == 7
+
+    # the interval-2 auto-checkpoint was published to the store and a fresh
+    # handle (cold reader, same store) replays from it
+    assert any(".checkpoint." in k for _, k in fake.objects)
+    cold = TxLogTable(root, store=S3CommitStore("b", root=root, client=fake))
+    assert _state(cold, spark) == {2: "B", 3: "c", 9: "z"}
+
+    # nothing log-shaped leaked onto the local filesystem
+    assert not list((root / "_txlog").glob("*.json"))
