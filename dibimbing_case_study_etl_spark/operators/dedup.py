@@ -19,6 +19,9 @@ numpy kernels.
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -40,6 +43,20 @@ _HASH_VERIFY_MIN_CANDIDATES = 2_000_000
 # to prove the memory bound with small buckets.
 _PAIR_STRIP_ELEMS = 1 << 25  # 32M mask cells ~= 32 MB peak per mask
 _PAIR_EMIT_ROWS = 1 << 21  # flush output every ~2M pairs (~32 MB)
+
+# Deployment knob for minhash_lsh_pairs' degenerate-bucket star downgrade
+# (r8 verdict ask #5): scale-path/pipeline runners export this env var to
+# cap bucket pair OUTPUT (memory is already bounded by the strip kernel);
+# the registry/oracle path never sets it, so driver-checked results stay
+# exact. Callers passing bucket_cap explicitly override the env.
+_BUCKET_CAP_ENV = "SPARK_GRAFT_LSH_BUCKET_CAP"
+
+# Downgrade-event audit: the most recent capped minhash_lsh_pairs call
+# parks its Spark accumulator here; after an action, .value is the number
+# of buckets that took the star downgrade (task retries may overcount —
+# it is a logging signal, not a correctness input). None when the last
+# call ran uncapped. No silent approximation: a capped call also logs.
+LAST_LSH_DOWNGRADED_BUCKETS = None
 
 
 def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -464,6 +481,23 @@ def minhash_lsh_pairs(
     output-bound; candidate + verify cost depends on DISTINCT corpus
     size, not row count.
     """
+    global LAST_LSH_DOWNGRADED_BUCKETS
+    if bucket_cap is None:
+        env_cap = os.environ.get(_BUCKET_CAP_ENV)
+        bucket_cap = int(env_cap) if env_cap else None
+    downgrade_acc = None
+    if bucket_cap is not None:
+        # no silent approximation: announce the cap, and park an
+        # accumulator the caller can read post-action for the count of
+        # buckets that actually took the star downgrade
+        downgrade_acc = df.sparkSession.sparkContext.accumulator(0)
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: bucket_cap=%d in force — buckets over the "
+            "cap downgrade to star emission (components preserved only for "
+            "pairwise-near-hub buckets; see docstring)",
+            bucket_cap,
+        )
+    LAST_LSH_DOWNGRADED_BUCKETS = downgrade_acc
     rows = num_hashes // bands
     # lazy persist: the EAGER candidates materialization below runs the
     # banding pass (reps → groups) first, which populates this cache
@@ -661,6 +695,8 @@ def minhash_lsh_pairs(
                     # Degenerate-bucket downgrade (see docstring): star
                     # pairs to the min-id hub, prior-band-pruned so a pair
                     # already emitted by an earlier band is not repeated.
+                    if downgrade_acc is not None:
+                        downgrade_acc.add(1)
                     hub = int(np.argmin(ids_arr))
                     keep = np.ones(m, dtype=bool)
                     keep[hub] = False

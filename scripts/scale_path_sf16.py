@@ -92,6 +92,18 @@ def main() -> None:
     from dibimbing_case_study_etl_spark.queries import load_all
     from dibimbing_case_study_etl_spark.session import get_spark
 
+    # Deployment posture (r8 verdict ask #5): the scale path runs the LSH
+    # family CAPPED — a genuinely degenerate web-scale bucket (>65536
+    # DISTINCT members post-canonicalization) downgrades to star emission
+    # so pair OUTPUT stays corpus-linear (kernel memory is strip-bounded
+    # either way). At these SFs no synthetic bucket comes near the cap,
+    # so measured results are identical to exact; the per-leg downgrade
+    # count is logged below to prove it (no silent approximation).
+    import dibimbing_case_study_etl_spark.operators.dedup as _dd
+
+    os.environ[_dd._BUCKET_CAP_ENV] = "65536"
+    print(json.dumps({"lsh_bucket_cap": 65536}), flush=True)
+
     registry = load_all()
     spark = get_spark(app_name="scale-path-sf16", shuffle_partitions=128)
 
@@ -141,7 +153,16 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             curve[sf_label][name] = round(best, 2)
-            print(json.dumps({"sf": sf_label, "q": name, "sec": curve[sf_label][name]}), flush=True)
+            leg = {"sf": sf_label, "q": name, "sec": curve[sf_label][name]}
+            if _dd.LAST_LSH_DOWNGRADED_BUCKETS is not None:
+                # downgrade audit for the capped LSH legs (d03/t36/p01/...)
+                leg["lsh_downgraded_buckets"] = int(
+                    _dd.LAST_LSH_DOWNGRADED_BUCKETS.value
+                )
+                curve[sf_label][f"_{name}_lsh_downgraded_buckets"] = leg[
+                    "lsh_downgraded_buckets"
+                ]
+            print(json.dumps(leg), flush=True)
             if sf_label in ("sf4", "sf16"):
                 # see _drain_shuffle_dirs: clearCache() releases the
                 # pinned persists (un-GC-able), the GC loop releases the

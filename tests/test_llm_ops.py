@@ -963,3 +963,40 @@ def test_lsh_giant_bucket_star_downgrade(spark):
     covered = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
     assert len(covered) >= 0.99 * n
     assert len(roots) <= 1 + (n - len(covered)) + 0.01 * n
+
+
+def test_lsh_bucket_cap_env_wiring_and_downgrade_audit(spark, monkeypatch):
+    """The deployment seam for the star downgrade (r8 verdict ask #5):
+    SPARK_GRAFT_LSH_BUCKET_CAP caps the kernel when no explicit
+    ``bucket_cap`` is passed (the scale-path runner's hook), an explicit
+    argument overrides the env, the uncapped registry path parks no
+    audit accumulator, and a capped run's accumulator counts the buckets
+    that actually downgraded — no silent approximation."""
+    import dibimbing_case_study_etl_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    n = 60  # one clique: all pairs Jaccard ~0.93, one bucket per band
+    core = " ".join(f"w{i}" for i in range(30))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(core + " u"), F.col("id").cast("string")).alias("text"),
+    )
+
+    monkeypatch.delenv(dd._BUCKET_CAP_ENV, raising=False)
+    exact = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    assert dd.LAST_LSH_DOWNGRADED_BUCKETS is None  # uncapped = no audit
+    assert len(exact) == n * (n - 1) // 2
+
+    monkeypatch.setenv(dd._BUCKET_CAP_ENV, "8")
+    starred = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    assert dd.LAST_LSH_DOWNGRADED_BUCKETS is not None
+    assert dd.LAST_LSH_DOWNGRADED_BUCKETS.value >= 1  # the clique downgraded
+    assert len(starred) == n - 1  # star emission: corpus-linear output
+
+    # explicit argument beats the env: a huge cap restores exact output
+    huge = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, bucket_cap=10**9
+    ).collect()
+    assert dd.LAST_LSH_DOWNGRADED_BUCKETS is not None
+    assert dd.LAST_LSH_DOWNGRADED_BUCKETS.value == 0
+    assert len(huge) == len(exact)
