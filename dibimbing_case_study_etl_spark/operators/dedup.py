@@ -859,7 +859,7 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Connected-component clustering of near-dup pairs: every document
     gets the minimum doc id reachable through the pair graph as its
@@ -875,7 +875,16 @@ def dedup_clusters(
     one edge⋈label join + one per-node min; the fixpoint check counts
     improved labels on the just-materialized table (a scan, no extra
     join). Converges in O(diameter) iterations; near-dup graphs have tiny
-    diameters, so 2-3 in practice.
+    diameters, so 2-3 in practice. For HIGH-diameter graphs (revision
+    chains, lineages) use :func:`connected_components_pointer_jump` —
+    O(log diameter) rounds instead of O(diameter).
+
+    Each round's table is ``localCheckpoint``-ed, not merely persisted:
+    ``labels`` feeds BOTH sides of the round's join, so an un-truncated
+    plan doubles per iteration — exponential analyzed-plan growth that
+    OOMs the DRIVER (plan strings, not data) around diameter ~20. Caching
+    alone does not cap plan size; lineage truncation does (r9 fix,
+    surfaced by the pointer-jump equivalence test on a random graph).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -904,12 +913,22 @@ def dedup_clusters(
                 (F.col("nbr_label") < F.col("label")).alias("__improved"),
             )
         )
-        new_labels = _materialize(new_labels)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("__improved")).count()
-        labels.unpersist()
         labels = new_labels.drop("__improved")
         if changed == 0:
             break
+    else:
+        # Loud, never wrong: pre-r9 this silently returned the partial
+        # labels, i.e. WRONG clusters whenever the graph's diameter
+        # exceeded the budget (surfaced by the pointer-jump equivalence
+        # test on a diameter-32 random graph with the old default of 20).
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {max_iterations} rounds — "
+            f"the pair graph's diameter exceeds the iteration budget; "
+            f"raise max_iterations or use "
+            f"connected_components_pointer_jump (O(log diameter))"
+        )
 
     return (
         df.select(id_col)
@@ -919,6 +938,115 @@ def dedup_clusters(
             F.coalesce(F.col("label"), F.col(id_col).cast("bigint")).alias("cluster_id"),
         )
     )
+
+
+def connected_components_pointer_jump(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Connected components in **O(log diameter) rounds** via hook +
+    pointer-jump (Shiloach–Vishkin's doubling idea in DataFrame form;
+    the MapReduce formulation is Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14).
+
+    :func:`dedup_clusters` (d06) converges in O(diameter) rounds — the
+    right tool for near-dup graphs, whose clusters have tiny diameters.
+    But a 100 TB corpus also produces HIGH-diameter pair graphs (CDC
+    revision chains, crawl re-fetch lineages, contiguous-span overlaps
+    à la d15), where a 10⁶-long path means 10⁶ propagation rounds =
+    10⁶ shuffles. Each round here does
+    ``l(u) ← min(l(u), min_{v∈N(u)} l(v))`` (hook: one edge⋈label join +
+    per-node min) then ``l(u) ← min(l(u), l(l(u)))`` (pointer jump: one
+    label⋈label self-join), which doubles the distance a label travels
+    per round — a 10⁶ path converges in ~20 rounds.
+
+    Per-round cost is two shuffles proportional to the TOUCHED subgraph
+    (nodes incident to an edge); singletons join once at the end, as in
+    :func:`dedup_clusters`. Returns ``(id_col, cluster_id)`` where
+    ``cluster_id`` is the minimum reachable node id; ``nodes`` (any
+    DataFrame with ``id_col``) adds isolated nodes as self-clusters.
+    Raises after ``max_iterations`` without a fixpoint — with doubling,
+    40 rounds covers graphs past 2⁴⁰ diameter, so hitting the bound
+    means bad input, not slow convergence.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        # lineage truncation, not just caching: the jump step self-joins
+        # each round's table, so an un-truncated plan DOUBLES per round
+        # (exponential analyzed-plan growth OOMs the driver around round
+        # 10 long before any executor works hard). localCheckpoint pins
+        # the computed blocks and restarts lineage — the standard Spark
+        # idiom for iterative algorithms (same as g03's BFS frontier).
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").cast("bigint").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # hook: pull the minimum neighbor label across each edge
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hooked = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # consumed twice below
+        )
+        # pointer jump: follow the label one more step (label-of-label),
+        # doubling the effective propagation distance each round
+        parent = hooked.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_label = F.least(F.col("label"), F.coalesce("p_label", "label"))
+        jumped = (
+            hooked.join(parent, hooked.label == parent.p_node, "left")
+            .select(
+                "node",
+                new_label.alias("label"),
+                (new_label < F.col("__old")).alias("__improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("__improved")).count()  # scan, no join
+        labels = jumped.drop("__improved")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_pointer_jump: no fixpoint after "
+            f"{max_iterations} rounds — with doubling this means the "
+            f"input graph is malformed, not large"
+        )
+
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        out = (
+            nodes.select(id_col)
+            .join(out, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(
+                    F.col("cluster_id"), F.col(id_col).cast("bigint")
+                ).alias("cluster_id"),
+            )
+        )
+    return out
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, hash_fn=None) -> DataFrame:

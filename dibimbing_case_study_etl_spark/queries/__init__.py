@@ -94,20 +94,24 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r9 window: (a) the r9-changed queries first — m14's fixture geometry
+# r9 window: (a) the new registration (g04, pointer-jump connected
+# components); (b) the r9-changed queries — m14's fixture geometry
 # actually varies the block-row count now (r8 ADVICE: the old
 # (d*3)%3 height term was identically 0) with the oracle updated in the
 # same commit, and the six txlog-backed queries (u06–u08, u10–u12)
 # whose table's LOG read path moved behind the injectable CommitStore
-# seam (list_names/read) this round; (b) the 8 r3-latest holdovers the
+# seam (list_names/read) this round; (c) the 8 r3-latest holdovers the
 # r8 verdict's ask #2 names — d01/d13/q01/q03/q23/q27 plus rows-only
 # s08/s09, spending their slots directly so post-r9 NO query's latest
-# driver row is older than r4, zero exceptions; (c) 35 of the 40
-# r4-latest greens. The 5 r4 holdovers for r10: d04/s03/s06/s07
-# (rows-only by design, r5-green oracled twins d04r/s03r/s06r/s07r) and
-# s01 (bench set, re-measured + local-oracle-green every round).
+# driver row is older than r4, zero exceptions; (d) 34 of the 40
+# r4-latest greens. The 6 r4 holdovers for r10: d04/s03/s06/s07
+# (rows-only by design, r5-green oracled twins d04r/s03r/s06r/s07r),
+# s01 (bench set, re-measured + local-oracle-green every round), and
+# u04 (yielded its slot to the new g04; r4-green, local-oracle-green).
 DRIVER_PRIORITY: list[str] = [
-    # (a) changed this round
+    # (a) never driver-checked — registered this round
+    "g04_connected_components",
+    # (b) changed this round
     "m14_jpeg_decode_stats",
     "u06_txlog_merge_timetravel",
     "u07_txlog_incremental_rollup",
@@ -115,7 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "u10_compaction_planner",
     "u11_retention_policy_simulator",
     "u12_layout_clustering_depth",
-    # (b) the r3-latest staleness tail, retired in full
+    # (c) the r3-latest staleness tail, retired in full
     "d01_dedup_exact",
     "d13_bloom_decontamination",
     "q01_pricing_summary",
@@ -124,7 +128,7 @@ DRIVER_PRIORITY: list[str] = [
     "q27_events_sessionize",
     "s08_embedding_pca_whiten",
     "s09_knn_graph",
-    # (c) the r4-latest block, oldest-first rotation
+    # (d) the r4-latest block, oldest-first rotation
     "d05_embedding_neardup_pairs",
     "d06_dedup_clusters",
     "d07_dedup_resolution",
@@ -159,7 +163,6 @@ DRIVER_PRIORITY: list[str] = [
     "t19_langid_confusion",
     "u02_scd2_dimension",
     "u03_snapshot_diff",
-    "u04_cdc_apply",
 ]
 
 

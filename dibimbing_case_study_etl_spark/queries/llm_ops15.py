@@ -2892,3 +2892,85 @@ def t47_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("n")
+
+
+# g04 — connected components via hook + pointer-jump (O(log diameter)
+# rounds). The chain graph is derived from doc_id in CLOSED FORM —
+# edge (i-1, i) exists iff i % (3 + (i DIV 97) % 5) != 0 — so segment
+# lengths vary 3..7 and the oracle reproduces every component label with
+# a running window max over segment heads, no recursion: the generic
+# distributed algorithm is checked against exact per-node ground truth.
+_G04_ORACLE = """
+WITH nodes AS (SELECT doc_id AS i FROM documents),
+heads AS (
+  SELECT i,
+         CASE WHEN i = 0 OR i % (3 + (i // 97) % 5) = 0 THEN i END AS brk
+  FROM nodes
+),
+lab AS (
+  SELECT i,
+         MAX(brk) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cluster_id
+  FROM heads
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(i) AS BIGINT) AS min_doc,
+       CAST(MAX(i) AS BIGINT) AS max_doc
+FROM lab
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@query(
+    "g04_connected_components",
+    oracle=_G04_ORACLE,
+    tags=("graph", "dedup"),
+)
+def g04_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a HIGH-diameter chain graph via
+    :func:`~dibimbing_case_study_etl_spark.operators.dedup.
+    connected_components_pointer_jump` — hook + pointer-jump doubling
+    (Shiloach–Vishkin; Kiveris et al. SoCC'14), converging in
+    O(log diameter) rounds where d06's plain min-label propagation needs
+    O(diameter). The deployment case is revision/lineage chains (CDC
+    spans, crawl re-fetch lineages) whose components are long paths, the
+    topology that makes propagation's round count — and therefore its
+    shuffle count — explode at 100 TB.
+
+    The graph: doc_id chain segments of closed-form varying length
+    (edge (i-1, i) iff ``i % (3 + (i DIV 97) % 5) != 0``), so the oracle
+    derives exact per-node labels with one window pass and the generic
+    distributed algorithm — which knows nothing of the structure — must
+    reproduce them. Output is the per-component census.
+
+    Scale: every round is two bounded shuffles over the touched subgraph
+    (edge⋈label hook, label⋈label jump); the fixpoint check is a count
+    on the just-materialized table. Reference parity: the reference repo
+    has no graph surface; beyond-reference LLM-pipeline mandate."""
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        connected_components_pointer_jump,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    ids = t["documents"].select("doc_id")
+    edges = (
+        ids.filter(
+            (F.col("doc_id") > 0)
+            & (F.col("doc_id") % (F.lit(3) + F.expr("doc_id DIV 97") % 5) != 0)
+        )
+        .select(
+            (F.col("doc_id") - 1).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    cc = connected_components_pointer_jump(edges, nodes=ids, id_col="doc_id")
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("cluster_id")
+    )

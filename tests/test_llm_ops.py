@@ -1000,3 +1000,56 @@ def test_lsh_bucket_cap_env_wiring_and_downgrade_audit(spark, monkeypatch):
     assert dd.LAST_LSH_DOWNGRADED_BUCKETS is not None
     assert dd.LAST_LSH_DOWNGRADED_BUCKETS.value == 0
     assert len(huge) == len(exact)
+
+
+def test_pointer_jump_cc_converges_in_log_rounds_on_long_path(spark):
+    """The reason g04's operator exists: a PATH graph of 4096 nodes has
+    diameter 4095, so d06's min-label propagation needs ~4095 rounds —
+    pointer jumping must finish within ~log2(n)+slack rounds (the
+    operator RAISES past max_iterations, so a pass certifies the round
+    count) and label every node with the path minimum, exactly."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        connected_components_pointer_jump,
+    )
+
+    n = 4096
+    pairs = spark.range(1, n).select(
+        (F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    out = connected_components_pointer_jump(pairs, max_iterations=16)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_pointer_jump_cc_matches_propagation_on_random_graph(spark):
+    """On an arbitrary (seeded) sparse graph the doubling algorithm and
+    d06's propagation must produce identical components, and isolated
+    nodes must self-cluster through the ``nodes`` join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        connected_components_pointer_jump,
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    n = 500
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    nodes = spark.range(n + 50).select(F.col("id").alias("doc_id"))  # 50 isolated
+
+    pj = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_pointer_jump(pairs, nodes=nodes).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert pj == prop and len(pj) == n + 50
+    assert all(pj[i] == i for i in range(n, n + 50))  # isolated = self
