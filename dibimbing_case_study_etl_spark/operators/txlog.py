@@ -234,6 +234,46 @@ class S3CommitStore(CommitStore):
         key is all the bootstrap S3 needs."""
 
 
+class _S3ClientError(Exception):
+    """botocore.ClientError-shaped (has ``.response``) without botocore."""
+
+    def __init__(self, status: int, code: str):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class InMemoryS3Client:
+    """Executable reference of the S3 subset :class:`S3CommitStore` uses —
+    conditional ``put_object`` (``If-None-Match: *`` → 412 on existing
+    key), ``get_object``, ``list_objects_v2`` — with no boto3 dependency.
+    Lets the full TxLogTable log protocol run against object-store
+    semantics in-process (the u13 registry query and the contract tests);
+    a live MinIO/AWS endpoint exercises the same code paths via boto3."""
+
+    def __init__(self) -> None:
+        self.objects: dict[tuple[str, str], bytes] = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch == "*" and (Bucket, Key) in self.objects:
+            raise _S3ClientError(412, "PreconditionFailed")
+        self.objects[(Bucket, Key)] = bytes(Body)
+        return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        if (Bucket, Key) not in self.objects:
+            raise _S3ClientError(404, "NoSuchKey")
+        return {"Body": io.BytesIO(self.objects[(Bucket, Key)])}
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        keys = sorted(k for b, k in self.objects if b == Bucket and k.startswith(Prefix))
+        return {"Contents": [{"Key": k} for k in keys], "IsTruncated": False}
+
+
 @dataclass(frozen=True)
 class _DataFile:
     path: str  # relative to the table root

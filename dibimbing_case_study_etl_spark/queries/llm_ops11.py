@@ -821,3 +821,103 @@ def r04_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("offer_weight").desc(), "term")
         .limit(_R04_TOPK)
     )
+
+
+# --- u13: the commit log hosted on object-store semantics ------------------
+
+_U13_ORACLE = f"""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS p FROM customer),
+    v0 AS (SELECT k, p FROM c),
+    v1 AS (SELECT k, CASE WHEN k % 3 = 0 THEN p + 5 ELSE p END AS p FROM c),
+    v2 AS (SELECT k, p FROM v1 WHERE k % 5 <> 0)
+    SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys, {sql_dsum("p", 2)} AS total_bal
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {sql_dsum("p", 2)}
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {sql_dsum("p", 2)}
+    FROM v2
+    ORDER BY version
+"""
+
+
+@query(
+    "u13_txlog_object_store_roundtrip",
+    oracle=_U13_ORACLE,
+    tags=("warehouse", "acid", "objectstore"),
+)
+def u13_txlog_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u06's transactional lifecycle with the commit LOG hosted on
+    object-store semantics end-to-end (r8 verdict ask #4 made
+    driver-checkable): every publish is a conditional PutObject through
+    :class:`~dibimbing_case_study_etl_spark.operators.txlog.S3CommitStore`
+    and every log read (version listing, commit fetch, checkpoint seed)
+    is ListObjectsV2/GetObject against the same in-process S3-semantics
+    client — no commit JSON ever touches the filesystem (data parquet
+    does; Spark's source reads it, which on a real deployment is the same
+    bucket via s3a). An auto-checkpoint lands at version 2 and a COLD
+    table handle (fresh fold through the store) reads all three versions;
+    a replayed (app, batch) append must stay a no-op through the
+    store-backed txn-watermark fold. The oracle rebuilds the three states
+    arithmetically from ``customer``.
+
+    Scale: identical data plane to u06 (distributed parquet, stats-pruned
+    copy-on-write); the log adds one conditional PUT per commit and
+    O(commits-since-checkpoint) GETs per snapshot — the Delta-on-S3
+    posture since conditional writes shipped."""
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u13_")
+    try:
+        from pathlib import Path
+
+        from dibimbing_case_study_etl_spark.operators.txlog import (
+            InMemoryS3Client,
+            S3CommitStore,
+        )
+
+        client = InMemoryS3Client()
+        store = S3CommitStore("warehouse", prefix="tables/c/", root=Path(root), client=client)
+        table = TxLogTable.create(root, store=store, checkpoint_interval=2)
+        table.append(c, key_col="k", txn=("loader", 1), target_files=4)
+        # replay of the same batch: the store-backed watermark fold must
+        # make this a no-op (no version 1 spawned)
+        table.append(c, key_col="k", txn=("loader", 1), target_files=4)
+        table.merge(
+            spark,
+            c.filter(F.col("k") % 3 == 0).withColumn("p", F.col("p") + F.lit(5.0)),
+            "k",
+            target_files=4,
+        )
+        table.merge(
+            spark, c.filter(F.col("k") % 5 == 0), "k", delete=True, target_files=4
+        )
+        assert any(".checkpoint." in key for _, key in client.objects)
+        # cold handle: a fresh fold of the log read purely through the store
+        cold = TxLogTable(
+            root,
+            store=S3CommitStore(
+                "warehouse", prefix="tables/c/", root=Path(root), client=client
+            ),
+        )
+        versions = [
+            cold.read(spark, as_of=v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("k").alias("sum_keys"),
+                dsum(F.col("p"), 2).alias("total_bal"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"), "*")
+            for v in (0, 1, 2)
+        ]
+        out = versions[0].unionByName(versions[1]).unionByName(versions[2])
+        result = out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
