@@ -70,3 +70,92 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------------
+
+TYPE_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_distinct_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+    ]
+)
+
+
+def _type_census_processor():
+    """Per-user event-type census on Spark 4's ``transformWithStateInPandas``
+    (the successor to ``applyInPandasWithState``): a typed **MapState**
+    (event_type → count) plus a **ValueState** total survive across
+    micro-batches in the state store, so the operator emits, per touched
+    user, the cumulative event count, the exact distinct-type count, and
+    the modal type (count desc, name asc tiebreak — deterministic under
+    any micro-batch slicing).
+
+    Scale: state is O(active keys × distinct types per key) — event-type
+    alphabets are tiny, so this is the bounded-state shape; the runtime
+    shuffles by user_id and the state store checkpoints per micro-batch
+    (restart-safe, same guarantee the test exercises for
+    ``user_running_totals``). Built lazily inside a function: the class
+    statement itself touches the streaming-state client plumbing, which
+    keeps import-time clean for non-streaming users.
+
+    Runtime dependency: the transformWithState JVM↔Python state protocol
+    is protobuf-framed (``StateMessage_pb2``), so executing a query built
+    on this operator needs the ``protobuf`` wheel — absent in this
+    container (test env-gated on it), present in any real deployment;
+    ``user_running_totals`` covers the same guarantee on the
+    protobuf-free ``applyInPandasWithState`` API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCensus(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "etype string", "n bigint"
+            )
+            self._total = handle.getValueState("total", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+                for etype, n in pdf["event_type"].value_counts().items():
+                    prev = self._counts.getValue((etype,))
+                    self._counts.updateValue(
+                        (etype,), (int(n) + (prev[0] if prev else 0),)
+                    )
+            self._total.update((total,))
+            counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+            top = min(counts, key=lambda k: (-counts[k], k))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [total],
+                    "n_distinct_types": [len(counts)],
+                    "top_type": [top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _TypeCensus()
+
+
+def user_type_census(events: DataFrame) -> DataFrame:
+    """Cumulative per-user event-type census via
+    ``transformWithStateInPandas`` (update mode, no event-time timers)."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_type_census_processor(),
+            outputStructType=TYPE_CENSUS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

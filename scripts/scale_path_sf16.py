@@ -6,7 +6,7 @@ sf4 / sf16 in ONE warm session. sf16 = 160× the driver SF (~1M docs,
 ~24M lineitem rows): the point is to show the scale paths' cost tracks
 OUTPUT and DATA, not pair-space, two decades past the driver scale.
 
-Usage: python scripts/scale_path_sf16.py [out_json]
+Usage: python scripts/scale_path_sf16.py [out_json] [--only=prefix,...]
 """
 
 from __future__ import annotations
@@ -51,6 +51,12 @@ QUERIES = [
     "q23_dedup_latest_per_key",
     "f07_cusum_changepoint",
     "t48_countmin_heavy_hitters",
+    # r9 (verdict ask #8): the bench's most expensive row joins the curve.
+    # Its scale cost is the lineitem edge-table distinct (the frontiers
+    # stay (seed,node)-bounded and the seeds live in replica 0 of the
+    # sharded scale data), so the slope should track the scan, not the
+    # graph.
+    "g03_supply_chain_reach",
 ]
 
 
@@ -87,7 +93,16 @@ def _drain_shuffle_dirs(spark, budget_s: float = 120.0, target_free_gb: float = 
 
 
 def main() -> None:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/_scale/curve_sf16.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_json = args[0] if args else "/root/repo/_scale/curve_sf16.json"
+    only = [
+        p
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+        for p in a[len("--only=") :].split(",")
+        if p
+    ]
+    queries = [q for q in QUERIES if not only or any(q.startswith(p) for p in only)]
 
     from dibimbing_case_study_etl_spark.queries import load_all
     from dibimbing_case_study_etl_spark.session import get_spark
@@ -139,11 +154,11 @@ def main() -> None:
         curve[sf_label]["_calibration_sec"] = _calibration(spark)
         # warmup pass amortizes whole-session JIT into the first leg
         if sf_label == "sf0.1":
-            for name in QUERIES:
+            for name in queries:
                 registry[name].build(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
-        for name in QUERIES:
+        for name in queries:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()

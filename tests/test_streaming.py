@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import load_table
@@ -364,3 +365,75 @@ def test_streaming_shard_landing_incremental_and_idempotent(spark, sf_dir, tmp_p
     # no new files ⇒ no new batches, manifest unchanged (exactly-once)
     m3 = land_shard_stream(spark, src, out, ckpt, seq_len=256, seqs_per_shard=16)
     assert m3 == m2
+
+
+def test_transform_with_state_census_across_batches(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas (typed MapState + ValueState)
+    carries the per-user type census across micro-batches: streaming the
+    events in two chunks converges to the same (count, distinct types,
+    modal type) as one batch-mode pass — exact integer state makes this
+    deterministic under any batch slicing.
+
+    Env-gated like the live-service tests: the transformWithState state
+    protocol talks protobuf between the JVM and the Python driver worker,
+    and this container has no ``protobuf`` wheel (verified: the query
+    fails at StateMessage_pb2 import). Deployments with protobuf run it;
+    ``user_running_totals`` (applyInPandasWithState) is the in-sandbox
+    -proven arbitrary-state twin."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state protocol",
+    )
+    from dibimbing_case_study_etl_spark.streaming.events_stream import EVENTS_SCHEMA
+    from dibimbing_case_study_etl_spark.streaming.stateful import user_type_census
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    first, second = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+    src = str(tmp_path / "src")
+    first.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*.parquet")
+    q = (
+        user_type_census(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("type_census")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: even event_ids
+        second.write.mode("append").parquet(src)
+        q.processAllAvailable()  # micro-batch 2: odd ids update MapState
+    finally:
+        q.stop()
+
+    got = spark.table("type_census")
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_distinct_types", "top_type")).alias("s"))
+        .select("user_id", "s.n_events", "s.n_distinct_types", "s.top_type")
+    )
+    win_type = F.expr(
+        "min_by(event_type, struct(-cnt, event_type))"
+    )
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    expected = per_type.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct_types"),
+        win_type.alias("top_type"),
+    )
+    diff = final.join(expected, "user_id", "full").filter(
+        (final["n_events"] != expected["n_events"])
+        | (final["n_distinct_types"] != expected["n_distinct_types"])
+        | (final["top_type"] != expected["top_type"])
+    )
+    assert final.count() == expected.count() > 0
+    assert diff.count() == 0
