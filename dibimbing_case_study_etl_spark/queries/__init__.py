@@ -95,7 +95,7 @@ def load_all() -> dict[str, QuerySpec]:
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
 # r9 window: (a) the new registrations (g04 pointer-jump connected
-# components; u13 object-store-hosted commit log); (b) the r9-changed
+# components; u13 object-store-hosted commit log; t49 term burstiness); (b) the r9-changed
 # queries — m14's fixture geometry
 # actually varies the block-row count now (r8 ADVICE: the old
 # (d*3)%3 height term was identically 0) with the oracle updated in the
@@ -104,16 +104,17 @@ def load_all() -> dict[str, QuerySpec]:
 # seam (list_names/read) this round; (c) the 8 r3-latest holdovers the
 # r8 verdict's ask #2 names — d01/d13/q01/q03/q23/q27 plus rows-only
 # s08/s09, spending their slots directly so post-r9 NO query's latest
-# driver row is older than r4, zero exceptions; (d) 33 of the 40
-# r4-latest greens. The 7 r4 holdovers for r10: d04/s03/s06/s07
+# driver row is older than r4, zero exceptions; (d) 32 of the 40
+# r4-latest greens. The 8 r4 holdovers for r10: d04/s03/s06/s07
 # (rows-only by design, r5-green oracled twins d04r/s03r/s06r/s07r),
 # s01 (bench set, re-measured + local-oracle-green every round), and
-# u03/u04 (yielded their slots to the new g04/u13; r4-green,
+# u02/u03/u04 (yielded their slots to the new g04/u13/t49; r4-green,
 # local-oracle-green every round).
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
     "g04_connected_components",
     "u13_txlog_object_store_roundtrip",
+    "t49_term_burstiness",
     # (b) changed this round
     "m14_jpeg_decode_stats",
     "u06_txlog_merge_timetravel",
@@ -164,7 +165,6 @@ DRIVER_PRIORITY: list[str] = [
     "t17_tfidf_top_terms",
     "t18_bigram_surprisal",
     "t19_langid_confusion",
-    "u02_scd2_dimension",
 ]
 
 

@@ -285,3 +285,84 @@ def t48_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 t48_countmin_heavy_hitters.__doc__ = t48_countmin_heavy_hitters.__doc__.format(
     d=_T48_D, w=_T48_W, k=_T48_K, dw=_T48_D * _T48_W
 )
+
+
+# --- t49: term burstiness (Church–Gale variance-to-mean ratio) --------------
+
+_T49_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE term <> ''
+      GROUP BY term, doc_id
+    ),
+    stats AS (
+      SELECT term,
+             CAST(SUM(c) AS BIGINT)     AS total_occ,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT)   AS df
+      FROM per_doc
+      GROUP BY term
+    ),
+    top AS (
+      SELECT * FROM stats ORDER BY total_occ DESC, term LIMIT 20
+    )
+    SELECT term, total_occ, df,
+           {sql_iround("CAST(total_occ AS DOUBLE) / df", 6)} AS mean_tf,
+           {sql_iround(
+               "((CAST(sum_sq AS DOUBLE) / df)"
+               " - (CAST(total_occ AS DOUBLE) / df) * (CAST(total_occ AS DOUBLE) / df))"
+               " / (CAST(total_occ AS DOUBLE) / df)", 6)} AS vmr
+    FROM top
+    ORDER BY total_occ DESC, term
+"""
+
+
+@query(
+    "t49_term_burstiness",
+    oracle=_T49_ORACLE,
+    tags=("llm", "text", "statistics"),
+)
+def t49_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness for the 20 highest-frequency terms: the
+    variance-to-mean ratio (Church & Gale's dispersion statistic) of
+    per-document term counts over the documents that contain the term.
+    VMR ≈ 1 is Poisson scatter (function words); VMR ≫ 1 marks bursty,
+    topical terms — the statistic curation pipelines use to separate
+    glue vocabulary from content vocabulary when building filter lexica
+    and mixture diagnostics.
+
+    Scale: ONE token explode feeds a (term, doc) count with map-side
+    combine (the shuffle is corpus-token-bounded), then a per-term moment
+    aggregation (sum, sum of squares, document frequency — all exact
+    BIGINT), a bounded top-k, and the VMR evaluated from the exact
+    integer moments in one identical IEEE expression on both engines.
+    No per-doc vectors are ever collected; state is O(vocabulary)."""
+    t = register(spark, sf_dir, ("documents",))
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("total_occ"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    top = stats.orderBy(F.desc("total_occ"), "term").limit(20)
+    mean = F.col("total_occ").cast("double") / F.col("df")
+    vmr = (F.col("sum_sq").cast("double") / F.col("df") - mean * mean) / mean
+    return top.select(
+        "term",
+        "total_occ",
+        "df",
+        iround(mean, 6).alias("mean_tf"),
+        iround(vmr, 6).alias("vmr"),
+    ).orderBy(F.desc("total_occ"), "term")
