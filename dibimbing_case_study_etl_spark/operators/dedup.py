@@ -879,12 +879,20 @@ def dedup_clusters(
     chains, lineages) use :func:`connected_components_pointer_jump` —
     O(log diameter) rounds instead of O(diameter).
 
-    Each round's table is ``localCheckpoint``-ed, not merely persisted:
-    ``labels`` feeds BOTH sides of the round's join, so an un-truncated
-    plan doubles per iteration — exponential analyzed-plan growth that
-    OOMs the DRIVER (plan strings, not data) around diameter ~20. Caching
-    alone does not cap plan size; lineage truncation does (r9 fix,
-    surfaced by the pointer-jump equivalence test on a random graph).
+    Iterative-loop resource rules (r9, learned the expensive way):
+
+    - ``labels`` feeds BOTH sides of each round's join, so an
+      un-truncated analyzed plan DOUBLES per round and the DRIVER OOMs
+      building explain strings around diameter ~20 (plan strings, not
+      data; AQE re-prints nested InMemoryRelation subtrees). Every
+      round's table is therefore ``localCheckpoint``-ed — LAZY, so the
+      fixpoint count materializes it without paying an extra job.
+    - A long convergence accumulates O(rounds × subgraph) dead SHUFFLE
+      files and checkpoint blocks that only the ContextCleaner frees,
+      and it only runs on JVM GC — a slow-converging sf16 leg filled
+      ~60 GB of disk mid-query before this loop nudged the GC. Every 8
+      rounds the driver asks the JVM to collect, letting the cleaner
+      drop the dead rounds' files while the query runs.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -897,7 +905,7 @@ def dedup_clusters(
     )
     labels = _materialize(labels)
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -913,11 +921,15 @@ def dedup_clusters(
                 (F.col("nbr_label") < F.col("label")).alias("__improved"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__improved")).count()
         labels = new_labels.drop("__improved")
         if changed == 0:
             break
+        if it % 8 == 7:
+            # see docstring: let the ContextCleaner reclaim the dead
+            # rounds' shuffle files and checkpoint blocks mid-query
+            labels.sparkSession.sparkContext._jvm.System.gc()
     else:
         # Loud, never wrong: pre-r9 this silently returned the partial
         # labels, i.e. WRONG clusters whenever the graph's diameter
@@ -962,8 +974,9 @@ def connected_components_pointer_jump(
     label⋈label self-join), which doubles the distance a label travels
     per round — a 10⁶ path converges in ~20 rounds.
 
-    Per-round cost is two shuffles proportional to the TOUCHED subgraph
-    (nodes incident to an edge); singletons join once at the end, as in
+    Per-round cost is three bounded shuffles proportional to the TOUCHED
+    subgraph (hook join+min over self-looped edges, label⋈label jump,
+    transient fixpoint probe); singletons join once at the end, as in
     :func:`dedup_clusters`. Returns ``(id_col, cluster_id)`` where
     ``cluster_id`` is the minimum reachable node id; ``nodes`` (any
     DataFrame with ``id_col``) adds isolated nodes as self-clusters.
@@ -975,56 +988,58 @@ def connected_components_pointer_jump(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        # lineage truncation, not just caching: the jump step self-joins
-        # each round's table, so an un-truncated plan DOUBLES per round
-        # (exponential analyzed-plan growth OOMs the driver around round
-        # 10 long before any executor works hard). localCheckpoint pins
-        # the computed blocks and restarts lineage — the standard Spark
-        # idiom for iterative algorithms (same as g03's BFS frontier).
-        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").cast("bigint").alias("label"))
-        .localCheckpoint(eager=True)
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    # self-loops: min(label) over the closed neighborhood IS the hook
+    # update, so each round references the previous label table ONCE
+    # (same plan-growth reasoning as dedup_clusters). Static → one persist.
+    edges_plus = _materialize(
+        edges.union(
+            touched.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+    )
+    labels = _materialize(
+        touched.select("node", F.col("node").cast("bigint").alias("label"))
     )
 
     for _ in range(max_iterations):
-        # hook: pull the minimum neighbor label across each edge
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # hook: min label over the closed neighborhood (self-loop carries
+        # the node's own label — single reference to `labels`)
         hooked = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # consumed twice below
+            edges_plus.join(labels, edges_plus.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("label"))
+            # the jump below references `hooked` on BOTH sides — without
+            # lineage truncation the plan doubles per round (driver OOM on
+            # plan strings). Checkpoint exactly this table: label tables
+            # are (node, label) pairs over the touched subgraph, so the
+            # blocks a long run leaves for the GC are small — unlike the
+            # first r9 cut, which checkpointed every round table and let
+            # ~60 GB of dead blocks ENOSPC the sf16 leg.
+            .localCheckpoint(eager=True)
         )
         # pointer jump: follow the label one more step (label-of-label),
         # doubling the effective propagation distance each round
         parent = hooked.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        new_label = F.least(F.col("label"), F.coalesce("p_label", "label"))
-        jumped = (
+        jumped = _materialize(
             hooked.join(parent, hooked.label == parent.p_node, "left")
             .select(
                 "node",
-                new_label.alias("label"),
-                (new_label < F.col("__old")).alias("__improved"),
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = jumped.filter(F.col("__improved")).count()  # scan, no join
-        labels = jumped.drop("__improved")
+        # transient fixpoint probe: never enters the next round's lineage
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") < F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
         if changed == 0:
             break
     else:

@@ -183,8 +183,18 @@ def main() -> None:
                 # pinned persists (un-GC-able), the GC loop releases the
                 # shuffle files. sf4 drains too — its caches would
                 # otherwise still be resident when the sf16 leg starts.
+                # sf16 target raised 45→70 GB (r9): dedup_clusters'
+                # per-round tables are localCheckpoint BLOCKS now (lineage
+                # truncation — see operators/dedup.py), which clearCache
+                # does not touch; they drain through the GC loop instead,
+                # and a 45 GB stop left too little headroom for p01's own
+                # ~60 GB sf16 working set (ENOSPC mid-leg, two back-to-back
+                # runs). The GC loop reclaims them fine — it just has to
+                # keep going past the old target.
                 _drain_shuffle_dirs(
-                    spark, budget_s=(120.0 if sf_label == "sf16" else 15.0)
+                    spark,
+                    budget_s=(240.0 if sf_label == "sf16" else 15.0),
+                    target_free_gb=(70.0 if sf_label == "sf16" else 45.0),
                 )
         if sf_label in ("sf0.1", "sf1"):
             _drain_shuffle_dirs(spark, budget_s=15.0)
