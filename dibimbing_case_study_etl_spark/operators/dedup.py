@@ -928,7 +928,13 @@ def dedup_clusters(
             break
         if it % 8 == 7:
             # see docstring: let the ContextCleaner reclaim the dead
-            # rounds' shuffle files and checkpoint blocks mid-query
+            # rounds' shuffle files and checkpoint blocks mid-query.
+            # BOTH collectors, in order: the dead rounds' JVM Datasets
+            # are pinned by py4j proxies until PYTHON gc finalizes them,
+            # so a JVM System.gc() alone reclaims nothing.
+            import gc as _gc
+
+            _gc.collect()
             labels.sparkSession.sparkContext._jvm.System.gc()
     else:
         # Loud, never wrong: pre-r9 this silently returned the partial

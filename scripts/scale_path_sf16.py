@@ -160,13 +160,24 @@ def main() -> None:
                 ).save()
         for name in queries:
             best = None
-            for _ in range(2):
+            for run_i in range(2):
                 t0 = time.perf_counter()
                 registry[name].build(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                if sf_label == "sf16" and run_i == 0:
+                    # drain BETWEEN the two runs at sf16: (a) run 2 on a
+                    # heavy pipeline otherwise stacks its shuffles/caches
+                    # on run 1's still-pinned ones and ENOSPCs the box
+                    # (p01: ~60 GB per run); (b) Spark's CacheManager
+                    # matches canonicalized plans, so run 2 would read
+                    # run 1's _materialize caches and report a
+                    # cache-warm fiction (r8's p01 sf16 "19 s" vs ~350 s
+                    # honest cold) — min-of-2 at sf16 is now min of two
+                    # COLD runs, damping throttle only.
+                    _drain_shuffle_dirs(spark, budget_s=240.0, target_free_gb=70.0)
             curve[sf_label][name] = round(best, 2)
             leg = {"sf": sf_label, "q": name, "sec": curve[sf_label][name]}
             if _dd.LAST_LSH_DOWNGRADED_BUCKETS is not None:
