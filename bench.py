@@ -14,8 +14,10 @@ window and the round lost its headline number):
    to fit any tail buffer regardless of headline-set size.
 
 ``calibration_sec`` is a fixed-work, data-independent canary (the warmup
-join/window/explode pipeline, timed, min of 2) so uniform hypervisor
-throttles are separable from plan regressions in round-over-round reads.
+join/window/explode pipeline, timed before every pass plus once after the
+last; min reported, all samples in ``calibration_runs``) so uniform
+hypervisor throttles — and their within-session drift — are separable
+from plan regressions in round-over-round reads.
 
 Each query is materialized with the no-op sink (full computation, no
 result serialization cost); timings exclude session startup but include
@@ -102,26 +104,33 @@ def main() -> None:
                 "noop"
             ).save()
 
-    # Two interleaved passes, report each query's best — the build VM is
+    # Interleaved passes, report each query's best — the build VM is
     # hypervisor-throttled with 10× run-to-run swings on identical code, so
-    # a single sample measures the throttle, not the engine. Min-of-2 over
+    # a single sample measures the throttle, not the engine. Min over
     # interleaved passes is the standard throttle-resistant estimator
-    # (both passes still include planning + full execution).
-    runs = 2
-    # Throttle canary: same fixed pipeline as the warmup, now timed (min
-    # of 2 — the warmup run above already absorbed one-time JIT cost).
+    # (every pass still includes planning + full execution). r10: three
+    # passes (was two — the r9 round-over-round ambiguity was amplified by
+    # best-of-2 on a throttled box), and the canary is timed BEFORE EVERY
+    # PASS plus once after the last, so the line records the throttle's
+    # within-session SPREAD, not one point estimate.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Throttle canary: same fixed pipeline as the warmup, now timed.
     # Uniform VM slowdowns move this number with the suite; plan
     # regressions move only the suite.
-    cal_times = []
-    for _ in range(2):
+    cal_times: list[float] = []
+
+    def _timed_calibration() -> None:
         t0 = time.perf_counter()
         _calibration_pipeline()
-        cal_times.append(time.perf_counter() - t0)
-    calibration_sec = round(min(cal_times), 3)
+        cal_times.append(round(time.perf_counter() - t0, 3))
 
     best: dict[str, float] = {}
     acc: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    pass_totals: list[float] = []
     for _ in range(runs):
+        _timed_calibration()
+        pass_total = 0.0
         for name in sorted(bench_specs):
             spec = bench_specs[name]
             t0 = time.perf_counter()
@@ -129,8 +138,16 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             best[name] = min(best.get(name, dt), dt)
             acc[name] = acc.get(name, 0.0) + dt
+            samples.setdefault(name, []).append(dt)
+            pass_total += dt
+        pass_totals.append(round(pass_total, 3))
+    _timed_calibration()  # closing sample: drift across the whole suite
 
+    calibration_sec = round(min(cal_times), 3)
     mean = {n: round(s / runs, 3) for n, s in acc.items()}
+    median = {
+        n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
+    }
     total = round(sum(best.values()), 3)
     full = {
         "metric": "headline query suite wall time (per-query best of %d)" % runs,
@@ -142,7 +159,16 @@ def main() -> None:
         # estimator (r1 was single-run ≈ mean; r3+ headline is min).
         "queries_mean": mean,
         "value_mean": round(sum(mean.values()), 3),
+        # median over the interleaved passes — robust to a single
+        # throttled pass in a way neither min nor mean is
+        "queries_median": median,
+        "value_median": round(sum(median.values()), 3),
         "runs": runs,
+        # per-pass suite totals + per-pass canary samples (first `runs`
+        # entries lead each pass; the last closes the session): the
+        # within-session throttle spread the r9 ambiguity was missing
+        "pass_totals": pass_totals,
+        "calibration_runs": cal_times,
         "sf": sf,
         "calibration_sec": calibration_sec,
     }
@@ -163,7 +189,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "value_mean": full["value_mean"],
+        "value_median": full["value_median"],
         "runs": runs,
+        "pass_totals": pass_totals,
+        "calibration_runs": cal_times,
         "sf": sf,
         "calibration_sec": calibration_sec,
         "nqueries": len(best),

@@ -136,8 +136,9 @@ def decode_png(blob: bytes) -> np.ndarray:
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode image bytes to a uint8 numpy array: Pillow when importable
     (any format Pillow knows), else the built-in subset codecs dispatched
-    on magic bytes — PNG here, baseline greyscale JPEG in
-    ``functions/jpeg.py``."""
+    on magic bytes — PNG here, baseline greyscale + 4:4:4 colour JPEG in
+    ``functions/jpeg.py`` (chroma-subsampled JPEG still needs Pillow and
+    raises loudly without it)."""
     try:  # soft dependency — absent in this container, present in deploys
         import io
 
@@ -146,7 +147,7 @@ def decode_image(blob: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(blob)))
     except ImportError:
         if blob[:2] == b"\xff\xd8":
-            from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg_gray
+            from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg
 
-            return decode_jpeg_gray(blob)
+            return decode_jpeg(blob)
         return decode_png(blob)

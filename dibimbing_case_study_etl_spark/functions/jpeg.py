@@ -10,9 +10,12 @@ container without it.
 
 Subset and scope:
 
-- 8-bit greyscale, baseline DCT, one scan, standard Annex K Huffman
-  tables, no subsampling, no restart markers, no progressive mode.
+- 8-bit baseline DCT, one interleaved scan, greyscale OR 4:4:4 YCbCr
+  colour (r10 — the r9 verdict's ask #6, resolved by building the
+  3-component path rather than declaring Pillow-delegation permanent),
+  standard Annex K Huffman tables, no subsampling, no progressive mode.
   Anything outside the subset raises — loudly, never wrong pixels.
+  Chroma-subsampled (4:2:0/4:2:2) files remain Pillow/libjpeg territory.
 - The ENCODER takes an explicit quantization table (default all-ones,
   i.e. "quality 100": DCT coefficients are only rounded, never scaled
   down). It exists for deterministic fixtures, not compression ratio.
@@ -121,6 +124,54 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
+def _encode_block(bw_out: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
+    """Huffman-encode one 64-coefficient zigzag block (T.81 F.1.2); returns
+    the new DC predictor. Shared by the greyscale and interleaved-colour
+    encoders (per-component predictors in the latter)."""
+    diff = int(blk[0]) - prev_dc
+    prev_dc = int(blk[0])
+    s = _category(diff)
+    code, length = _DC_ENC[s]
+    bw_out.write(code, length)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        bw_out.write(amp, s)
+    run = 0
+    for i in range(1, 64):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = _AC_ENC[0xF0]  # ZRL
+            bw_out.write(zc, zl)
+            run -= 16
+        s = _category(v)
+        code, length = _AC_ENC[(run << 4) | s]
+        bw_out.write(code, length)
+        amp = v if v > 0 else v + (1 << s) - 1
+        bw_out.write(amp, s)
+        run = 0
+    if run:
+        ec, el = _AC_ENC[0x00]  # EOB
+        bw_out.write(ec, el)
+    return prev_dc
+
+
+def _dct_quantize(a: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 plane → per-block quantized coefficients in zigzag
+    scan order, shape (bh, bw, 64). Pads to 8×8 blocks by edge
+    replication (keeps constant blocks constant)."""
+    h, w = a.shape
+    ph, pw = -h % 8, -w % 8
+    ap = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    bh, bw = ap.shape[0] // 8, ap.shape[1] // 8
+    blocks = ap.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _A, blocks, _A)
+    qc = np.round(coef / q).astype(np.int64)
+    return qc.reshape(bh, bw, 64)[:, :, _ZIGZAG]  # natural -> zigzag
+
+
 def encode_jpeg_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     """Encode a (H, W) uint8 array as a baseline sequential greyscale
     JPEG. ``qtable`` is the 8x8 quantization table in NATURAL (row-major)
@@ -132,48 +183,14 @@ def encode_jpeg_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     if h == 0 or w == 0:
         raise ValueError("empty image")
     q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64)
-    # pad to 8x8 blocks by edge replication (keeps constant blocks constant)
-    ph, pw = -h % 8, -w % 8
-    ap = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
-    bh, bw = ap.shape[0] // 8, ap.shape[1] // 8
-    # all blocks at once: (bh, bw, 8, 8) -> DCT -> quantize
-    blocks = ap.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,abjk,lk->abil", _A, blocks, _A)
-    qc = np.round(coef / q).astype(np.int64)
-    zz = qc.reshape(bh, bw, 64)[:, :, _ZIGZAG]  # natural -> zigzag scan order
+    zz = _dct_quantize(a, q)
+    bh, bw = zz.shape[:2]
 
     bw_out = _BitWriter()
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            blk = zz[by, bx]
-            diff = int(blk[0]) - prev_dc
-            prev_dc = int(blk[0])
-            s = _category(diff)
-            code, length = _DC_ENC[s]
-            bw_out.write(code, length)
-            if s:
-                amp = diff if diff > 0 else diff + (1 << s) - 1
-                bw_out.write(amp, s)
-            run = 0
-            for i in range(1, 64):
-                v = int(blk[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_ENC[0xF0]  # ZRL
-                    bw_out.write(zc, zl)
-                    run -= 16
-                s = _category(v)
-                code, length = _AC_ENC[(run << 4) | s]
-                bw_out.write(code, length)
-                amp = v if v > 0 else v + (1 << s) - 1
-                bw_out.write(amp, s)
-                run = 0
-            if run:
-                ec, el = _AC_ENC[0x00]  # EOB
-                bw_out.write(ec, el)
+            prev_dc = _encode_block(bw_out, zz[by, bx], prev_dc)
     bw_out.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -188,6 +205,88 @@ def encode_jpeg_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     out += bw_out.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable: np.ndarray | None = None,
+) -> bytes:
+    """Encode three (H, W) uint8 planes as a baseline sequential YCbCr
+    4:4:4 JPEG (one interleaved scan, no subsampling). All components
+    share quantization table 0 (default all-ones) and the Annex K
+    luminance Huffman tables — spec-legal and deterministic; this encoder
+    exists for fixtures, not compression ratio. Encoding from the YCbCr
+    domain directly (rather than RGB) lets a constant-plane fixture
+    round-trip its (Y, Cb, Cr) integers exactly, the property the oracled
+    colour query pins (the RGB→YCbCr transform is lossy in general)."""
+    planes = [np.asarray(p, dtype=np.uint8) for p in (y, cb, cr)]
+    if any(p.ndim != 2 for p in planes) or len({p.shape for p in planes}) != 1:
+        raise ValueError("need three equal-shape (H, W) planes (4:4:4)")
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64)
+    zzs = [_dct_quantize(p, q) for p in planes]
+    bh, bw = zzs[0].shape[:2]
+
+    bw_out = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(3):  # interleaved MCU: Y, Cb, Cr (A.2.3)
+                prev[c] = _encode_block(bw_out, zzs[c][by, bx], prev[c])
+    bw_out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",  # 3 comps, all 1x1, qtable 0
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC0
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC0
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")  # SOS 3 comps
+    out += bw_out.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB → (H, W, 3) uint8 YCbCr (JFIF / BT.601 full
+    range, half-even rounding)."""
+    a = np.asarray(rgb, dtype=np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 YCbCr → (H, W, 3) uint8 RGB (JFIF / BT.601 full
+    range, half-even rounding) — the decode-side inverse transform."""
+    a = np.asarray(ycbcr, dtype=np.float64)
+    y, cb, cr = a[..., 0], a[..., 1] - 128.0, a[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_rgb(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline 4:4:4 YCbCr JPEG
+    (JFIF colour transform, then :func:`encode_jpeg_ycbcr`)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"RGB encoder needs (H, W, 3), got {a.shape}")
+    ycc = rgb_to_ycbcr(a)
+    return encode_jpeg_ycbcr(ycc[..., 0], ycc[..., 1], ycc[..., 2], qtable=qtable)
 
 
 class _BitReader:
@@ -258,11 +357,12 @@ def _extend(amp: int, s: int) -> int:
     return amp if amp >= (1 << (s - 1)) else amp - (1 << s) + 1
 
 
-def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Decode a single-component 8-bit baseline sequential JPEG to a
-    (H, W) uint8 array. Reads this module's own output and greyscale
-    baseline files from real encoders (custom tables, restart markers);
-    progressive/multi-component/12-bit input raises ValueError."""
+def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
+    """Shared baseline-sequential decoder: parse markers, entropy-decode
+    the single interleaved scan, dequantize + IDCT per component. Returns
+    the cropped (H, W) uint8 plane per component (1 = greyscale,
+    3 = YCbCr 4:4:4). ``gray_only`` preserves ``decode_jpeg_gray``'s
+    refuse-at-SOF0 contract for colour input."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream")
     pos = 2
@@ -270,7 +370,9 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     h = w = -1
-    qsel = dcsel = acsel = 0
+    comps: list[tuple[int, int]] = []  # (component id, qtable selector)
+    scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    scan_order: list[int] = []
     restart = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -302,52 +404,72 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or nc != 1:
+            if prec != 8 or (gray_only and nc != 1):
                 raise ValueError("only 8-bit single-component baseline supported")
-            if payload[7] != 0x11:
-                raise ValueError("subsampled greyscale unsupported")
-            qsel = payload[8]
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported (1 or 3 only)")
+            for c in range(nc):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled greyscale unsupported"
+                        if nc == 1
+                        else "subsampled colour JPEG unsupported (4:4:4 only; "
+                        "use Pillow/libjpeg for 4:2:0/4:2:2)"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
-            if payload[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            dcsel, acsel = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported"
+                )
+            for c in range(ns):
+                cs, sel = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_sel[cs] = (sel >> 4, sel & 0xF)
+                scan_order.append(cs)
             break
     else:
         raise ValueError("no scan found")
     if h < 0:
         raise ValueError("SOS before SOF0")
-    q = qtables[qsel]
-    dct, act = dc_tabs[dcsel], ac_tabs[acsel]
+    if [cid for cid, _ in comps] != scan_order:
+        raise ValueError("scan component order differs from SOF0 order")
+    q = [qtables[tq] for _, tq in comps]
+    dct = [dc_tabs[scan_sel[cid][0]] for cid, _ in comps]
+    act = [ac_tabs[scan_sel[cid][1]] for cid, _ in comps]
+    ncomp = len(comps)
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    zz = np.zeros((bh * bw, 64), dtype=np.int64)
+    zz = [np.zeros((bh * bw, 64), dtype=np.int64) for _ in range(ncomp)]
     br = _BitReader(blob, pos)
-    prev_dc = 0
+    prev = [0] * ncomp
     mcu = 0
     while mcu < bh * bw:
         try:
-            blk = zz[mcu]
-            s = _read_sym(br, dct)
-            blk[0] = prev_dc + (_extend(br.receive(s), s) if s else 0)
-            prev_dc = int(blk[0])
-            i = 1
-            while i < 64:
-                sym = _read_sym(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                s = sym & 0xF
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                blk[i] = _extend(br.receive(s), s)
-                i += 1
+            for c in range(ncomp):  # interleaved MCU: one block per comp
+                blk = zz[c][mcu]
+                s = _read_sym(br, dct[c])
+                blk[0] = prev[c] + (_extend(br.receive(s), s) if s else 0)
+                prev[c] = int(blk[0])
+                i = 1
+                while i < 64:
+                    sym = _read_sym(br, act[c])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += sym >> 4
+                    s = sym & 0xF
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    blk[i] = _extend(br.receive(s), s)
+                    i += 1
             mcu += 1
             if restart and mcu % restart == 0 and mcu < bh * bw:
                 # skip to and consume the RSTn marker
@@ -358,19 +480,54 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
                     p += 1
                 br.pos = p + 2
                 br.reset()
-                prev_dc = 0
+                prev = [0] * ncomp
         except _SegmentEnd:
             if br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7:
                 br.pos += 2  # consume RSTn reached via the bit reader
                 br.marker = None
                 br.reset()
-                prev_dc = 0
+                prev = [0] * ncomp
                 continue
             raise ValueError("entropy segment ended before all MCUs decoded")
-    coef = np.zeros((bh * bw, 64), dtype=np.float64)
-    coef[:, _ZIGZAG] = zz  # zigzag scan order -> natural
-    coef = (coef.reshape(bh, bw, 8, 8)) * q[None, None]
-    blocks = np.einsum("ji,abjk,kl->abil", _A, coef, _A)
-    img = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    img = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return img[:h, :w]
+
+    planes: list[np.ndarray] = []
+    for c in range(ncomp):
+        coef = np.zeros((bh * bw, 64), dtype=np.float64)
+        coef[:, _ZIGZAG] = zz[c]  # zigzag scan order -> natural
+        coef = (coef.reshape(bh, bw, 8, 8)) * q[c][None, None]
+        blocks = np.einsum("ji,abjk,kl->abil", _A, coef, _A)
+        img = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(
+            np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+        )
+    return planes
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Decode a single-component 8-bit baseline sequential JPEG to a
+    (H, W) uint8 array. Reads this module's own output and greyscale
+    baseline files from real encoders (custom tables, restart markers);
+    progressive/multi-component/12-bit input raises ValueError."""
+    return _decode_baseline(blob, gray_only=True)[0]
+
+
+def decode_jpeg_color(blob: bytes) -> np.ndarray:
+    """Decode a 3-component 8-bit baseline sequential 4:4:4 YCbCr JPEG
+    to an (H, W, 3) uint8 RGB array (JFIF inverse colour transform,
+    half-even rounding). Subsampled (4:2:0/4:2:2) and progressive input
+    raise — loudly, never wrong pixels; Pillow/libjpeg remains the
+    deployment decoder for the full format (``decode_image`` prefers it
+    when importable)."""
+    planes = _decode_baseline(blob, gray_only=False)
+    if len(planes) != 3:
+        raise ValueError("single-component input — use decode_jpeg_gray")
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode any supported baseline JPEG: (H, W) uint8 for greyscale,
+    (H, W, 3) uint8 RGB for 4:4:4 colour."""
+    planes = _decode_baseline(blob, gray_only=False)
+    if len(planes) == 1:
+        return planes[0]
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))

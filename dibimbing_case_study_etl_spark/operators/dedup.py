@@ -484,7 +484,21 @@ def minhash_lsh_pairs(
     global LAST_LSH_DOWNGRADED_BUCKETS
     if bucket_cap is None:
         env_cap = os.environ.get(_BUCKET_CAP_ENV)
-        bucket_cap = int(env_cap) if env_cap else None
+        if env_cap:
+            try:
+                bucket_cap = int(env_cap)
+            except ValueError:
+                raise ValueError(
+                    f"{_BUCKET_CAP_ENV}={env_cap!r} is not an integer; set a "
+                    f"positive bucket size >= 2 or unset the variable"
+                ) from None
+            if bucket_cap < 2:
+                # 0/1/negative would star-downgrade EVERY multi-member
+                # bucket — silently approximate the whole run
+                raise ValueError(
+                    f"{_BUCKET_CAP_ENV}={bucket_cap} must be >= 2 (a cap "
+                    f"below 2 downgrades every multi-member bucket)"
+                )
     downgrade_acc = None
     if bucket_cap is not None:
         # no silent approximation: announce the cap, and park an
@@ -855,6 +869,25 @@ def minhash_lsh_pairs(
     return cross
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_pair_ids(pairs: DataFrame, caller: str) -> None:
+    """Both component algorithms label nodes with ``min(id)`` after a
+    ``cast("bigint")`` — a non-numeric id column would cast to null and
+    the loop would 'converge' instantly on all-null labels (silently
+    wrong). Fail loud up front instead."""
+    dtypes = dict(pairs.dtypes)
+    for col in ("doc_a", "doc_b"):
+        if dtypes.get(col) not in _INTEGRAL_TYPES:
+            raise TypeError(
+                f"{caller}: pair column {col!r} has type "
+                f"{dtypes.get(col)!r}; min-label components need integral "
+                f"node ids (tinyint/smallint/int/bigint) — map string ids "
+                f"to a surrogate (e.g. xxhash64) first"
+            )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -894,6 +927,7 @@ def dedup_clusters(
       rounds the driver asks the JVM to collect, letting the cleaner
       drop the dead rounds' files while the query runs.
     """
+    _require_integral_pair_ids(pairs, "dedup_clusters")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -904,6 +938,7 @@ def dedup_clusters(
         F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
     )
     labels = _materialize(labels)
+    initial_labels = labels  # unpersisted after round 1 replaces it
 
     for it in range(max_iterations):
         neighbor = (
@@ -924,6 +959,11 @@ def dedup_clusters(
         new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__improved")).count()
         labels = new_labels.drop("__improved")
+        if it == 0:
+            # round 1's checkpoint replaced it; short runs (<8 rounds)
+            # never hit the GC nudge, so drop the persist explicitly
+            # instead of leaving it to an eventual ContextCleaner pass
+            initial_labels.unpersist()
         if changed == 0:
             break
         if it % 8 == 7:
@@ -948,6 +988,9 @@ def dedup_clusters(
             f"connected_components_pointer_jump (O(log diameter))"
         )
 
+    # converged labels live in their own (materialized) checkpoint blocks;
+    # the edge table is dead weight from here on
+    edges.unpersist()
     return (
         df.select(id_col)
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")
@@ -990,6 +1033,7 @@ def connected_components_pointer_jump(
     40 rounds covers graphs past 2⁴⁰ diameter, so hitting the bound
     means bad input, not slow convergence.
     """
+    _require_integral_pair_ids(pairs, "connected_components_pointer_jump")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

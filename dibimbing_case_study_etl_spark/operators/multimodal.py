@@ -982,6 +982,113 @@ def synth_jpeg_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+COLOR_DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, channels bigint, "
+    "r_sum bigint, g_sum bigint, b_sum bigint"
+)
+
+
+def synth_jpeg_color_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic COLOUR-JPEG table (``synth_jpeg_table``'s 4:4:4
+    sibling): each document becomes a block-constant YCbCr image — the
+    same id-derived multiple-of-8 geometry as m14, with three independent
+    id-derived levels per 8×8 block (Y, Cb, Cr on different lattices so
+    all three DC differential chains carry distinct values) — encoded as
+    a spec-valid interleaved baseline 4:4:4 JPEG by
+    ``functions/jpeg.py:encode_jpeg_ycbcr``.
+
+    Encoding from the YCbCr domain keeps the fixture in the
+    exactly-reconstructible subclass: constant blocks are DC-only under
+    unit quantization, so the decoder returns the integer planes
+    bit-exactly and the RGB output is a pure deterministic function
+    (JFIF inverse transform, half-even rounding) a SQL oracle can
+    reproduce from ``doc_id`` alone."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_ycbcr
+
+    src = df.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 1 + d % 3, 1 + (d // 3) % 3  # blocks per axis
+                by, bx = np.meshgrid(np.arange(bh_), np.arange(bw_), indexing="ij")
+                y = ((d + 37 * by + 11 * bx) % 256).astype(np.uint8)
+                cb = ((3 * d + 59 * by + 17 * bx) % 256).astype(np.uint8)
+                cr = ((7 * d + 23 * by + 29 * bx) % 256).astype(np.uint8)
+                one = np.ones((8, 8), dtype=np.uint8)
+                blobs.append(
+                    encode_jpeg_ycbcr(
+                        np.kron(y, one), np.kron(cb, one), np.kron(cr, one)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "format": ["jpeg"] * len(blobs),
+                }
+            )
+
+    rendered = src.mapInPandas(render, schema="doc_id bigint, content binary, format string")
+    return rendered.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.col("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_color_image_features(images: DataFrame, spread: bool = True) -> DataFrame:
+    """Colour-JPEG decode features through the BUILT-IN 4:4:4 decoder
+    (``functions/jpeg.py:decode_jpeg_color``) — deliberately NOT the
+    Pillow-first ``decode_image`` dispatch: libjpeg's fixed-point
+    YCbCr→RGB differs by ±1 from the JFIF float transform, so pinning
+    the oracle to the built-in codec keeps the per-channel sums
+    bit-deterministic on every deployment. One Arrow-batched
+    ``mapInPandas`` pass; decode failures raise, never fake features."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg_color
+
+    if spread:
+        images = images.repartition(
+            images.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "r_sum", "g_sum", "b_sum")}
+            for blob in pdf["content"]:
+                rgb = decode_jpeg_color(blob)
+                h, w = rgb.shape[:2]
+                flat = rgb.reshape(-1, 3).astype(np.int64)
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["r_sum"].append(int(flat[:, 0].sum()))
+                rows["g_sum"].append(int(flat[:, 1].sum()))
+                rows["b_sum"].append(int(flat[:, 2].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": rows["width"],
+                    "height": rows["height"],
+                    "channels": [3] * len(pdf),
+                    "r_sum": rows["r_sum"],
+                    "g_sum": rows["g_sum"],
+                    "b_sum": rows["b_sum"],
+                }
+            )
+
+    return images.mapInPandas(decode, schema=COLOR_DECODE_SCHEMA)
+
+
 def decode_image_features(images: DataFrame, spread: bool = True) -> DataFrame:
     """REAL image decode over a binary column — no stub: Pillow when
     present, else the built-in subset PNG decoder. One Arrow-batched

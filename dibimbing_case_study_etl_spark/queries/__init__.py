@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops15,
         llm_ops16,
         llm_ops17,
+        llm_ops18,
         relational,
         relational2,
         relational3,
@@ -94,77 +95,77 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r9 window: (a) the new registrations (g04 pointer-jump connected
-# components; u13 object-store-hosted commit log; t49 term burstiness); (b) the r9-changed
-# queries — m14's fixture geometry
-# actually varies the block-row count now (r8 ADVICE: the old
-# (d*3)%3 height term was identically 0) with the oracle updated in the
-# same commit, and the six txlog-backed queries (u06–u08, u10–u12)
-# whose table's LOG read path moved behind the injectable CommitStore
-# seam (list_names/read) this round; (c) the 8 r3-latest holdovers the
-# r8 verdict's ask #2 names — d01/d13/q01/q03/q23/q27 plus rows-only
-# s08/s09, spending their slots directly so post-r9 NO query's latest
-# driver row is older than r4, zero exceptions; (d) 32 of the 40
-# r4-latest greens. The 8 r4 holdovers for r10: d04/s03/s06/s07
-# (rows-only by design, r5-green oracled twins d04r/s03r/s06r/s07r),
-# s01 (bench set, re-measured + local-oracle-green every round), and
-# u02/u03/u04 (yielded their slots to the new g04/u13/t49; r4-green,
-# local-oracle-green every round).
+# r10 window: (a) the new registrations (st01, the first registry-visible
+# stateful-streaming query — applyInPandasWithState executed as a real
+# two-micro-batch stream inside the callable, r9 verdict ask #7); (b) the
+# r10-changed queries — the dedup-family consumers of this round's
+# resource/validation fixes (bucket-cap env validation, the
+# initial-labels/edges unpersist in dedup_clusters, the integral-id
+# guard in both component algorithms): d03/d06/d07/g04 directly, p01/t36
+# through the shared shingle→LSH→cluster subtree; (c) the 8 r4-latest
+# holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
+# g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
+# design, r5-green oracled twins) — spending their slots directly so
+# post-r10 NO query's latest driver row is older than r5; (d) 33 of the
+# 50 r5-latest greens, oldest-first rotation (the remaining 17 — s16,
+# the t20–t35 text block, and u05 — lead r11's stale block).
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
-    "g04_connected_components",
-    "u13_txlog_object_store_roundtrip",
-    "t49_term_burstiness",
-    # (b) changed this round
+    "st01_stateful_stream_totals",
+    "m15_jpeg_color_decode_stats",
+    # (b) changed this round (dedup-family resource/validation fixes;
+    # m14's encoder internals were refactored for the colour path —
+    # _encode_block/_dct_quantize extraction, byte-identical output)
     "m14_jpeg_decode_stats",
-    "u06_txlog_merge_timetravel",
-    "u07_txlog_incremental_rollup",
-    "u08_txlog_forget_audit",
-    "u10_compaction_planner",
-    "u11_retention_policy_simulator",
-    "u12_layout_clustering_depth",
-    # (c) the r3-latest staleness tail, retired in full
-    "d01_dedup_exact",
-    "d13_bloom_decontamination",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q23_dedup_latest_per_key",
-    "q27_events_sessionize",
-    "s08_embedding_pca_whiten",
-    "s09_knn_graph",
-    # (d) the r4-latest block, oldest-first rotation
-    "d05_embedding_neardup_pairs",
+    "d03_dedup_minhash_lsh",
     "d06_dedup_clusters",
     "d07_dedup_resolution",
-    "d09_decontamination",
-    "d12_dup_ngram_fraction",
-    "d14_incremental_dedup",
-    "d15_cdc_span_pairs",
-    "m05_features_map_in_arrow",
-    "m07_png_decode_features",
+    "g04_connected_components",
     "p01_training_data_pipeline",
-    "q12_shipmode_case_when",
-    "q16_rollup_region_nation",
-    "q22_window_lag_lead",
-    "q25_scalar_functions",
-    "q71_cohort_retention",
-    "q72_revenue_pareto",
-    "q73_integrity_audit",
-    "s04_embedding_dim_stats",
-    "s05_embedding_normalize",
-    "s10_embedding_quantize_int8",
-    "s11_cosine_histogram",
-    "s12_embedding_drift",
-    "t01_lang_id",
-    "t02_quality_score",
-    "t03_token_stats",
-    "t04_fingerprint",
-    "t05_hash_split",
-    "t06_vocab_topk",
-    "t16_document_chunking",
-    "t17_tfidf_top_terms",
-    "t18_bigram_surprisal",
-    "t19_langid_confusion",
+    "t36_cluster_aware_split",
+    # (c) the r4-latest holdover tail, retired in full
+    "d04_dedup_simhash",
+    "s01_ann_cosine_topk",
+    "s03_ann_topk_blas",
+    "s06_ann_ivf_topk",
+    "s07_ann_pq_topk",
+    "u02_scd2_dimension",
+    "u03_snapshot_diff",
+    "u04_cdc_apply",
+    # (d) the r5-latest block, oldest-first rotation
+    "b01_bpe_merges",
+    "b02_bpe_token_stats",
+    "d04r_simhash_md5_pairs",
+    "d11r_semdedup_seeded_pairs",
+    "d16_cross_source_contamination",
+    "d17_quality_keeper_resolution",
+    "f01_seasonal_naive_backtest",
+    "g01_pagerank_knn_graph",
+    "g02_neardup_triangle_census",
+    "m01_multimodal_features",
+    "m06_phash_neardup",
+    "m08_png_phash_neardup",
+    "p03_incremental_refresh_pipeline",
+    "q37r_sketch_error_audit",
+    "q74_attribution_models",
+    "q75_position_attribution",
+    "q76_frequent_event_paths",
+    "q77_rolling_zscore_anomaly",
+    "q78_rfm_segmentation",
+    "q79_funnel_conversion",
+    "q80_activity_streaks",
+    "r01_bm25_topk",
+    "r02_item_cooccurrence_lift",
+    "r03_rrf_hybrid_topk",
+    "s02_ann_lsh_topk",
+    "s03r_ann_blas_rounded_topk",
+    "s06r_ann_ivf_seeded_topk",
+    "s07r_pq_code_histogram",
+    "s08r_pca_whiten_audit",
+    "s09r_knn_graph_rounded",
+    "s13_kmeans_lloyd_audit",
+    "s14_dim_truncation_recall",
+    "s15_ivfpq_serving_recall",
 ]
 
 

@@ -123,13 +123,20 @@ def _type_census_processor():
             total = self._total.get()[0] if self._total.exists() else 0
             for pdf in rows:
                 total += len(pdf)
-                for etype, n in pdf["event_type"].value_counts().items():
+                # value_counts() drops nulls, but len(pdf) counted them —
+                # an all-null-typed key would leave `counts` empty and
+                # min() would raise, failing the micro-batch. Map nulls
+                # to a sentinel type so every counted event has a bucket.
+                types = pdf["event_type"].fillna("__null__")
+                for etype, n in types.value_counts().items():
                     prev = self._counts.getValue((etype,))
                     self._counts.updateValue(
                         (etype,), (int(n) + (prev[0] if prev else 0),)
                     )
             self._total.update((total,))
             counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+            if not counts:
+                return
             top = min(counts, key=lambda k: (-counts[k], k))
             yield pd.DataFrame(
                 {

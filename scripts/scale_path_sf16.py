@@ -160,6 +160,11 @@ def main() -> None:
                 ).save()
         for name in queries:
             best = None
+            # the accumulator is a module global that only LSH-calling
+            # queries set; without this reset a non-LSH leg following an
+            # LSH leg would record the PREVIOUS query's stale count as
+            # its own lsh_downgraded_buckets audit row
+            _dd.LAST_LSH_DOWNGRADED_BUCKETS = None
             for run_i in range(2):
                 t0 = time.perf_counter()
                 registry[name].build(spark, sf_dir).write.mode("overwrite").format(

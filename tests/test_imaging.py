@@ -372,11 +372,70 @@ def test_jpeg_decoder_rejects_colour_and_subsampled_loudly():
         decode_jpeg_gray(subsampled)
 
 
+def test_jpeg_colour_constant_ycbcr_roundtrip_exact():
+    """A constant-YCbCr-plane 4:4:4 fixture round-trips EXACTLY: DC-only
+    blocks with unit quantization reconstruct the integer planes, and the
+    decode-side JFIF inverse transform is a deterministic function of
+    those integers — the property the oracled colour query (m15) pins."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    y = np.full((24, 17), 120, np.uint8)
+    cb = np.full((24, 17), 90, np.uint8)
+    cr = np.full((24, 17), 180, np.uint8)
+    rgb = decode_jpeg_color(encode_jpeg_ycbcr(y, cb, cr))
+    expected = ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1))
+    assert rgb.shape == (24, 17, 3)
+    assert (rgb == expected).all()
+
+
+def test_jpeg_colour_rgb_roundtrip_tolerance():
+    """General RGB content through encode_jpeg_rgb → decode_jpeg_color:
+    colour transform (two half-even roundings) + unit-quantized DCT keep
+    every channel within ±3 of the source — the bound the T.81
+    conformance tolerance plus double colour rounding allows."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    out = decode_jpeg_color(encode_jpeg_rgb(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_decode_dispatch_and_colour_guards():
+    """decode_jpeg dispatches on component count; decode_jpeg_color
+    refuses greyscale input and chroma-subsampled colour input loudly."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    g = np.full((9, 9), 33, np.uint8)
+    assert decode_jpeg(encode_jpeg_gray(g)).shape == (9, 9)
+    c = encode_jpeg_ycbcr(g, g, g)
+    assert decode_jpeg(c).shape == (9, 9, 3)
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_color(encode_jpeg_gray(g))
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg_color(_colour_baseline_jpeg_header())
+
+
 def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
     """The r8 verdict's colour-JPEG contract on the shared dispatch:
     WITH Pillow importable, decode_image hands colour JPEG to libjpeg
     and returns an (h, w, 3) array; WITHOUT it, the built-in decoder
-    raises loudly — under no configuration do wrong pixels come back."""
+    handles 4:4:4 colour itself (r10) and still raises loudly on
+    chroma-subsampled input — under no configuration do wrong pixels
+    come back."""
     from dibimbing_case_study_etl_spark.functions.imaging import decode_image
 
     try:
@@ -384,8 +443,17 @@ def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
 
         from PIL import Image  # type: ignore
     except ImportError:
-        with pytest.raises(ValueError, match="single-component"):
+        # the guard header is 4:2:0-subsampled: built-in must refuse
+        with pytest.raises(ValueError, match="subsampled"):
             decode_image(_colour_baseline_jpeg_header())
+        # 4:4:4 colour now decodes through the built-in codec
+        from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_rgb
+
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        rgb[:, :, 0] = 200
+        out = decode_image(encode_jpeg_rgb(rgb))
+        assert out.shape == (16, 16, 3)
+        assert abs(int(out[0, 0, 0]) - 200) <= 3 and int(out[0, 0, 1]) <= 3
         return
     rgb = np.zeros((16, 16, 3), dtype=np.uint8)
     rgb[:, :, 0] = 200

@@ -1002,6 +1002,46 @@ def test_lsh_bucket_cap_env_wiring_and_downgrade_audit(spark, monkeypatch):
     assert len(huge) == len(exact)
 
 
+def test_lsh_bucket_cap_env_rejects_bad_values(spark, monkeypatch):
+    """r9 ADVICE: '0'/negatives would silently star-downgrade EVERY
+    multi-member bucket and non-integers raised a bare ValueError
+    mid-build — both must fail loud, naming the env var."""
+    import pytest
+
+    import dibimbing_case_study_etl_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e").alias("text"),
+    )
+    for bad in ("0", "1", "-5", "banana"):
+        monkeypatch.setenv(dd._BUCKET_CAP_ENV, bad)
+        with pytest.raises(ValueError, match=dd._BUCKET_CAP_ENV):
+            dd.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+def test_component_algorithms_reject_non_integral_ids(spark):
+    """r9 ADVICE: string ids cast to null bigint labels, so the loops
+    'converged' instantly on all-null cluster_ids. Both component
+    implementations must raise up front instead."""
+    import pytest
+
+    from dibimbing_case_study_etl_spark.operators.dedup import (
+        connected_components_pointer_jump,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame([("a",), ("b",), ("c",)], ["doc_id"])
+    with pytest.raises(TypeError, match="integral"):
+        dedup_clusters(docs, pairs, "doc_id")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components_pointer_jump(pairs)
+
+
 def test_pointer_jump_cc_converges_in_log_rounds_on_long_path(spark):
     """The reason g04's operator exists: a PATH graph of 4096 nodes has
     diameter 4095, so d06's min-label propagation needs ~4095 rounds —
