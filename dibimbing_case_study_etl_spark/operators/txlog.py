@@ -255,8 +255,15 @@ class InMemoryS3Client:
 
     def __init__(self) -> None:
         self.objects: dict[tuple[str, str], bytes] = {}
+        # API-call audit (the scale legs record these per run: the log
+        # protocol's cost model is "1 conditional PUT per commit +
+        # O(commits-since-checkpoint) GETs per snapshot + 1 LIST per fold")
+        self.n_put = 0
+        self.n_get = 0
+        self.n_list = 0
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        self.n_put += 1
         if IfNoneMatch == "*" and (Bucket, Key) in self.objects:
             raise _S3ClientError(412, "PreconditionFailed")
         self.objects[(Bucket, Key)] = bytes(Body)
@@ -265,11 +272,13 @@ class InMemoryS3Client:
     def get_object(self, Bucket, Key):
         import io
 
+        self.n_get += 1
         if (Bucket, Key) not in self.objects:
             raise _S3ClientError(404, "NoSuchKey")
         return {"Body": io.BytesIO(self.objects[(Bucket, Key)])}
 
     def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        self.n_list += 1
         keys = sorted(k for b, k in self.objects if b == Bucket and k.startswith(Prefix))
         return {"Contents": [{"Key": k} for k in keys], "IsTruncated": False}
 

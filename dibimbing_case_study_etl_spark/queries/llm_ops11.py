@@ -845,6 +845,14 @@ _U13_ORACLE = f"""
 """
 
 
+# store-call audit of the most recent u13 run (the LSH downgrade-counter
+# pattern): the scale legs record it per run to prove the log protocol's
+# "1 conditional PUT per commit + O(commits-since-checkpoint) GETs per
+# snapshot + 1 paginated LIST per fold" cost model holds as data grows —
+# store traffic must track COMMIT COUNT, not table size
+LAST_U13_STORE_CALLS: dict | None = None
+
+
 @query(
     "u13_txlog_object_store_roundtrip",
     oracle=_U13_ORACLE,
@@ -918,6 +926,12 @@ def u13_txlog_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         ]
         out = versions[0].unionByName(versions[1]).unionByName(versions[2])
         result = out.orderBy("version").localCheckpoint(eager=True)
+        global LAST_U13_STORE_CALLS
+        LAST_U13_STORE_CALLS = {
+            "puts": client.n_put,
+            "gets": client.n_get,
+            "lists": client.n_list,
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result

@@ -57,6 +57,13 @@ QUERIES = [
     # sharded scale data), so the slope should track the scan, not the
     # graph.
     "g03_supply_chain_reach",
+    # r10 (verdict ask #5): the txlog family at scale — the store-backed
+    # read path (paginated ListObjectsV2 + GetObject) was rewired in r9
+    # but had no scale cell. The data plane is distributed parquet; the
+    # leg also records the store-call counts (LAST_U13_STORE_CALLS) to
+    # prove log traffic tracks COMMIT COUNT, not table size.
+    "u06_txlog_merge_timetravel",
+    "u13_txlog_object_store_roundtrip",
 ]
 
 
@@ -193,6 +200,15 @@ def main() -> None:
                 curve[sf_label][f"_{name}_lsh_downgraded_buckets"] = leg[
                     "lsh_downgraded_buckets"
                 ]
+            if name.startswith("u13"):
+                # store-call audit (r10 ask #5): the commit-log protocol's
+                # API traffic must track commit count, not data size —
+                # identical counts at every SF is the pass condition
+                import dibimbing_case_study_etl_spark.queries.llm_ops11 as _l11
+
+                if _l11.LAST_U13_STORE_CALLS is not None:
+                    leg["store_calls"] = dict(_l11.LAST_U13_STORE_CALLS)
+                    curve[sf_label][f"_{name}_store_calls"] = leg["store_calls"]
             print(json.dumps(leg), flush=True)
             if sf_label in ("sf4", "sf16"):
                 # see _drain_shuffle_dirs: clearCache() releases the
