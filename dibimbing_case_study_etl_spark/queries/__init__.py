@@ -95,9 +95,12 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r10 window: (a) the new registrations (st01, the first registry-visible
-# stateful-streaming query — applyInPandasWithState executed as a real
-# two-micro-batch stream inside the callable, r9 verdict ask #7); (b) the
+# r10 window: (a) the new registrations — st01 (the first
+# registry-visible stateful-streaming query: applyInPandasWithState
+# executed as a real two-micro-batch stream inside the callable, r9
+# verdict ask #7), m15 (colour-JPEG decode through the new built-in
+# 4:4:4 path, ask #6), u14 (compaction lifecycle through the txlog,
+# previously pytest-only); (b) the
 # r10-changed queries — the dedup-family consumers of this round's
 # resource/validation fixes (bucket-cap env validation, the
 # initial-labels/edges unpersist in dedup_clusters, the integral-id
@@ -106,13 +109,15 @@ def load_all() -> dict[str, QuerySpec]:
 # holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
 # g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
 # design, r5-green oracled twins) — spending their slots directly so
-# post-r10 NO query's latest driver row is older than r5; (d) 33 of the
-# 50 r5-latest greens, oldest-first rotation (the remaining 17 — s16,
-# the t20–t35 text block, and u05 — lead r11's stale block).
+# post-r10 NO query's latest driver row is older than r5; (d) 31 of the
+# 50 r5-latest greens, oldest-first rotation (the remaining 19 — s14,
+# s15, s16, the t20–t35 text block, and u05 — lead r11's stale block).
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
     "st01_stateful_stream_totals",
     "m15_jpeg_color_decode_stats",
+    "u14_txlog_compaction",
+    "st02_stream_session_windows",
     # (b) changed this round (dedup-family resource/validation fixes;
     # m14's encoder internals were refactored for the colour path —
     # _encode_block/_dct_quantize extraction, byte-identical output)
@@ -164,8 +169,6 @@ DRIVER_PRIORITY: list[str] = [
     "s08r_pca_whiten_audit",
     "s09r_knn_graph_rounded",
     "s13_kmeans_lloyd_audit",
-    "s14_dim_truncation_recall",
-    "s15_ivfpq_serving_recall",
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum, sql_dsum
 from dibimbing_case_study_etl_spark.queries import query
 
 _ST01_ORACLE = """
@@ -202,3 +203,185 @@ def m15_jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_color_image_features(
         synth_jpeg_color_table(t["documents"], "doc_id"), spread=False
     )
+
+
+_U14_ORACLE = f"""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS p FROM customer),
+    v0 AS (SELECT k, p FROM c WHERE k % 3 = 0),
+    v1 AS (SELECT k, p FROM c WHERE k % 3 <= 1),
+    v2 AS (SELECT k, p FROM c)
+    SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys, {{dsum_p}} AS total_bal
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}
+    FROM v2
+    UNION ALL
+    -- compaction is data-identical: version 3 repeats version 2's stats
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}
+    FROM v2
+    ORDER BY version
+"""
+
+
+@query(
+    "u14_txlog_compaction",
+    oracle=_U14_ORACLE.format(dsum_p=sql_dsum("p", 2)),
+    tags=("warehouse", "acid", "maintenance"),
+)
+def u14_txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction through the transaction log, driver-checked
+    end-to-end (``compact`` was pytest-only before r10): three appends
+    build a fragmented table, ``compact`` bin-packs the live set into two
+    files as an atomic data-identical commit, and all four versions are
+    read back AFTER the compaction — time travel to the pre-compact
+    versions must still work because their files stay on disk until
+    vacuum. The builder additionally asserts the live-file count actually
+    dropped (loud failure, not a hash mismatch); the oracle pins the
+    data-identity arithmetic: version 3's stats equal version 2's.
+
+    Scale: compaction reads only the LIVE file set and writes
+    ``target_files`` outputs — the cost is the live bytes, not the
+    history; readers pinned to old versions never block it (MVCC via
+    immutable files + log commit). The maintenance pass every
+    streaming-ingest table needs at 100 TB, where file-count growth —
+    not data growth — is what kills scan planning."""
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u14_")
+    try:
+        table = TxLogTable.create(root)
+        # three fragmented appends: disjoint key thirds, 4 files each
+        for r in (0, 1, 2):
+            table.append(
+                c.filter(F.col("k") % 3 == r).repartition(4),
+                key_col="k",
+                target_files=4,
+            )
+        files_before = len(table.live_files())
+        table.compact(spark, key_col="k", target_files=2)
+        files_after = len(table.live_files())
+        if files_after >= files_before:
+            raise RuntimeError(
+                f"compact did not shrink the live set "
+                f"({files_before} -> {files_after} files)"
+            )
+        versions = [
+            table.read(spark, as_of=v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("k").alias("sum_keys"),
+                dsum(F.col("p"), 2).alias("total_bal"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"), "*")
+            for v in (0, 1, 2, 3)
+        ]
+        out = versions[0]
+        for v in versions[1:]:
+            out = out.unionByName(v)
+        result = out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+_ST02_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT)     AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "st02_stream_session_windows",
+    oracle=_ST02_ORACLE,
+    tags=("streaming", "session"),
+)
+def st02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization executed as a real
+    two-micro-batch stream inside the query (the built-in stateful shape,
+    complementing st01's arbitrary-state operator): batch 1 streams the
+    even event_ids, batch 2 the odd — so sessions MERGE across the
+    micro-batch boundary (batch-2 events fall inside batch-1 gaps) — and
+    the complete-mode snapshot after the last batch must equal batch
+    gaps-and-islands sessionization (q27's oracle shape with
+    ``session_window``'s boundary semantics: a gap of exactly the
+    30-minute timeout SPLITS, and ``session_end = last event + gap``).
+
+    Complete mode is the finite-input test-harness closure (state is all
+    sessions, snapshot per trigger); a deployment streams unbounded input
+    in update/append mode with a watermark, where state is only OPEN
+    sessions — the semantics under test (merge-on-arrival, timeout
+    boundary) are identical. Session state is shuffle-partitioned by
+    user_id; one exchange per micro-batch."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    src = tempfile.mkdtemp(prefix="st02_src_")
+    sink = f"st02_sessions_{uuid.uuid4().hex[:10]}"
+    try:
+        events.filter(F.col("event_id") % 2 == 0).drop("event_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+            src + "/*.parquet"
+        )
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("win"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # micro-batch 1: even event_ids
+            events.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()  # micro-batch 2: sessions merge
+        finally:
+            q.stop()
+        final = spark.table(sink).select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+        result = final.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src, ignore_errors=True)
+    return result
