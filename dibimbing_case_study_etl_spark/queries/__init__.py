@@ -109,15 +109,17 @@ def load_all() -> dict[str, QuerySpec]:
 # holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
 # g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
 # design, r5-green oracled twins) — spending their slots directly so
-# post-r10 NO query's latest driver row is older than r5; (d) 31 of the
-# 50 r5-latest greens, oldest-first rotation (the remaining 19 — s14,
-# s15, s16, the t20–t35 text block, and u05 — lead r11's stale block).
+# post-r10 NO query's latest driver row is older than r5; (d) 29 of the
+# 50 r5-latest greens, oldest-first rotation (the remaining 21 — s09r,
+# s13–s16, the t20–t35 text block, and u05 — lead r11's stale block).
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
     "st01_stateful_stream_totals",
     "m15_jpeg_color_decode_stats",
     "u14_txlog_compaction",
     "st02_stream_session_windows",
+    "t50_vocab_growth_heaps",
+    "x10_sprt_ab_monitor",
     # (b) changed this round (dedup-family resource/validation fixes;
     # m14's encoder internals were refactored for the colour path —
     # _encode_block/_dct_quantize extraction, byte-identical output)
@@ -167,8 +169,6 @@ DRIVER_PRIORITY: list[str] = [
     "s06r_ann_ivf_seeded_topk",
     "s07r_pq_code_histogram",
     "s08r_pca_whiten_audit",
-    "s09r_knn_graph_rounded",
-    "s13_kmeans_lloyd_audit",
 ]
 
 

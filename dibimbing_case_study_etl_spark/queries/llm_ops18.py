@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
-from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum, sql_dsum
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    dsum,
+    iround,
+    sql_dsum,
+    sql_iround,
+)
 from dibimbing_case_study_etl_spark.queries import query
 
 _ST01_ORACLE = """
@@ -385,3 +390,278 @@ def st02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+_T50_ORACLE = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tok AS (
+        SELECT LEAST(9, CAST(FLOOR(d.doc_id * 10.0 / n.n_docs) AS BIGINT))
+                   AS bucket,
+               t.term
+        FROM documents d, n,
+             UNNEST(string_split_regex(trim(lower(d.text)), ' +')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    first_seen AS (
+        SELECT term, MIN(bucket) AS first_bucket FROM tok GROUP BY term
+    ),
+    per_bucket AS (
+        SELECT b.bucket,
+               COALESCE(tk.n_tokens, 0)  AS n_tokens,
+               COALESCE(fs.new_terms, 0) AS new_terms
+        FROM (SELECT UNNEST(generate_series(0, 9, 1)) AS bucket) b
+        LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                   FROM tok GROUP BY bucket) tk USING (bucket)
+        LEFT JOIN (SELECT first_bucket AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS new_terms
+                   FROM first_seen GROUP BY first_bucket) fs USING (bucket)
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(n_tokens) OVER w AS BIGINT)  AS cum_tokens,
+               CAST(SUM(new_terms) OVER w AS BIGINT) AS cum_vocab
+        FROM per_bucket
+        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    mu AS (
+        SELECT bucket, cum_tokens, cum_vocab,
+               CAST(round_even(ln(cum_tokens) * 1000000, 0) AS BIGINT) AS x,
+               CAST(round_even(ln(cum_vocab) * 1000000, 0) AS BIGINT)  AS y
+        FROM cum
+    ),
+    fit AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM mu
+    ),
+    coef AS (
+        SELECT CAST(10 * sxy - sx * sy AS DOUBLE)
+               / CAST(10 * sxx - sx * sx AS DOUBLE) AS hb,
+               sx, sy
+        FROM fit
+    )
+    SELECT mu.bucket, mu.cum_tokens, mu.cum_vocab,
+           {hb_round} AS heaps_b,
+           {hk_round} AS heaps_k
+    FROM mu, coef
+    ORDER BY mu.bucket
+"""
+
+
+@query(
+    "t50_vocab_growth_heaps",
+    oracle=_T50_ORACLE.format(
+        hb_round=sql_iround("coef.hb", 6),
+        hk_round=sql_iround(
+            "exp((CAST(coef.sy AS DOUBLE) - coef.hb * CAST(coef.sx AS DOUBLE))"
+            " / 10000000.0)",
+            4,
+        ),
+    ),
+    tags=("llm", "text", "statistics"),
+)
+def t50_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: split the corpus into ten
+    doc-id deciles, count cumulative tokens N_i and cumulative distinct
+    vocabulary V_i after each decile (a term counts where it FIRST
+    appears), and fit V = K·N^b by least squares on (ln N_i, ln V_i).
+    b ≈ 0.4–0.6 is natural-text growth; b near 1 flags a corpus of
+    near-disjoint vocabularies (concatenated unrelated sources), b near
+    0 flags template spam — the quick corpus-health check curation runs
+    before committing a crawl snapshot.
+
+    Scale: one token explode feeds two map-side-combining aggregations
+    (term→min bucket, bucket→token count); vocabulary state is
+    O(distinct terms), the decile assignment is pure doc-id arithmetic
+    (no global sort), and the regression runs over exactly ten rows of
+    EXACT BIGINT micro-units (ln values scaled to 1e-6 then summed as
+    integers) so the fitted coefficients are bit-identical on both
+    engines — the sums, products, and single final division see the
+    same integers everywhere."""
+    from dibimbing_case_study_etl_spark.functions.text import tokens
+
+    t = register(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tok = (
+        docs.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("doc_id") * 10.0 / F.col("n_docs")).cast("bigint"),
+            ).alias("bucket"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    buckets = spark.range(10).select(F.col("id").alias("bucket"))
+    tok_per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    new_per_bucket = (
+        tok.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_terms"))
+    )
+    per_bucket = (
+        buckets.join(tok_per_bucket, "bucket", "left")
+        .join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_bucket.select(
+        "bucket",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
+    rint = lambda c: F.call_function("rint", c)  # noqa: E731
+    mu = cum.select(
+        "bucket",
+        "cum_tokens",
+        "cum_vocab",
+        rint(F.log("cum_tokens") * 1e6).cast("bigint").alias("x"),
+        rint(F.log("cum_vocab") * 1e6).cast("bigint").alias("y"),
+    )
+    fit = mu.agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    hb = (10 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        10 * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    coef = fit.select(
+        hb.alias("hb"), F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    hk = F.exp((F.col("syd") - F.col("hb") * F.col("sxd")) / 1e7)
+    return (
+        mu.crossJoin(F.broadcast(coef))
+        .select(
+            "bucket",
+            "cum_tokens",
+            "cum_vocab",
+            iround(F.col("hb"), 6).alias("heaps_b"),
+            iround(hk, 4).alias("heaps_k"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_X10_ORACLE = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM events),
+    trials AS (
+        SELECT e.user_id % 2 AS arm,
+               LEAST(9, CAST(FLOOR(e.event_id * 10.0 / n.n_events) AS BIGINT))
+                   AS bucket,
+               CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS success
+        FROM events e, n
+    ),
+    per_bucket AS (
+        SELECT arm, bucket,
+               CAST(COUNT(*) AS BIGINT)    AS n_trials,
+               CAST(SUM(success) AS BIGINT) AS n_successes
+        FROM trials GROUP BY arm, bucket
+    ),
+    cum AS (
+        SELECT arm, bucket,
+               CAST(SUM(n_trials) OVER w AS BIGINT)    AS cum_trials,
+               CAST(SUM(n_successes) OVER w AS BIGINT) AS cum_successes
+        FROM per_bucket
+        WINDOW w AS (PARTITION BY arm ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT arm, bucket, cum_trials, cum_successes,
+               cum_successes * ln(0.22 / 0.18)
+                 + (cum_trials - cum_successes) * ln(0.78 / 0.82) AS llr
+        FROM cum
+    )
+    SELECT arm, bucket, cum_trials, cum_successes,
+           {llr_round} AS llr,
+           CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM scored
+    ORDER BY arm, bucket
+"""
+
+
+@query(
+    "x10_sprt_ab_monitor",
+    oracle=_X10_ORACLE.format(llr_round=sql_iround("llr", 6)),
+    tags=("llm", "experimentation", "sequential"),
+)
+def x10_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as an always-on A/B
+    monitor: events are trials (success = purchase), arms split by
+    user-id parity, and the log-likelihood ratio for H1: p=0.22 vs
+    H0: p=0.18 is evaluated at ten event-id-decile checkpoints per arm
+    against the α=β=0.05 boundaries ±ln(19). The classical
+    peek-any-time test (Wald 1945): unlike a fixed-horizon t-test, the
+    SPRT's error guarantee survives continuous monitoring — the shape
+    every experimentation platform needs at streaming scale.
+
+    Scale: the LLR needs only CUMULATIVE (trials, successes) — exact
+    BIGINTs from one map-side-combining groupBy per (arm, decile), a
+    20-row cumulative window, and a closed-form two-term expression per
+    row (s·ln(p1/p0) + f·ln(q1/q0), identical operation order on both
+    engines). No per-trial sequence is materialized; checkpoint
+    assignment is pure event-id arithmetic, no global sort."""
+    t = register(spark, sf_dir, ("events",))
+    events = t["events"]
+    n_events = events.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    trials = events.crossJoin(F.broadcast(n_events)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.least(
+            F.lit(9),
+            F.floor(F.col("event_id") * 10.0 / F.col("n_events")).cast("bigint"),
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("success"),
+    )
+    per_bucket = trials.groupBy("arm", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum("success").cast("bigint").alias("n_successes"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("arm")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_bucket.select(
+        "arm",
+        "bucket",
+        F.sum("n_trials").over(w).cast("bigint").alias("cum_trials"),
+        F.sum("n_successes").over(w).cast("bigint").alias("cum_successes"),
+    )
+    lr1 = F.log(F.lit(0.22) / F.lit(0.18))
+    lr0 = F.log(F.lit(0.78) / F.lit(0.82))
+    llr = F.col("cum_successes") * lr1 + (
+        F.col("cum_trials") - F.col("cum_successes")
+    ) * lr0
+    bound = F.log(F.lit(19.0))
+    return (
+        cum.withColumn("__llr", llr)
+        .select(
+            "arm",
+            "bucket",
+            "cum_trials",
+            "cum_successes",
+            iround(F.col("__llr"), 6).alias("llr"),
+            F.when(F.col("__llr") >= bound, "accept_h1")
+            .when(F.col("__llr") <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("arm", "bucket")
+    )
