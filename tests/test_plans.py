@@ -1088,3 +1088,45 @@ def test_m14_jpeg_two_python_stages_no_join(spark, sf_dir):
     assert plan.count("Arguments: decode(") == 1
     assert "Join" not in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_m15_colour_codec_single_exchange_pruned_scan(spark, sf_dir):
+    """m15 mirrors m14's plan shape across the colour path: render →
+    decode are the only Python stages, one exchange total (the
+    producer's doc_id spread, consumer takes spread=False), no join,
+    and the scan is pruned to doc_id (fixtures are id-derived)."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "m15_jpeg_color_decode_stats")
+    assert plan.count("Arguments: render(") == 1
+    assert plan.count("Arguments: decode(") == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_t50_single_corpus_scan_broadcast_scalar(spark, sf_dir):
+    """t50's vocabulary-growth fit: the corpus-size scalar reaches the
+    token explode as a BROADCAST nested-loop (single-row side), never a
+    shuffled join; the documents scan is pruned to (doc_id, text); and
+    the plan carries no sort-merge join anywhere — the decile assignment
+    is pure arithmetic, not a global sort."""
+    plan = explain_str(spark, sf_dir, "t50_vocab_growth_heaps")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_x10_single_fact_scan_no_shuffled_join(spark, sf_dir):
+    """x10's SPRT monitor reads the events fact exactly once, pruned to
+    the three columns the trial derivation needs; the total-count scalar
+    broadcasts; cumulative checkpoints ride a 20-row window — no
+    sort-merge join, no second fact scan."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "x10_sprt_ab_monitor")
+    # events fact + count scalar (detail-section occurrences)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>" in plan
