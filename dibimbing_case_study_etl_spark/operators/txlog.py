@@ -52,6 +52,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class ConflictError(RuntimeError):
@@ -392,8 +393,57 @@ class TxLogTable:
 
     def last_txn_batch(self, app: str, as_of: int | None = None) -> int | None:
         """Highest committed batch id for a streaming writer ``app``."""
-        _, txn = self._fold_state(as_of)
+        _, txn, _ = self._fold_state(as_of)
         return txn.get(app)
+
+    # -- schema evolution --------------------------------------------------
+
+    def table_schema(self, as_of: int | None = None) -> dict | None:
+        """The LOG-recorded table schema at ``as_of`` (Spark StructType
+        JSON dict) — the last writing commit's schema, folded like the
+        live set. ``None`` for legacy logs whose commits predate schema
+        recording (readers fall back to parquet mergeSchema)."""
+        _, _, schema = self._fold_state(as_of)
+        return schema
+
+    @staticmethod
+    def _schema_dict(df: DataFrame) -> dict:
+        return json.loads(df.schema.json())
+
+    def _check_additive_evolution(self, new_schema: dict) -> None:
+        """Schema evolution is ADDITIVE-ONLY (the Delta default): a write
+        may introduce new columns (older files read them as NULL through
+        the log schema) but must keep every existing column with an
+        identical type — a drop would silently hide data in untouched
+        files, a type change would corrupt the scan. Loud, never wrong."""
+        cur = self.table_schema()
+        if cur is None:
+            return
+        new_fields = {f["name"]: f["type"] for f in new_schema["fields"]}
+        for f in cur["fields"]:
+            if f["name"] not in new_fields:
+                raise ValueError(
+                    f"schema evolution on {self.root} would DROP column "
+                    f"{f['name']!r}; only additive evolution is supported "
+                    f"(project the column through, or rewrite via compact)"
+                )
+            if new_fields[f["name"]] != f["type"]:
+                raise ValueError(
+                    f"schema evolution on {self.root} would change column "
+                    f"{f['name']!r} from {f['type']!r} to "
+                    f"{new_fields[f['name']]!r}; types are immutable"
+                )
+
+    def _read_files(self, spark: SparkSession, paths: list[str], schema: dict | None) -> DataFrame:
+        if schema is not None:
+            # log-recorded schema (the Delta pattern): planning touches NO
+            # parquet footers, and files written before an additive
+            # evolution surface the missing columns as NULL
+            reader = spark.read.schema(T.StructType.fromJson(schema))
+        else:
+            # legacy log: fall back to footer-merged union semantics
+            reader = spark.read.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- checkpoints (manifest compaction) ---------------------------------
 
@@ -418,7 +468,7 @@ class TxLogTable:
         a pure function of the version, so a publish race is harmless —
         link-if-absent, loser's bytes were identical."""
         v = self.latest_version() if as_of is None else as_of
-        live, txn = self._fold_state(v)
+        live, txn, schema = self._fold_state(v)
         payload = {
             "version": v,
             "op": "checkpoint",  # superset of the commit schema on purpose
@@ -434,6 +484,7 @@ class TxLogTable:
                 for f in live.values()
             ],
             "txn_watermarks": txn,
+            "schema": schema,
         }
         # derived state: a lost race means identical bytes already published
         self.store.put_if_absent(
@@ -450,13 +501,15 @@ class TxLogTable:
 
     def _fold_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, _DataFile], dict[str, int]]:
-        """(live files, per-app txn watermark) at ``as_of`` — seeded from
-        the newest checkpoint ≤ ``as_of``, then replaying only the
-        commits after it."""
+    ) -> tuple[dict[str, _DataFile], dict[str, int], dict | None]:
+        """(live files, per-app txn watermark, log-recorded schema) at
+        ``as_of`` — seeded from the newest checkpoint ≤ ``as_of``, then
+        replaying only the commits after it. The schema folds
+        last-writer-wins, like the live set."""
         last = self.latest_version() if as_of is None else as_of
         live: dict[str, _DataFile] = {}
         txn: dict[str, int] = {}
+        schema: dict | None = None
         start = 0
         ckpt = self._latest_checkpoint(last)
         if ckpt is not None:
@@ -466,6 +519,7 @@ class TxLogTable:
                     f["path"], f["rows"], f.get("min_key"), f.get("max_key")
                 )
             txn.update(payload.get("txn_watermarks", {}))
+            schema = payload.get("schema")
             start = cv + 1
         for v in range(start, last + 1):
             c = self._read_commit(v)
@@ -478,23 +532,28 @@ class TxLogTable:
             if c.get("txn"):
                 app, batch = c["txn"]["app"], c["txn"]["batch"]
                 txn[app] = max(txn.get(app, batch), batch)
-        return live, txn
+            if c.get("schema") is not None:
+                schema = c["schema"]
+        return live, txn, schema
 
     def live_files(self, as_of: int | None = None) -> list[_DataFile]:
-        live, _ = self._fold_state(as_of)
+        live, _, _ = self._fold_state(as_of)
         return [live[k] for k in sorted(live)]
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Snapshot read (``as_of=None`` → latest). Immutable data files +
         a pinned file list = a consistent view regardless of concurrent
-        commits."""
-        files = self.live_files(as_of)
+        commits. The scan schema comes from the LOG (r10): files written
+        before an additive schema evolution surface the newer columns as
+        NULL, no parquet footers are touched at planning, and an
+        ``as_of`` read sees the schema AS OF that version — legacy logs
+        without recorded schemas fall back to footer mergeSchema."""
+        live, _, schema = self._fold_state(as_of)
+        files = [live[k] for k in sorted(live)]
         if not files:
             raise ValueError(f"txlog table {self.root} is empty at version {as_of}")
-        # mergeSchema: files written before a schema evolution lack the new
-        # columns; readers see them as NULL (parquet union semantics)
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.root / f.path) for f in files]
+        return self._read_files(
+            spark, [str(self.root / f.path) for f in files], schema
         )
 
     # -- writes ------------------------------------------------------------
@@ -540,6 +599,8 @@ class TxLogTable:
             last = self.last_txn_batch(txn[0], as_of=base)
             if last is not None and txn[1] <= last:
                 return base  # replayed batch → idempotent no-op
+        new_schema = self._schema_dict(df)
+        self._check_additive_evolution(new_schema)
         added = self._write_data(df, key_col, target_files)
         payload = {
             "op": "append",
@@ -547,6 +608,7 @@ class TxLogTable:
             "removed": [],
             "key_col": key_col,
             "txn": {"app": txn[0], "batch": txn[1]} if txn else None,
+            "schema": new_schema,
         }
         for v in range(base + 1, base + 2 + max_retries):
             if txn is not None:
@@ -599,15 +661,20 @@ class TxLogTable:
 
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            files = self.live_files(as_of=base)
+            live, _, cur_schema = self._fold_state(base)
+            files = [live[k] for k in sorted(live)]
             touched = [
                 f
                 for f in files
                 if f.min_key is None or not (f.max_key < lo or f.min_key > hi)
             ]
             if touched:
-                current = spark.read.parquet(
-                    *[str(self.root / f.path) for f in touched]
+                # read the touched set through the LOG schema — a plain
+                # parquet read of schema-heterogeneous files (pre- and
+                # post-evolution) would take the first file's footer and
+                # silently drop the newer columns from the rewrite
+                current = self._read_files(
+                    spark, [str(self.root / f.path) for f in touched], cur_schema
                 )
                 survivors = current.join(src_keys, on=key_col, how="left_anti")
                 rewritten = (
@@ -619,6 +686,11 @@ class TxLogTable:
                 )
             else:
                 rewritten = None if delete else src
+            written_schema = (
+                self._schema_dict(rewritten) if rewritten is not None else None
+            )
+            if written_schema is not None:
+                self._check_additive_evolution(written_schema)
             added = (
                 self._write_data(rewritten, key_col, target_files)
                 if rewritten is not None
@@ -630,6 +702,7 @@ class TxLogTable:
                 "removed": [f.path for f in touched],
                 "key_col": key_col,
                 "txn": {"app": txn[0], "batch": txn[1]} if txn else None,
+                "schema": written_schema,
             }
             if txn is not None:
                 last = self.last_txn_batch(txn[0], as_of=base)
@@ -658,10 +731,16 @@ class TxLogTable:
         against the new snapshot, like merge."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            files = self.live_files(as_of=base)
+            live, _, cur_schema = self._fold_state(base)
+            files = [live[k] for k in sorted(live)]
             if not files:
                 raise ValueError(f"txlog table {self.root} is empty; nothing to compact")
-            current = spark.read.parquet(*[str(self.root / f.path) for f in files])
+            # compaction reads through the log schema, so it is ALSO the
+            # file-level schema normalizer: post-compact every live file
+            # physically carries the evolved (wide) schema
+            current = self._read_files(
+                spark, [str(self.root / f.path) for f in files], cur_schema
+            )
             added = self._write_data(current, key_col, target_files)
             payload = {
                 "op": "compact",
@@ -669,6 +748,7 @@ class TxLogTable:
                 "removed": [f.path for f in files],
                 "key_col": key_col,
                 "txn": None,
+                "schema": self._schema_dict(current),
             }
             if self._try_publish(payload, base + 1):
                 self._maybe_auto_checkpoint(base + 1)

@@ -109,9 +109,11 @@ def load_all() -> dict[str, QuerySpec]:
 # holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
 # g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
 # design, r5-green oracled twins) — spending their slots directly so
-# post-r10 NO query's latest driver row is older than r5; (d) 29 of the
-# 50 r5-latest greens, oldest-first rotation (the remaining 21 — s09r,
-# s13–s16, the t20–t35 text block, and u05 — lead r11's stale block).
+# post-r10 NO query's latest driver row is older than r5; (d) 21 of the
+# 50 r5-latest greens, oldest-first rotation (the remaining 29 — the
+# r/s tail r01–r03/s02/s03r/s06r–s09r/s13–s16, the t20–t35 text block,
+# and u05 — lead r11's stale block; the txlog re-checks took their
+# slots).
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
     "st01_stateful_stream_totals",
@@ -120,6 +122,7 @@ DRIVER_PRIORITY: list[str] = [
     "st02_stream_session_windows",
     "t50_vocab_growth_heaps",
     "x10_sprt_ab_monitor",
+    "u15_txlog_schema_evolution",
     # (b) changed this round (dedup-family resource/validation fixes;
     # m14's encoder internals were refactored for the colour path —
     # _encode_block/_dct_quantize extraction, byte-identical output)
@@ -130,6 +133,15 @@ DRIVER_PRIORITY: list[str] = [
     "g04_connected_components",
     "p01_training_data_pipeline",
     "t36_cluster_aware_split",
+    # (b2) the txlog family: the r10 schema-evolution fold changed the
+    # commit payloads, the state fold, and every read path
+    "u06_txlog_merge_timetravel",
+    "u07_txlog_incremental_rollup",
+    "u08_txlog_forget_audit",
+    "u10_compaction_planner",
+    "u11_retention_policy_simulator",
+    "u12_layout_clustering_depth",
+    "u13_txlog_object_store_roundtrip",
     # (c) the r4-latest holdover tail, retired in full
     "d04_dedup_simhash",
     "s01_ann_cosine_topk",
@@ -161,14 +173,6 @@ DRIVER_PRIORITY: list[str] = [
     "q78_rfm_segmentation",
     "q79_funnel_conversion",
     "q80_activity_streaks",
-    "r01_bm25_topk",
-    "r02_item_cooccurrence_lift",
-    "r03_rrf_hybrid_topk",
-    "s02_ann_lsh_topk",
-    "s03r_ann_blas_rounded_topk",
-    "s06r_ann_ivf_seeded_topk",
-    "s07r_pq_code_histogram",
-    "s08r_pca_whiten_audit",
 ]
 
 

@@ -665,3 +665,130 @@ def x10_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "bucket")
     )
+
+
+_U15_ORACLE = f"""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS p FROM customer),
+    evens AS (SELECT k, p FROM c WHERE k % 2 = 0),
+    v1 AS (
+        SELECT k, p, NULL AS segment FROM evens
+        UNION ALL
+        SELECT k, p, CASE WHEN k % 3 = 0 THEN 'a' ELSE 'b' END FROM c
+        WHERE k % 2 = 1
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 5 = 0 THEN p + 10 ELSE p END AS p,
+               CASE WHEN k % 5 = 0 THEN 'vip' ELSE segment END AS segment,
+               CASE WHEN k % 5 = 0 THEN 1 ELSE NULL END AS flag
+        FROM v1
+    )
+    SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys, {{dsum_p}} AS total_bal,
+           CAST(2 AS BIGINT) AS n_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_null_segment,
+           CAST(0 AS BIGINT) AS n_flagged
+    FROM evens
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}, CAST(3 AS BIGINT),
+           CAST(SUM(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}, CAST(4 AS BIGINT),
+           CAST(SUM(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM v2
+    ORDER BY version
+"""
+
+
+@query(
+    "u15_txlog_schema_evolution",
+    oracle=_U15_ORACLE.format(dsum_p=sql_dsum("p", 2)),
+    tags=("warehouse", "acid", "schema"),
+)
+def u15_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the transaction log,
+    driver-checked end-to-end (r10): version 0 appends ``(k, p)``,
+    version 1 appends the odd keys WITH a new ``segment`` column,
+    version 2 merge-upserts the ``k % 5 = 0`` keys adding a ``flag``
+    column (``allow_schema_evolution``). Every snapshot is then read
+    back: the as-of-0 read must present the ORIGINAL two-column schema,
+    later reads present the evolved schema with pre-evolution files
+    surfacing the new columns as NULL — the schema travels in the LOG
+    (recorded per writing commit, folded through checkpoints), so scan
+    planning touches no parquet footers and time travel applies to the
+    schema exactly as it applies to the data.
+
+    Scale: schema fold cost rides the existing
+    O(commits-since-checkpoint) log replay — zero extra store calls,
+    zero footer reads; the additive-only guard (no drops, no type
+    changes) raises before any data lands."""
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u15_")
+    try:
+        table = TxLogTable.create(root)
+        table.append(c.filter(F.col("k") % 2 == 0), key_col="k", target_files=4)
+        odd = c.filter(F.col("k") % 2 == 1).withColumn(
+            "segment", F.when(F.col("k") % 3 == 0, "a").otherwise("b")
+        )
+        table.append(odd, key_col="k", target_files=4)
+        vip = (
+            c.filter(F.col("k") % 5 == 0)
+            .select(
+                "k",
+                (F.col("p") + 10).alias("p"),
+                F.lit("vip").alias("segment"),
+                F.lit(1).alias("flag"),
+            )
+        )
+        table.merge(
+            spark, vip, "k", target_files=4, allow_schema_evolution=True
+        )
+        rows = []
+        for v in (0, 1, 2):
+            snap = table.read(spark, as_of=v)
+            has_seg = "segment" in snap.columns
+            has_flag = "flag" in snap.columns
+            rows.append(
+                snap.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("k").alias("sum_keys"),
+                    dsum(F.col("p"), 2).alias("total_bal"),
+                    (
+                        F.sum(
+                            F.when(F.col("segment").isNull(), 1).otherwise(0)
+                        ).cast("bigint")
+                        if has_seg
+                        else F.count(F.lit(1)).cast("bigint")
+                    ).alias("n_null_segment"),
+                    (
+                        F.sum(
+                            F.when(F.col("flag") == 1, 1).otherwise(0)
+                        ).cast("bigint")
+                        if has_flag
+                        else F.lit(0).cast("bigint")
+                    ).alias("n_flagged"),
+                ).select(
+                    F.lit(v).cast("bigint").alias("version"),
+                    "n_rows",
+                    "sum_keys",
+                    "total_bal",
+                    F.lit(len(snap.columns)).cast("bigint").alias("n_cols"),
+                    "n_null_segment",
+                    "n_flagged",
+                )
+            )
+        out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+        result = out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

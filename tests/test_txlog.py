@@ -755,3 +755,75 @@ def test_txlog_round_trips_entirely_through_s3_store(spark, tmp_path):
 
     # nothing log-shaped leaked onto the local filesystem
     assert not list((root / "_txlog").glob("*.json"))
+
+
+def test_schema_evolution_additive_and_time_travel(spark, tmp_path):
+    """r10 schema evolution: the log records each writing commit's schema
+    (Delta pattern — planning touches no footers), additive appends
+    surface old files' missing columns as NULL, as_of reads see the
+    schema AS OF that version, merge can widen with
+    allow_schema_evolution, and compact physically normalizes every
+    live file to the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(tmp_path / "t", checkpoint_interval=2)
+    a = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"))
+    t.append(a, key_col="k", target_files=1)  # v0: (k, p)
+    b = spark.range(5, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"),
+        F.lit("web").alias("source"),
+    )
+    t.append(b, key_col="k", target_files=1)  # v1: + source
+    cur = t.read(spark)
+    assert cur.schema.simpleString() == "struct<k:bigint,p:double,source:string>"
+    assert cur.filter(F.col("source").isNull()).count() == 5  # v0 files
+    assert t.read(spark, as_of=0).schema.simpleString() == "struct<k:bigint,p:double>"
+
+    src = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(9.9).alias("p"),
+        F.lit("api").alias("source"), F.lit(1).alias("flag"),
+    )
+    t.merge(spark, src, "k", target_files=1, allow_schema_evolution=True)  # v2
+    m = t.read(spark)
+    assert "flag" in m.columns
+    assert m.count() == 10 and m.filter(F.col("flag").isNotNull()).count() == 3
+
+    # the v2 auto-checkpoint carries the folded schema: a COLD handle's
+    # as_of=1 fold must still see the narrower v1 schema
+    cold = TxLogTable(tmp_path / "t")
+    assert (
+        cold.read(spark, as_of=1).schema.simpleString()
+        == "struct<k:bigint,p:double,source:string>"
+    )
+
+    # compact normalizes the physical files to the wide schema
+    t.compact(spark, key_col="k", target_files=1)
+    assert t.read(spark).count() == 10
+    assert "flag" in t.read(spark).columns
+
+
+def test_schema_evolution_rejects_drop_and_type_change(spark, tmp_path):
+    """Only ADDITIVE evolution is legal: dropping a column would hide
+    data in untouched files, a type change would corrupt the scan —
+    both must raise before any data lands."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(tmp_path / "t")
+    t.append(
+        spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("p")),
+        key_col="k",
+    )
+    with pytest.raises(ValueError, match="DROP column"):
+        t.append(spark.range(2).select(F.col("id").alias("k")), key_col="k")
+    with pytest.raises(ValueError, match="types are immutable"):
+        t.append(
+            spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("p")),
+            key_col="k",
+        )
+    # nothing published by the rejected writes
+    assert t.latest_version() == 0
