@@ -722,13 +722,25 @@ class TxLogTable:
         key_col: str | None = None,
         target_files: int = 1,
         max_retries: int = 5,
+        cluster_by: str | None = None,
     ) -> int:
         """Bin-pack the current live files into ``target_files`` — a
         data-identical commit (adds the packed files, removes every live
         one), the small-files maintenance pass every streaming-ingest
         table needs. Readers pinned to older versions are untouched
         (their files stay until vacuum). Loses a commit race → recompute
-        against the new snapshot, like merge."""
+        against the new snapshot, like merge.
+
+        ``cluster_by`` (r10, the OPTIMIZE-with-clustering half of the
+        maintenance pass): range-repartition + sort the rewrite on that
+        column, so each output file covers a DISJOINT key range and its
+        footer min/max becomes selective — a point or range merge then
+        rewrites O(1) files instead of every file whose unsorted span
+        covered the whole domain. One extra exchange over plain
+        compaction (the range shuffle), amortized across every later
+        stats-pruned read/merge. The ingest-order live set has each file
+        spanning ~the full key range, which is what makes streaming
+        tables progressively unprunable without this pass."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
             live, _, cur_schema = self._fold_state(base)
@@ -741,7 +753,16 @@ class TxLogTable:
             current = self._read_files(
                 spark, [str(self.root / f.path) for f in files], cur_schema
             )
-            added = self._write_data(current, key_col, target_files)
+            if cluster_by is not None:
+                # disjoint ranges per output partition; the in-partition
+                # sort tightens row-group stats for readers that push
+                # predicates below the file level too
+                current = current.repartitionByRange(
+                    target_files, F.col(cluster_by)
+                ).sortWithinPartitions(cluster_by)
+                added = self._write_data(current, key_col, None)
+            else:
+                added = self._write_data(current, key_col, target_files)
             payload = {
                 "op": "compact",
                 "added": added,

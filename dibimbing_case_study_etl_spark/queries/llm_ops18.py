@@ -792,3 +792,96 @@ def u15_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+_U16_ORACLE = f"""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS p FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           {{dsum_p}} AS total_bal,
+           CAST(12 AS BIGINT) AS n_files_ingest,
+           CAST(12 AS BIGINT) AS probe_overlap_ingest,
+           TRUE AS files_reduced,
+           TRUE AS probe_pruned
+    FROM c
+"""
+
+
+@query(
+    "u16_txlog_clustered_compaction",
+    oracle=_U16_ORACLE.format(dsum_p=sql_dsum("p", 2)),
+    tags=("warehouse", "acid", "maintenance", "clustering"),
+)
+def u16_txlog_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered compaction (the OPTIMIZE-with-clustering
+    maintenance pass): three hash-shuffled appends build the worst-case
+    streaming-ingest layout — every one of the 12 files spans the whole
+    key domain, so footer min/max prunes NOTHING and a point merge must
+    rewrite all 12. ``compact(cluster_by='k')`` rewrites the live set
+    range-partitioned + sorted on the key; afterwards each file covers a
+    disjoint range and a mid-domain probe window overlaps at most two
+    files (one plus a sampled range boundary). The query pins the
+    ingest-layout facts exactly (12 files, 12-file probe overlap), the
+    post-clustering improvements as monotone booleans (file count
+    strictly down, probe overlap strictly down — the range boundaries
+    themselves are sampled, so their exact placement is not part of the
+    contract), and the data identity arithmetically (rows/sums equal
+    the source after the full cycle).
+
+    Scale: the clustered rewrite costs ONE range exchange over the live
+    bytes, amortized across every later stats-pruned read and merge;
+    without it a streaming table's files interleave forever and
+    copy-on-write merges degrade from O(files-overlapping-batch) to
+    O(all files)."""
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u16_")
+    try:
+        table = TxLogTable.create(root)
+        for r in (0, 1, 2):
+            # hash-spread the batch so every written file spans ~the full
+            # key domain (the parquet source is key-ordered; a plain
+            # coalesce would accidentally pre-cluster the fixture)
+            table.append(
+                c.filter(F.col("k") % 3 == r).repartition(4, "k"),
+                key_col="k",
+            )
+        bounds = c.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+        span = bounds["hi"] - bounds["lo"]
+        plo = bounds["lo"] + int(span * 0.47)
+        phi = bounds["lo"] + int(span * 0.50)
+
+        def overlap(files):
+            return sum(
+                1
+                for f in files
+                if f.min_key is None or not (f.max_key < plo or f.min_key > phi)
+            )
+
+        ingest_files = table.live_files()
+        n_ingest, ov_ingest = len(ingest_files), overlap(ingest_files)
+        table.compact(spark, key_col="k", target_files=4, cluster_by="k")
+        clustered_files = table.live_files()
+        n_clustered, ov_clustered = len(clustered_files), overlap(clustered_files)
+
+        stats = table.read(spark).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").alias("sum_keys"),
+            dsum(F.col("p"), 2).alias("total_bal"),
+        )
+        result = stats.select(
+            "n_rows",
+            "sum_keys",
+            "total_bal",
+            F.lit(n_ingest).cast("bigint").alias("n_files_ingest"),
+            F.lit(ov_ingest).cast("bigint").alias("probe_overlap_ingest"),
+            F.lit(n_clustered < n_ingest).alias("files_reduced"),
+            F.lit(ov_clustered < ov_ingest).alias("probe_pruned"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

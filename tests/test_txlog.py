@@ -827,3 +827,27 @@ def test_schema_evolution_rejects_drop_and_type_change(spark, tmp_path):
         )
     # nothing published by the rejected writes
     assert t.latest_version() == 0
+
+
+def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts the rewrite: the resulting
+    live files must cover pairwise-DISJOINT key ranges (that disjointness
+    is what makes footer min/max selective), and the data must be
+    byte-identical to the pre-compact table."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(tmp_path / "t")
+    src = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("p"))
+    for r in (0, 1):
+        t.append(src.filter(F.col("k") % 2 == r).repartition(3, "k"), key_col="k")
+    t.compact(spark, key_col="k", target_files=4, cluster_by="k")
+    files = t.live_files()
+    assert 1 < len(files) <= 4
+    ranges = sorted((f.min_key, f.max_key) for f in files)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # strictly disjoint
+    got = t.read(spark)
+    assert got.count() == 1000
+    assert got.agg(F.sum("k")).first()[0] == sum(range(1000))
