@@ -393,7 +393,7 @@ class TxLogTable:
 
     def last_txn_batch(self, app: str, as_of: int | None = None) -> int | None:
         """Highest committed batch id for a streaming writer ``app``."""
-        _, txn, _ = self._fold_state(as_of)
+        _, txn, _, _ = self._fold_state(as_of)
         return txn.get(app)
 
     # -- schema evolution --------------------------------------------------
@@ -403,7 +403,7 @@ class TxLogTable:
         JSON dict) — the last writing commit's schema, folded like the
         live set. ``None`` for legacy logs whose commits predate schema
         recording (readers fall back to parquet mergeSchema)."""
-        _, _, schema = self._fold_state(as_of)
+        _, _, schema, _ = self._fold_state(as_of)
         return schema
 
     @staticmethod
@@ -468,7 +468,7 @@ class TxLogTable:
         a pure function of the version, so a publish race is harmless —
         link-if-absent, loser's bytes were identical."""
         v = self.latest_version() if as_of is None else as_of
-        live, txn, schema = self._fold_state(v)
+        live, txn, schema, dvs = self._fold_state(v)
         payload = {
             "version": v,
             "op": "checkpoint",  # superset of the commit schema on purpose
@@ -485,6 +485,7 @@ class TxLogTable:
             ],
             "txn_watermarks": txn,
             "schema": schema,
+            "dv_live": dvs,
         }
         # derived state: a lost race means identical bytes already published
         self.store.put_if_absent(
@@ -501,15 +502,17 @@ class TxLogTable:
 
     def _fold_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, _DataFile], dict[str, int], dict | None]:
-        """(live files, per-app txn watermark, log-recorded schema) at
-        ``as_of`` — seeded from the newest checkpoint ≤ ``as_of``, then
-        replaying only the commits after it. The schema folds
-        last-writer-wins, like the live set."""
+    ) -> tuple[dict[str, _DataFile], dict[str, int], dict | None, dict[str, str]]:
+        """(live files, per-app txn watermark, log-recorded schema, live
+        deletion vectors {rel path → key col}) at ``as_of`` — seeded from
+        the newest checkpoint ≤ ``as_of``, then replaying only the
+        commits after it. Schema folds last-writer-wins; DVs accumulate
+        until a rewrite (compact) removes them, like the live set."""
         last = self.latest_version() if as_of is None else as_of
         live: dict[str, _DataFile] = {}
         txn: dict[str, int] = {}
         schema: dict | None = None
+        dvs: dict[str, str] = {}
         start = 0
         ckpt = self._latest_checkpoint(last)
         if ckpt is not None:
@@ -520,6 +523,7 @@ class TxLogTable:
                 )
             txn.update(payload.get("txn_watermarks", {}))
             schema = payload.get("schema")
+            dvs.update(payload.get("dv_live", {}))
             start = cv + 1
         for v in range(start, last + 1):
             c = self._read_commit(v)
@@ -534,10 +538,14 @@ class TxLogTable:
                 txn[app] = max(txn.get(app, batch), batch)
             if c.get("schema") is not None:
                 schema = c["schema"]
-        return live, txn, schema
+            for rel in c.get("dv_removed", ()):
+                dvs.pop(rel, None)
+            for rel, kc in c.get("dv_added", {}).items():
+                dvs[rel] = kc
+        return live, txn, schema, dvs
 
     def live_files(self, as_of: int | None = None) -> list[_DataFile]:
-        live, _, _ = self._fold_state(as_of)
+        live, _, _, _ = self._fold_state(as_of)
         return [live[k] for k in sorted(live)]
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
@@ -548,12 +556,113 @@ class TxLogTable:
         NULL, no parquet footers are touched at planning, and an
         ``as_of`` read sees the schema AS OF that version — legacy logs
         without recorded schemas fall back to footer mergeSchema."""
-        live, _, schema = self._fold_state(as_of)
+        live, _, schema, dvs = self._fold_state(as_of)
         files = [live[k] for k in sorted(live)]
         if not files:
             raise ValueError(f"txlog table {self.root} is empty at version {as_of}")
-        return self._read_files(
+        base = self._read_files(
             spark, [str(self.root / f.path) for f in files], schema
+        )
+        return self._apply_dvs(spark, base, dvs)
+
+    @staticmethod
+    def _rel_path_col() -> "F.Column":
+        """Last two path components of the scanned file — the log's
+        relative file identity (``data-<uuid>/part-*.parquet``), derived
+        from the hidden ``_metadata.file_path`` column so DV scoping is
+        exact per FILE, not per key."""
+        return F.regexp_extract(
+            F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+        )
+
+    def _apply_dvs(
+        self, spark: SparkSession, base: DataFrame, dvs: dict[str, str]
+    ) -> DataFrame:
+        """Merge-on-read: subtract deletion-vector rows from the scan.
+        A DV row is ``(file rel path, key)`` — it masks that key ONLY in
+        that file, so a later re-insert of the key (new file) is
+        unaffected. One broadcast-friendly anti-join on (file, key); DV
+        parquet is tiny (deleted keys only). Dangling DV rows whose
+        target file was since rewritten match nothing, harmlessly."""
+        if not dvs:
+            return base
+        key_cols = set(dvs.values())
+        if len(key_cols) != 1:
+            raise ValueError(
+                f"deletion vectors with mixed key columns {sorted(key_cols)} "
+                f"on {self.root}; one key column per table"
+            )
+        (key_col,) = key_cols
+        dv = spark.read.parquet(*[str(self.root / p) for p in sorted(dvs)]).select(
+            F.col("__dv_file").alias("__dvf"), F.col(key_col).alias("__dvk")
+        )
+        marked = base.withColumn("__file", self._rel_path_col())
+        return (
+            marked.join(
+                dv,
+                (marked["__file"] == dv["__dvf"])
+                & (marked[key_col] == dv["__dvk"]),
+                "left_anti",
+            ).drop("__file")
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        key_col: str,
+        max_retries: int = 5,
+    ) -> int:
+        """MERGE-ON-READ delete (the Delta/Iceberg deletion-vector
+        pattern, key-granular): instead of copy-on-write rewriting every
+        file containing a matching row, write a tiny sidecar of
+        ``(file, key)`` pairs and subtract it at read time. The write
+        cost is O(deleted keys) regardless of file sizes — the right
+        trade for frequent small deletes (GDPR erasure, CDC tombstones)
+        on a 100 TB table, where copy-on-write would rewrite terabytes
+        to remove kilobytes. ``compact`` later purges DVs by rewriting
+        (restoring pure-scan reads); readers pinned to older versions
+        still see the rows (the DV folds at its commit version).
+
+        ``predicate``: a Column (or SQL string) evaluated against the
+        current snapshot."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        for _ in range(max_retries + 1):
+            base_v = self.latest_version()
+            live, _, schema, dvs = self._fold_state(base_v)
+            files = [live[k] for k in sorted(live)]
+            if not files:
+                raise ValueError(f"txlog table {self.root} is empty")
+            scan = self._read_files(
+                spark, [str(self.root / f.path) for f in files], schema
+            )
+            # apply existing DVs first so an already-deleted row cannot
+            # re-enter a new DV (harmless, but keeps DVs minimal)
+            visible = self._apply_dvs(spark, scan, dvs)
+            hits = (
+                visible.filter(pred)
+                .withColumn("__dv_file", self._rel_path_col())
+                .select("__dv_file", key_col)
+                .distinct()
+            )
+            sub = f"dv-{uuid.uuid4().hex}"
+            out = self.root / sub
+            hits.coalesce(1).write.mode("errorifexists").parquet(str(out))
+            dv_files = [f"{sub}/{p.name}" for p in sorted(out.glob("*.parquet"))]
+            payload = {
+                "op": "dv_delete",
+                "added": [],
+                "removed": [],
+                "dv_added": {p: key_col for p in dv_files},
+                "key_col": key_col,
+                "txn": None,
+            }
+            if self._try_publish(payload, base_v + 1):
+                self._maybe_auto_checkpoint(base_v + 1)
+                return base_v + 1
+            # lost the race: the snapshot (and its DV set) is stale
+        raise ConflictError(
+            f"delete_where lost {max_retries} commit races on {self.root}"
         )
 
     # -- writes ------------------------------------------------------------
@@ -661,7 +770,7 @@ class TxLogTable:
 
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            live, _, cur_schema = self._fold_state(base)
+            live, _, cur_schema, cur_dvs = self._fold_state(base)
             files = [live[k] for k in sorted(live)]
             touched = [
                 f
@@ -672,9 +781,17 @@ class TxLogTable:
                 # read the touched set through the LOG schema — a plain
                 # parquet read of schema-heterogeneous files (pre- and
                 # post-evolution) would take the first file's footer and
-                # silently drop the newer columns from the rewrite
-                current = self._read_files(
-                    spark, [str(self.root / f.path) for f in touched], cur_schema
+                # silently drop the newer columns from the rewrite — and
+                # through the DV mask, else the rewrite would RESURRECT
+                # merge-on-read-deleted rows into the new files
+                current = self._apply_dvs(
+                    spark,
+                    self._read_files(
+                        spark,
+                        [str(self.root / f.path) for f in touched],
+                        cur_schema,
+                    ),
+                    cur_dvs,
                 )
                 survivors = current.join(src_keys, on=key_col, how="left_anti")
                 rewritten = (
@@ -743,15 +860,20 @@ class TxLogTable:
         tables progressively unprunable without this pass."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            live, _, cur_schema = self._fold_state(base)
+            live, _, cur_schema, cur_dvs = self._fold_state(base)
             files = [live[k] for k in sorted(live)]
             if not files:
                 raise ValueError(f"txlog table {self.root} is empty; nothing to compact")
-            # compaction reads through the log schema, so it is ALSO the
-            # file-level schema normalizer: post-compact every live file
-            # physically carries the evolved (wide) schema
-            current = self._read_files(
-                spark, [str(self.root / f.path) for f in files], cur_schema
+            # compaction reads through the log schema AND the DV mask, so
+            # it is the schema normalizer and the DV purge in one pass:
+            # post-compact every live file physically carries the evolved
+            # (wide) schema with the deleted rows physically gone
+            current = self._apply_dvs(
+                spark,
+                self._read_files(
+                    spark, [str(self.root / f.path) for f in files], cur_schema
+                ),
+                cur_dvs,
             )
             if cluster_by is not None:
                 # disjoint ranges per output partition; the in-partition
@@ -770,6 +892,9 @@ class TxLogTable:
                 "key_col": key_col,
                 "txn": None,
                 "schema": self._schema_dict(current),
+                # the rewrite physically applied every DV — retire them
+                # (their sidecar files become vacuum-able garbage)
+                "dv_removed": sorted(cur_dvs),
             }
             if self._try_publish(payload, base + 1):
                 self._maybe_auto_checkpoint(base + 1)
@@ -792,17 +917,20 @@ class TxLogTable:
         writers are known quiescent."""
         import time
 
-        referenced: set[str] = set()  # live at ANY retained version
+        referenced: set[str] = set()  # live (data or DV) at ANY retained version
         for v in range(as_of_retained, self.latest_version() + 1):
-            referenced.update(f.path for f in self.live_files(as_of=v))
+            live, _, _, dvs = self._fold_state(v)
+            referenced.update(live)
+            referenced.update(dvs)
         cutoff = time.time() - min_file_age_s
         removed = []
-        for sub in self.root.glob("data-*/"):
-            for p in sub.glob("*.parquet"):
-                rel = f"{sub.name}/{p.name}"
-                if rel not in referenced and p.stat().st_mtime <= cutoff:
-                    p.unlink()
-                    removed.append(rel)
+        for pattern in ("data-*/", "dv-*/"):
+            for sub in self.root.glob(pattern):
+                for p in sub.glob("*.parquet"):
+                    rel = f"{sub.name}/{p.name}"
+                    if rel not in referenced and p.stat().st_mtime <= cutoff:
+                        p.unlink()
+                        removed.append(rel)
         return removed
 
 

@@ -885,3 +885,93 @@ def u16_txlog_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+_U17_ORACLE = f"""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS p FROM customer),
+    v1 AS (SELECT k, p FROM c WHERE k % 7 <> 0),
+    re AS (SELECT k, p + 100 AS p FROM c WHERE k % 7 = 0 AND k % 2 = 0),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM re)
+    SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys, {{dsum_p}} AS total_bal,
+           TRUE AS mor_no_rewrite
+    FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}, TRUE
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}, TRUE
+    FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), {{dsum_p}}, TRUE
+    FROM v2
+    ORDER BY version
+"""
+
+
+@query(
+    "u17_txlog_deletion_vectors",
+    oracle=_U17_ORACLE.format(dsum_p=sql_dsum("p", 2)),
+    tags=("warehouse", "acid", "merge-on-read"),
+)
+def u17_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes through deletion vectors, driver-checked
+    end-to-end: version 0 appends the customer table, version 1
+    ``delete_where(k % 7 = 0)`` writes only a ``(file, key)`` sidecar —
+    the builder asserts the LIVE FILE SET IS UNCHANGED (that's the
+    merge-on-read contract) — version 2 re-inserts half the deleted keys
+    (new files are not masked by old DVs: file-scoped, not key-scoped),
+    version 3 compacts, which physically purges the DVs. All four
+    versions are read back AFTER everything (time travel across DV
+    boundaries); the oracle rebuilds each state arithmetically.
+
+    Scale: a delete costs O(deleted keys) sidecar bytes instead of
+    rewriting every file containing a match — the GDPR-erasure / CDC-
+    tombstone pattern at 100 TB where copy-on-write rewrites terabytes
+    to remove kilobytes. The read-side cost is one anti-join against the
+    tiny DV table, scoped exactly per (file, key) via
+    ``_metadata.file_path``."""
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u17_")
+    try:
+        table = TxLogTable.create(root)
+        table.append(c, key_col="k", target_files=4)
+        files_before = len(table.live_files())
+        table.delete_where(spark, F.col("k") % 7 == 0, "k")
+        mor_no_rewrite = len(table.live_files()) == files_before
+        reinsert = (
+            c.filter((F.col("k") % 7 == 0) & (F.col("k") % 2 == 0))
+            .select("k", (F.col("p") + 100).alias("p"))
+        )
+        table.append(reinsert, key_col="k", target_files=2)
+        table.compact(spark, key_col="k", target_files=4)
+        rows = []
+        for v in (0, 1, 2, 3):
+            rows.append(
+                table.read(spark, as_of=v)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("k").alias("sum_keys"),
+                    dsum(F.col("p"), 2).alias("total_bal"),
+                )
+                .select(
+                    F.lit(v).cast("bigint").alias("version"),
+                    "*",
+                    F.lit(mor_no_rewrite).alias("mor_no_rewrite"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        result = out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

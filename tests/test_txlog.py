@@ -851,3 +851,44 @@ def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     got = t.read(spark)
     assert got.count() == 1000
     assert got.agg(F.sum("k")).first()[0] == sum(range(1000))
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """r10 merge-on-read deletes: delete_where writes a (file, key)
+    sidecar instead of rewriting data files — the live set is unchanged,
+    reads subtract the DV, time travel still sees the rows, a
+    re-inserted key (new file) is NOT masked, merge does not resurrect
+    deleted rows, compact physically purges, and vacuum collects the
+    retired sidecars."""
+    from pyspark.sql import functions as F
+
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(tmp_path / "t", checkpoint_interval=3)
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"))
+    t.append(src, key_col="k", target_files=2)  # v0
+    n_files = len(t.live_files())
+
+    t.delete_where(spark, F.col("k") % 10 == 0, "k")  # v1
+    assert len(t.live_files()) == n_files  # merge-on-read: no rewrite
+    cur = t.read(spark)
+    assert cur.count() == 90
+    assert cur.filter(F.col("k") % 10 == 0).count() == 0
+    assert t.read(spark, as_of=0).count() == 100  # time travel
+
+    t.append(spark.createDataFrame([(30, 7.5)], "k bigint, p double"), key_col="k")
+    assert t.read(spark).filter(F.col("k") == 30).count() == 1  # re-insert ok
+
+    t.merge(spark, spark.createDataFrame([(55, 9.9)], "k bigint, p double"), "k")
+    m = t.read(spark)
+    assert m.count() == 91 and m.filter(F.col("k") == 50).count() == 0
+
+    # the auto-checkpoint at v3 carries dv_live: a cold fold must agree
+    cold = TxLogTable(tmp_path / "t")
+    assert cold.read(spark).count() == 91
+
+    t.compact(spark, key_col="k", target_files=1)  # physical purge
+    assert t.read(spark).count() == 91
+    removed = t.vacuum(as_of_retained=t.latest_version(), min_file_age_s=0)
+    assert any(r.startswith("dv-") for r in removed)
+    assert t.read(spark).count() == 91
