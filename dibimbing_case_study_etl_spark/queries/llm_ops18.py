@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.catalog import load_table, register
 from dibimbing_case_study_etl_spark.functions.oracle_safe import (
     dsum,
     iround,
@@ -974,4 +974,110 @@ def u17_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = out.orderBy("version").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+_ST03_ORACLE = f"""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.user_id, v.view_id, p.purchase_id, p.value
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.purchase_ts > v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           {{dsum_v}} AS attributed_value
+    FROM pairs
+    GROUP BY user_id
+"""
+
+
+@query(
+    "st03_stream_stream_attribution",
+    oracle=_ST03_ORACLE.format(dsum_v=sql_dsum("value", 2)),
+    tags=("streaming", "join"),
+)
+def st03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a real two-micro-batch
+    stream inside the query (the third streaming driver row, after
+    st01's arbitrary state and st02's session windows): views and
+    purchases are the two sides of ONE watermarked event stream, split
+    into micro-batches AT THE MEDIAN EVENT TIME — in event-time order,
+    the way a live stream actually arrives, so batch 2's purchases match
+    batch 1's still-buffered views across the boundary. (A parity split
+    would be adversarial reordering: after a batch spanning the full
+    timeline the watermark jumps to max−delay, evicting the buffered
+    views and LATE-dropping most of the second batch — the
+    documented-and-intended watermark behavior, just not a property a
+    correctness oracle can pin.) The inner interval join emits each
+    matched pair exactly once when both sides have arrived, so the
+    appended memory-sink total equals the batch self-join the oracle
+    computes.
+
+    Scale: the watermark + event-time range condition is what BOUNDS the
+    join state — a buffered view is dropped once the watermark passes
+    ``view_ts + horizon``, so state is O(events in the horizon window),
+    not O(stream); without the time bound a stream-stream join buffers
+    both sides forever. State shuffles once by user_id."""
+    from dibimbing_case_study_etl_spark.streaming.events_stream import (
+        view_purchase_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="st03_src_")
+    ckpt = tempfile.mkdtemp(prefix="st03_ckpt_")
+    sink = f"st03_pairs_{uuid.uuid4().hex[:10]}"
+    try:
+        split = events.agg(
+            F.expr("percentile(cast(ts as long), 0.5)").alias("m")
+        ).first()["m"]
+        events.filter(F.col("ts").cast("long") <= split).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        q = (
+            view_purchase_attribution(views, purchases, horizon="30 minutes")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # micro-batch 1: first half by event time
+            events.filter(F.col("ts").cast("long") > split).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()  # micro-batch 2: cross-batch matches
+        finally:
+            q.stop()
+        final = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+                dsum(F.col("amount"), 2).alias("attributed_value"),
+            )
+        )
+        result = final.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
