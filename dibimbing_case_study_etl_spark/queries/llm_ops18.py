@@ -19,9 +19,21 @@
   oracle that reproduces every pixel from ``doc_id`` alone (the m14
   pattern extended across the JFIF inverse colour transform).
 
+- ``st02``/``st03`` complete the streaming family's registry presence:
+  native session windows (complete mode, sessions merging across the
+  micro-batch boundary) and the stream-stream interval join (event-time
+  -ordered batches, cross-batch matches through buffered state).
+- ``u14``–``u17`` drive the transaction log's maintenance/evolution
+  surface end-to-end: compaction, additive schema evolution,
+  range-clustered compaction, and merge-on-read deletion vectors.
+- ``t50`` (Heaps-law vocabulary growth) and ``x10`` (Wald SPRT A/B
+  monitor) add corpus-statistics and sequential-testing operators with
+  bit-deterministic scaled-integer arithmetic.
+
 Reference parity: the reference is a batch Airflow pipeline with no
-streaming or multimodal surface (`/root/reference/airflow/dags/`); these
-are beyond-reference families (SURVEY.md §2 ST row, m-family).
+streaming, transactional, or multimodal surface
+(`/root/reference/airflow/dags/`); these are beyond-reference families
+(SURVEY.md §2 ST/S9 rows, m-family).
 """
 
 from __future__ import annotations
@@ -516,7 +528,12 @@ def t50_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    from dibimbing_case_study_etl_spark.functions.windows import global_bounded
+
+    # exactly 10 rows — the bounded-table whole-table window helper
+    w = global_bounded().orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     cum = per_bucket.select(
         "bucket",
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
