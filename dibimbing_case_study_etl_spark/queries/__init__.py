@@ -109,8 +109,8 @@ def load_all() -> dict[str, QuerySpec]:
 # holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
 # g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
 # design, r5-green oracled twins) — spending their slots directly so
-# post-r10 NO query's latest driver row is older than r5; (d) 18 of the
-# 50 r5-latest greens, oldest-first rotation (the remaining 32 — q78–q80, the
+# post-r10 NO query's latest driver row is older than r5; (d) 16 of the
+# 50 r5-latest greens, oldest-first rotation (the remaining 34 — q76–q80, the
 # r/s tail r01–r03/s02/s03r/s06r–s09r/s13–s16, the t20–t35 text block,
 # and u05 — lead r11's stale block; the txlog re-checks took their
 # slots).
@@ -126,6 +126,8 @@ DRIVER_PRIORITY: list[str] = [
     "u16_txlog_clustered_compaction",
     "u17_txlog_deletion_vectors",
     "st03_stream_stream_attribution",
+    "q86_mad_robust_outliers",
+    "g05_degree_assortativity",
     # (b) changed this round (dedup-family resource/validation fixes;
     # m14's encoder internals were refactored for the colour path —
     # _encode_block/_dct_quantize extraction, byte-identical output)
@@ -171,8 +173,6 @@ DRIVER_PRIORITY: list[str] = [
     "q37r_sketch_error_audit",
     "q74_attribution_models",
     "q75_position_attribution",
-    "q76_frequent_event_paths",
-    "q77_rolling_zscore_anomaly",
 ]
 
 

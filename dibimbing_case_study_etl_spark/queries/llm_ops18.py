@@ -1098,3 +1098,186 @@ def st03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+_Q86_ORACLE = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {med_r} AS median_value,
+           {mad_r} AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    ORDER BY d.event_type
+"""
+
+
+@query(
+    "q86_mad_robust_outliers",
+    oracle=_Q86_ORACLE.format(
+        med_r=sql_iround("ANY_VALUE(d.med)", 4), mad_r=sql_iround("m.mad", 4)
+    ),
+    tags=("events", "statistics", "robust"),
+)
+def q86_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the median absolute
+    deviation: exact interpolated median, MAD, and the count of points
+    beyond the 3σ-equivalent robust fence (1.4826·MAD ≈ σ under
+    normality) — the screen that survives the very outliers a
+    mean/stddev z-score is corrupted by.
+
+    Scale: two grouped EXACT percentiles (Spark's ``percentile`` —
+    5 groups, so the per-group sort state is bounded by group size; at
+    true 100 TB scale swap in ``percentile_approx`` and q37r's
+    error-audit pattern) + one broadcast-joined fence count. Both
+    engines interpolate the same definition on the same doubles; the
+    4 dp rounding guards the comparison."""
+    t = register(spark, sf_dir, ("events",))
+    e = t["events"].select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            iround(F.first("med"), 4).alias("median_value"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "median_value",
+            iround(F.col("mad"), 4).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+_G05_ORACLE = """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    wired AS (
+        SELECT du.d AS du, dv.d AS dv
+        FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    sums AS (
+        SELECT CAST(2 * COUNT(*) AS BIGINT)      AS m,
+               CAST(SUM(du + dv) AS BIGINT)      AS sx,
+               CAST(SUM(du*du + dv*dv) AS BIGINT) AS sxx,
+               CAST(2 * SUM(du * dv) AS BIGINT)  AS sxy,
+               CAST(COUNT(*) AS BIGINT)          AS n_edges,
+               CAST(MAX(GREATEST(du, dv)) AS BIGINT) AS max_degree
+        FROM wired
+    )
+    SELECT n_edges, m AS n_endpoints, max_degree,
+           {r_round} AS assortativity
+    FROM sums
+"""
+
+
+@query(
+    "g05_degree_assortativity",
+    oracle=_G05_ORACLE.format(
+        r_round=sql_iround(
+            "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+            6,
+        )
+    ),
+    tags=("graph", "statistics"),
+)
+def g05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the part co-purchase graph:
+    the Pearson correlation of endpoint degrees over edges — positive r
+    means hubs link hubs (assortative), negative means hub-and-spoke
+    (disassortative, typical for retail co-purchase). The one-number
+    topology summary that tells a sampler/partitioner what degree mix to
+    expect before it commits a strategy.
+
+    Scale: the edge list is one self-join bounded by per-order item
+    count (TPC-H ~4–7 lines/order), degrees one map-side-combining
+    aggregation, and the correlation's moment sums are EXACT BIGINTs
+    (degrees are integers) combined in one closed-form expression —
+    identical doubles on both engines, no per-node state beyond the
+    degree table. The symmetric (both-orientations) form uses Sx = Sy,
+    so three sums suffice."""
+    t = register(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wired = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    sums = wired.agg(
+        (2 * F.count(F.lit(1))).cast("bigint").alias("m"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("sx"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("bigint")
+        .alias("sxx"),
+        (2 * F.sum(F.col("du") * F.col("dv"))).cast("bigint").alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.max(F.greatest("du", "dv")).cast("bigint").alias("max_degree"),
+    )
+    r = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (
+        F.col("m").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return sums.select(
+        "n_edges",
+        F.col("m").alias("n_endpoints"),
+        "max_degree",
+        iround(r, 6).alias("assortativity"),
+    )
