@@ -1130,3 +1130,24 @@ def test_x10_single_fact_scan_no_shuffled_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>" in plan
+
+
+def test_q86_broadcast_fences_single_fact_partitioned_percentiles(spark, sf_dir):
+    """q86's two percentile stages join back to the fact via BROADCAST
+    (5-row median/MAD sides), never a shuffled join, and the events scan
+    is pruned to the two columns the statistic needs."""
+    plan = explain_str(spark, sf_dir, "q86_mad_robust_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_g05_assortativity_pruned_scan_no_cartesian(spark, sf_dir):
+    """g05's edge list comes from an equi-join on l_orderkey (the part
+    inequality is a post-join filter, not a nested-loop condition), the
+    lineitem scan is pruned to (orderkey, partkey), and no cartesian
+    product appears anywhere."""
+    plan = explain_str(spark, sf_dir, "g05_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
