@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 
@@ -114,6 +115,8 @@ def main() -> None:
     # PASS plus once after the last, so the line records the throttle's
     # within-session SPREAD, not one point estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if runs < 1:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_RUNS must be >= 1, got {runs}")
     # Throttle canary: same fixed pipeline as the warmup, now timed.
     # Uniform VM slowdowns move this number with the suite; plan
     # regressions move only the suite.
@@ -146,7 +149,7 @@ def main() -> None:
     calibration_sec = round(min(cal_times), 3)
     mean = {n: round(s / runs, 3) for n, s in acc.items()}
     median = {
-        n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
+        n: round(statistics.median(v), 3) for n, v in samples.items()
     }
     total = round(sum(best.values()), 3)
     full = {

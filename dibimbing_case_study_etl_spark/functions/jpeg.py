@@ -10,12 +10,16 @@ container without it.
 
 Subset and scope:
 
-- 8-bit baseline DCT, one interleaved scan, greyscale OR 4:4:4 YCbCr
-  colour (r10 — the r9 verdict's ask #6, resolved by building the
-  3-component path rather than declaring Pillow-delegation permanent),
-  standard Annex K Huffman tables, no subsampling, no progressive mode.
-  Anything outside the subset raises — loudly, never wrong pixels.
-  Chroma-subsampled (4:2:0/4:2:2) files remain Pillow/libjpeg territory.
+- 8-bit baseline DCT, one interleaved scan, greyscale OR YCbCr colour
+  (r10 — the r9 verdict's ask #6, resolved by building the 3-component
+  path rather than declaring Pillow-delegation permanent), standard
+  Annex K Huffman tables, no progressive mode. The DECODER reads 4:4:4
+  and chroma-subsampled 4:2:0 / 4:2:2 layouts (r11 — sampling factors
+  1 and 2 per axis, box chroma upsampling); the ENCODER emits 4:4:4
+  (``encode_jpeg_ycbcr``/``encode_jpeg_rgb``) and 4:2:0
+  (``encode_jpeg_ycbcr_420``, from pre-decimated chroma planes, for
+  deterministic subsampled fixtures). Anything outside the subset
+  raises — loudly, never wrong pixels.
 - The ENCODER takes an explicit quantization table (default all-ones,
   i.e. "quality 100": DCT coefficients are only rounded, never scaled
   down). It exists for deterministic fixtures, not compression ratio.
@@ -257,6 +261,80 @@ def encode_jpeg_ycbcr(
     return bytes(out)
 
 
+def encode_jpeg_ycbcr_420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable: np.ndarray | None = None,
+) -> bytes:
+    """Encode a 4:2:0 chroma-subsampled baseline YCbCr JPEG (Y at
+    2×2, Cb/Cr at 1×1 — the dominant real-world layout): ``y`` is the
+    full-resolution (H, W) luma plane; ``cb``/``cr`` are the
+    PRE-DECIMATED (ceil(H/2), ceil(W/2)) chroma planes, so a fixture
+    whose chroma is constant per 2×2 full-res cell round-trips its
+    integers exactly (decimation is the identity on that subclass,
+    and the decoder's box upsampling inverts it). One interleaved
+    scan: each 16×16 MCU carries four Y blocks then one Cb and one Cr
+    (T.81 A.2.3), per-component DC predictors, shared quantization
+    table 0 and Annex K Huffman tables — spec-legal and deterministic,
+    built for fixtures, not compression ratio."""
+    yp = np.asarray(y, dtype=np.uint8)
+    cbp = np.asarray(cb, dtype=np.uint8)
+    crp = np.asarray(cr, dtype=np.uint8)
+    if yp.ndim != 2:
+        raise ValueError(f"luma plane must be (H, W), got {yp.shape}")
+    h, w = yp.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if cbp.shape != (ch, cw) or crp.shape != (ch, cw):
+        raise ValueError(
+            f"4:2:0 chroma planes must be {(ch, cw)} (ceil-half of luma), "
+            f"got {cbp.shape} / {crp.shape}"
+        )
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64)
+
+    mcuy, mcux = (h + 15) // 16, (w + 15) // 16
+    # pad every plane to its full MCU coverage by edge replication
+    # (keeps constant blocks constant, like _dct_quantize's 8-pad)
+    ypad = np.pad(yp, ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    cbpad = np.pad(cbp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    crpad = np.pad(crp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    zzy = _dct_quantize(ypad, q)  # (2*mcuy, 2*mcux, 64)
+    zcb = _dct_quantize(cbpad, q)  # (mcuy, mcux, 64)
+    zcr = _dct_quantize(crpad, q)
+
+    bw_out = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):  # four Y blocks, raster order (A.2.3)
+                for bx in range(2):
+                    prev[0] = _encode_block(
+                        bw_out, zzy[2 * my + by, 2 * mx + bx], prev[0]
+                    )
+            prev[1] = _encode_block(bw_out, zcb[my, mx], prev[1])
+            prev[2] = _encode_block(bw_out, zcr[my, mx], prev[2])
+    bw_out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",  # Y 2x2, Cb/Cr 1x1
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC0
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC0
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")  # SOS
+    out += bw_out.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     """(H, W, 3) uint8 RGB → (H, W, 3) uint8 YCbCr (JFIF / BT.601 full
     range, half-even rounding)."""
@@ -359,10 +437,16 @@ def _extend(amp: int, s: int) -> int:
 
 def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
     """Shared baseline-sequential decoder: parse markers, entropy-decode
-    the single interleaved scan, dequantize + IDCT per component. Returns
-    the cropped (H, W) uint8 plane per component (1 = greyscale,
-    3 = YCbCr 4:4:4). ``gray_only`` preserves ``decode_jpeg_gray``'s
-    refuse-at-SOF0 contract for colour input."""
+    the single interleaved scan, dequantize + IDCT per component, then
+    box-upsample subsampled chroma to full resolution. Returns the
+    (H, W) uint8 plane per component (1 = greyscale, 3 = YCbCr).
+    Sampling factors 1 and 2 per axis are supported — 4:4:4, 4:2:0
+    (Y 2×2, the dominant real-world layout, r10 verdict ask #4) and
+    4:2:2 (Y 2×1) all decode; factors 3/4 raise. Upsampling is sample
+    replication (the JFIF nearest method) — exact for the 2×2-constant
+    chroma subclass the oracled query pins; general images are pinned
+    in pytest with the conformance tolerance. ``gray_only`` preserves
+    ``decode_jpeg_gray``'s refuse-at-SOF0 contract for colour input."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream")
     pos = 2
@@ -370,10 +454,11 @@ def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     h = w = -1
-    comps: list[tuple[int, int]] = []  # (component id, qtable selector)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, qtable)
     scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     scan_order: list[int] = []
     restart = 0
+    adobe_transform: int | None = None  # APP14 colour-transform byte
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -410,18 +495,24 @@ def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
                 raise ValueError(f"{nc}-component JPEG unsupported (1 or 3 only)")
             for c in range(nc):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if nc == 1 and hv != 0x11:
+                    # single-component scans are non-interleaved by spec
+                    # (one block per MCU regardless of declared factors);
+                    # refuse the odd declaration rather than guess
+                    raise ValueError("subsampled greyscale unsupported")
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "subsampled greyscale unsupported"
-                        if nc == 1
-                        else "subsampled colour JPEG unsupported (4:4:4 only; "
-                        "use Pillow/libjpeg for 4:2:0/4:2:2)"
+                        f"sampling factor {hi}x{vi} unsupported (1 or 2 "
+                        "per axis: 4:4:4, 4:2:2, 4:2:0); use Pillow/libjpeg"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xEE and payload[:5] == b"Adobe":  # APP14
+            adobe_transform = payload[11] if len(payload) >= 12 else None
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             ns = payload[0]
             if ns != len(comps):
@@ -437,41 +528,76 @@ def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
         raise ValueError("no scan found")
     if h < 0:
         raise ValueError("SOS before SOF0")
-    if [cid for cid, _ in comps] != scan_order:
+    if [cid for cid, *_ in comps] != scan_order:
         raise ValueError("scan component order differs from SOF0 order")
-    q = [qtables[tq] for _, tq in comps]
-    dct = [dc_tabs[scan_sel[cid][0]] for cid, _ in comps]
-    act = [ac_tabs[scan_sel[cid][1]] for cid, _ in comps]
+    if len(comps) == 3:
+        # colour-space guard: the caller applies the JFIF YCbCr inverse
+        # transform, which is only correct when the stream IS YCbCr. An
+        # Adobe APP14 transform=0 declares untransformed RGB, and
+        # non-standard component ids make the colour space ambiguous —
+        # either would decode to wrong colours silently if transformed.
+        if adobe_transform is not None and adobe_transform != 1:
+            raise ValueError(
+                f"Adobe APP14 transform={adobe_transform} colour JPEG "
+                "unsupported (YCbCr transform=1 only); use Pillow/libjpeg"
+            )
+        if adobe_transform is None and [cid for cid, *_ in comps] != [1, 2, 3]:
+            raise ValueError(
+                f"component ids {[cid for cid, *_ in comps]} are not the "
+                "JFIF YCbCr ids (1,2,3) — colour space ambiguous; use "
+                "Pillow/libjpeg"
+            )
+    q = [qtables[tq] for *_, tq in comps]
+    dct = [dc_tabs[scan_sel[cid][0]] for cid, *_ in comps]
+    act = [ac_tabs[scan_sel[cid][1]] for cid, *_ in comps]
     ncomp = len(comps)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    zz = [np.zeros((bh * bw, 64), dtype=np.int64) for _ in range(ncomp)]
+    # MCU grid covers the image at the MAX sampling factor (A.2.4); each
+    # component contributes h_i x v_i blocks per MCU, so its block grid
+    # is (mcuy * v_i, mcux * h_i) including the padding blocks
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = mcux * mcuy
+    zz = [
+        np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64)
+        for _, hi, vi, _ in comps
+    ]
     br = _BitReader(blob, pos)
     prev = [0] * ncomp
     mcu = 0
-    while mcu < bh * bw:
+    while mcu < nmcu:
         try:
-            for c in range(ncomp):  # interleaved MCU: one block per comp
-                blk = zz[c][mcu]
-                s = _read_sym(br, dct[c])
-                blk[0] = prev[c] + (_extend(br.receive(s), s) if s else 0)
-                prev[c] = int(blk[0])
-                i = 1
-                while i < 64:
-                    sym = _read_sym(br, act[c])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += sym >> 4
-                    s = sym & 0xF
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    blk[i] = _extend(br.receive(s), s)
-                    i += 1
+            my, mx = divmod(mcu, mcux)
+            for c in range(ncomp):  # interleaved MCU: h*v blocks per comp
+                _, hi, vi, _ = comps[c]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = zz[c][
+                            (my * vi + by) * (mcux * hi) + (mx * hi + bx)
+                        ]
+                        s = _read_sym(br, dct[c])
+                        blk[0] = prev[c] + (
+                            _extend(br.receive(s), s) if s else 0
+                        )
+                        prev[c] = int(blk[0])
+                        i = 1
+                        while i < 64:
+                            sym = _read_sym(br, act[c])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += sym >> 4
+                            s = sym & 0xF
+                            if i > 63:
+                                raise ValueError("AC run past block end")
+                            blk[i] = _extend(br.receive(s), s)
+                            i += 1
             mcu += 1
-            if restart and mcu % restart == 0 and mcu < bh * bw:
+            if restart and mcu % restart == 0 and mcu < nmcu:
                 # skip to and consume the RSTn marker
                 p = br.pos
                 while p + 1 < len(blob) and not (
@@ -492,14 +618,24 @@ def _decode_baseline(blob: bytes, gray_only: bool) -> list[np.ndarray]:
 
     planes: list[np.ndarray] = []
     for c in range(ncomp):
-        coef = np.zeros((bh * bw, 64), dtype=np.float64)
+        _, hi, vi, _ = comps[c]
+        cbh, cbw = mcuy * vi, mcux * hi
+        coef = np.zeros((cbh * cbw, 64), dtype=np.float64)
         coef[:, _ZIGZAG] = zz[c]  # zigzag scan order -> natural
-        coef = (coef.reshape(bh, bw, 8, 8)) * q[c][None, None]
+        coef = (coef.reshape(cbh, cbw, 8, 8)) * q[c][None, None]
         blocks = np.einsum("ji,abjk,kl->abil", _A, coef, _A)
-        img = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        planes.append(
-            np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)[:h, :w]
-        )
+        img = blocks.transpose(0, 2, 1, 3).reshape(cbh * 8, cbw * 8)
+        plane = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+        # crop to the component's own resolution (A.1.1 ceil scaling),
+        # then box-upsample (sample replication) back to full frame
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     return planes
 
 
@@ -512,12 +648,13 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
 
 
 def decode_jpeg_color(blob: bytes) -> np.ndarray:
-    """Decode a 3-component 8-bit baseline sequential 4:4:4 YCbCr JPEG
-    to an (H, W, 3) uint8 RGB array (JFIF inverse colour transform,
-    half-even rounding). Subsampled (4:2:0/4:2:2) and progressive input
-    raise — loudly, never wrong pixels; Pillow/libjpeg remains the
-    deployment decoder for the full format (``decode_image`` prefers it
-    when importable)."""
+    """Decode a 3-component 8-bit baseline sequential YCbCr JPEG —
+    4:4:4, 4:2:0, or 4:2:2 (r11: sampling factors 1 and 2 per axis,
+    box chroma upsampling) — to an (H, W, 3) uint8 RGB array (JFIF
+    inverse colour transform, half-even rounding). Progressive input,
+    factors >2, and non-YCbCr colour declarations raise — loudly,
+    never wrong pixels; Pillow/libjpeg remains the deployment decoder
+    for the full format (``decode_image`` prefers it when importable)."""
     planes = _decode_baseline(blob, gray_only=False)
     if len(planes) != 3:
         raise ValueError("single-component input — use decode_jpeg_gray")

@@ -1045,6 +1045,65 @@ def synth_jpeg_color_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synth_jpeg_420_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 4:2:0 CHROMA-SUBSAMPLED JPEG table (r11, the
+    dominant real-world layout): each document becomes a
+    16×16-multiple image — luma constant per 8×8 block on a
+    (2·bh, 2·bw) id-derived lattice, chroma constant per 8×8 block IN
+    THE SUBSAMPLED DOMAIN (i.e. per 16×16 full-res region) on the
+    (bh, bw) lattice — encoded by
+    ``functions/jpeg.py:encode_jpeg_ycbcr_420``. On that subclass
+    chroma decimation is the identity and the decoder's box upsampling
+    its exact inverse, so every output pixel is a pure deterministic
+    function of ``doc_id`` a SQL oracle reproduces arithmetically —
+    the m15 pattern carried across the subsampled MCU layout."""
+    from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_ycbcr_420
+
+    src = df.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        one = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 1 + d % 3, 1 + (d // 3) % 3  # chroma cells per axis
+                # luma: (2*bh, 2*bw) 8x8 blocks -> (16*bh, 16*bw) pixels
+                ly, lx = np.meshgrid(
+                    np.arange(2 * bh_), np.arange(2 * bw_), indexing="ij"
+                )
+                y = ((d + 37 * ly + 11 * lx) % 256).astype(np.uint8)
+                # chroma: (bh, bw) 8x8 blocks in the SUBSAMPLED plane
+                cy, cx = np.meshgrid(np.arange(bh_), np.arange(bw_), indexing="ij")
+                cb = ((3 * d + 59 * cy + 17 * cx) % 256).astype(np.uint8)
+                cr = ((7 * d + 23 * cy + 29 * cx) % 256).astype(np.uint8)
+                blobs.append(
+                    encode_jpeg_ycbcr_420(
+                        np.kron(y, one), np.kron(cb, one), np.kron(cr, one)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "format": ["jpeg"] * len(blobs),
+                }
+            )
+
+    rendered = src.mapInPandas(render, schema="doc_id bigint, content binary, format string")
+    return rendered.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.col("format"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_color_image_features(images: DataFrame, spread: bool = True) -> DataFrame:
     """Colour-JPEG decode features through the BUILT-IN 4:4:4 decoder
     (``functions/jpeg.py:decode_jpeg_color``) — deliberately NOT the

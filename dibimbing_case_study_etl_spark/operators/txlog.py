@@ -393,7 +393,7 @@ class TxLogTable:
 
     def last_txn_batch(self, app: str, as_of: int | None = None) -> int | None:
         """Highest committed batch id for a streaming writer ``app``."""
-        _, txn, _, _ = self._fold_state(as_of)
+        _, txn, _, _, _ = self._fold_state(as_of)
         return txn.get(app)
 
     # -- schema evolution --------------------------------------------------
@@ -403,20 +403,24 @@ class TxLogTable:
         JSON dict) — the last writing commit's schema, folded like the
         live set. ``None`` for legacy logs whose commits predate schema
         recording (readers fall back to parquet mergeSchema)."""
-        _, _, schema, _ = self._fold_state(as_of)
+        _, _, schema, _, _ = self._fold_state(as_of)
         return schema
 
     @staticmethod
     def _schema_dict(df: DataFrame) -> dict:
         return json.loads(df.schema.json())
 
-    def _check_additive_evolution(self, new_schema: dict) -> None:
+    def _check_additive_evolution(
+        self, new_schema: dict, as_of: int | None = None
+    ) -> None:
         """Schema evolution is ADDITIVE-ONLY (the Delta default): a write
         may introduce new columns (older files read them as NULL through
         the log schema) but must keep every existing column with an
         identical type — a drop would silently hide data in untouched
-        files, a type change would corrupt the scan. Loud, never wrong."""
-        cur = self.table_schema()
+        files, a type change would corrupt the scan. Loud, never wrong.
+        ``as_of`` lets retry loops re-validate against the folded schema
+        at the version they are about to commit on top of."""
+        cur = self.table_schema(as_of)
         if cur is None:
             return
         new_fields = {f["name"]: f["type"] for f in new_schema["fields"]}
@@ -468,7 +472,7 @@ class TxLogTable:
         a pure function of the version, so a publish race is harmless —
         link-if-absent, loser's bytes were identical."""
         v = self.latest_version() if as_of is None else as_of
-        live, txn, schema, dvs = self._fold_state(v)
+        live, txn, schema, dvs, dv_targets = self._fold_state(v)
         payload = {
             "version": v,
             "op": "checkpoint",  # superset of the commit schema on purpose
@@ -486,6 +490,7 @@ class TxLogTable:
             "txn_watermarks": txn,
             "schema": schema,
             "dv_live": dvs,
+            "dv_targets": dv_targets,
         }
         # derived state: a lost race means identical bytes already published
         self.store.put_if_absent(
@@ -502,17 +507,28 @@ class TxLogTable:
 
     def _fold_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, _DataFile], dict[str, int], dict | None, dict[str, str]]:
+    ) -> tuple[
+        dict[str, _DataFile],
+        dict[str, int],
+        dict | None,
+        dict[str, str],
+        dict[str, list[str]],
+    ]:
         """(live files, per-app txn watermark, log-recorded schema, live
-        deletion vectors {rel path → key col}) at ``as_of`` — seeded from
-        the newest checkpoint ≤ ``as_of``, then replaying only the
+        deletion vectors {rel path → key col}, DV target files {sidecar
+        rel path → data-file rel paths it masks}) at ``as_of`` — seeded
+        from the newest checkpoint ≤ ``as_of``, then replaying only the
         commits after it. Schema folds last-writer-wins; DVs accumulate
-        until a rewrite (compact) removes them, like the live set."""
+        until a rewrite (compact, or a merge that removed every file a
+        sidecar targets) retires them, like the live set. Targets let
+        merge retire fully-covered sidecars; legacy sidecars without
+        recorded targets stay live until compact."""
         last = self.latest_version() if as_of is None else as_of
         live: dict[str, _DataFile] = {}
         txn: dict[str, int] = {}
         schema: dict | None = None
         dvs: dict[str, str] = {}
+        dv_targets: dict[str, list[str]] = {}
         start = 0
         ckpt = self._latest_checkpoint(last)
         if ckpt is not None:
@@ -524,6 +540,7 @@ class TxLogTable:
             txn.update(payload.get("txn_watermarks", {}))
             schema = payload.get("schema")
             dvs.update(payload.get("dv_live", {}))
+            dv_targets.update(payload.get("dv_targets", {}))
             start = cv + 1
         for v in range(start, last + 1):
             c = self._read_commit(v)
@@ -540,12 +557,15 @@ class TxLogTable:
                 schema = c["schema"]
             for rel in c.get("dv_removed", ()):
                 dvs.pop(rel, None)
+                dv_targets.pop(rel, None)
             for rel, kc in c.get("dv_added", {}).items():
                 dvs[rel] = kc
-        return live, txn, schema, dvs
+            for rel, tgts in c.get("dv_targets", {}).items():
+                dv_targets[rel] = tgts
+        return live, txn, schema, dvs, dv_targets
 
     def live_files(self, as_of: int | None = None) -> list[_DataFile]:
-        live, _, _, _ = self._fold_state(as_of)
+        live, _, _, _, _ = self._fold_state(as_of)
         return [live[k] for k in sorted(live)]
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
@@ -556,7 +576,7 @@ class TxLogTable:
         NULL, no parquet footers are touched at planning, and an
         ``as_of`` read sees the schema AS OF that version — legacy logs
         without recorded schemas fall back to footer mergeSchema."""
-        live, _, schema, dvs = self._fold_state(as_of)
+        live, _, schema, dvs, _ = self._fold_state(as_of)
         files = [live[k] for k in sorted(live)]
         if not files:
             raise ValueError(f"txlog table {self.root} is empty at version {as_of}")
@@ -629,7 +649,7 @@ class TxLogTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         for _ in range(max_retries + 1):
             base_v = self.latest_version()
-            live, _, schema, dvs = self._fold_state(base_v)
+            live, _, schema, dvs, _ = self._fold_state(base_v)
             files = [live[k] for k in sorted(live)]
             if not files:
                 raise ValueError(f"txlog table {self.root} is empty")
@@ -649,11 +669,25 @@ class TxLogTable:
             out = self.root / sub
             hits.coalesce(1).write.mode("errorifexists").parquet(str(out))
             dv_files = [f"{sub}/{p.name}" for p in sorted(out.glob("*.parquet"))]
+            # record which data files each sidecar masks (read back from
+            # the written parquet footer-side — local column scan of a
+            # deleted-keys-only file, distinct is O(live files)) so a
+            # later merge whose rewrite covers ALL of a sidecar's targets
+            # can retire it instead of leaving it dangling forever
+            import pyarrow.parquet as pq
+
+            targets: dict[str, list[str]] = {}
+            for p in sorted(out.glob("*.parquet")):
+                col = pq.read_table(str(p), columns=["__dv_file"]).column(0)
+                targets[f"{sub}/{p.name}"] = sorted(
+                    v for v in set(col.to_pylist()) if v is not None
+                )
             payload = {
                 "op": "dv_delete",
                 "added": [],
                 "removed": [],
                 "dv_added": {p: key_col for p in dv_files},
+                "dv_targets": targets,
                 "key_col": key_col,
                 "txn": None,
             }
@@ -720,6 +754,15 @@ class TxLogTable:
             "schema": new_schema,
         }
         for v in range(base + 1, base + 2 + max_retries):
+            if v > base + 1:
+                # a lost race means another writer committed after the
+                # pre-write check; with the last-writer-wins schema fold,
+                # republishing our (now possibly stale) schema would
+                # silently revert a concurrently-added column. Re-validate
+                # against the winner's folded schema before each retry —
+                # mirrors merge's per-retry recompute; raises rather than
+                # narrowing (the data files become vacuum-able garbage).
+                self._check_additive_evolution(new_schema, as_of=v - 1)
             if txn is not None:
                 last = self.last_txn_batch(txn[0], as_of=v - 1)
                 if last is not None and txn[1] <= last:
@@ -770,7 +813,7 @@ class TxLogTable:
 
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            live, _, cur_schema, cur_dvs = self._fold_state(base)
+            live, _, cur_schema, cur_dvs, cur_dv_targets = self._fold_state(base)
             files = [live[k] for k in sorted(live)]
             touched = [
                 f
@@ -813,6 +856,20 @@ class TxLogTable:
                 if rewritten is not None
                 else []
             )
+            # the rewrite physically applied every DV against the touched
+            # files, so any sidecar whose ENTIRE target set is in this
+            # commit's removed list is now dead weight — retire it here
+            # rather than letting reads anti-join dangling sidecars until
+            # the next compact. Sidecars that also mask untouched files
+            # stay live (their rows for rewritten files match nothing,
+            # harmlessly); legacy sidecars without recorded targets are
+            # only retired by compact.
+            removed_set = {f.path for f in touched}
+            dv_retired = sorted(
+                rel
+                for rel, tgts in cur_dv_targets.items()
+                if rel in cur_dvs and tgts and set(tgts) <= removed_set
+            )
             payload = {
                 "op": "delete" if delete else "merge",
                 "added": added,
@@ -820,6 +877,7 @@ class TxLogTable:
                 "key_col": key_col,
                 "txn": {"app": txn[0], "batch": txn[1]} if txn else None,
                 "schema": written_schema,
+                "dv_removed": dv_retired,
             }
             if txn is not None:
                 last = self.last_txn_batch(txn[0], as_of=base)
@@ -860,7 +918,7 @@ class TxLogTable:
         tables progressively unprunable without this pass."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
-            live, _, cur_schema, cur_dvs = self._fold_state(base)
+            live, _, cur_schema, cur_dvs, _ = self._fold_state(base)
             files = [live[k] for k in sorted(live)]
             if not files:
                 raise ValueError(f"txlog table {self.root} is empty; nothing to compact")
@@ -919,7 +977,7 @@ class TxLogTable:
 
         referenced: set[str] = set()  # live (data or DV) at ANY retained version
         for v in range(as_of_retained, self.latest_version() + 1):
-            live, _, _, dvs = self._fold_state(v)
+            live, _, _, dvs, _ = self._fold_state(v)
             referenced.update(live)
             referenced.update(dvs)
         cutoff = time.time() - min_file_age_s

@@ -76,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops16,
         llm_ops17,
         llm_ops18,
+        llm_ops19,
         relational,
         relational2,
         relational3,
@@ -95,51 +96,24 @@ def load_all() -> dict[str, QuerySpec]:
 # Already-proven queries rotate to the back — they keep their pytest oracle
 # coverage either way.  COVERAGE.md tracks which round checked what.
 #
-# r10 window: (a) the new registrations — st01 (the first
-# registry-visible stateful-streaming query: applyInPandasWithState
-# executed as a real two-micro-batch stream inside the callable, r9
-# verdict ask #7), m15 (colour-JPEG decode through the new built-in
-# 4:4:4 path, ask #6), u14 (compaction lifecycle through the txlog,
-# previously pytest-only); (b) the
-# r10-changed queries — the dedup-family consumers of this round's
-# resource/validation fixes (bucket-cap env validation, the
-# initial-labels/edges unpersist in dedup_clusters, the integral-id
-# guard in both component algorithms): d03/d06/d07/g04 directly, p01/t36
-# through the shared shingle→LSH→cluster subtree; (c) the 8 r4-latest
-# holdovers named by the r9 verdict's ask — u02/u03/u04 (yielded slots to
-# g04/u13/t49 in r9), s01 (bench set), d04/s03/s06/s07 (rows-only by
-# design, r5-green oracled twins) — spending their slots directly so
-# post-r10 NO query's latest driver row is older than r5; (d) 16 of the
-# 50 r5-latest greens, oldest-first rotation (the remaining 34 — q76–q80, the
-# r/s tail r01–r03/s02/s03r/s06r–s09r/s13–s16, the t20–t35 text block,
-# and u05 — lead r11's stale block; the txlog re-checks took their
-# slots).
+# r11 window: (a) the new registrations — u18 (deletion-vector
+# retention lifecycle: delete → compact → vacuum with live-set
+# invariance and physical sidecar/file counts, r10 verdict ask #6),
+# m16 (4:2:0 chroma-subsampled JPEG decode through the generalized
+# built-in MCU walk, ask #4); (b) the r11-changed queries — the FULL
+# txlog family again (the r11 ADVICE fixes changed commit payloads and
+# the fold: dv_targets recording in delete_where, dv_removed emission
+# in merge, per-retry schema re-validation in append, the 5-tuple
+# _fold_state), plus m14/m15 whose shared decoder was generalized for
+# subsampling (byte-identical on 4:4:4 input, but the MCU walk is new
+# code); (c) the full 34-query r5-latest holdover tail named by the
+# r10 verdict's ask #1 — spent directly, so post-r11 NO query's latest
+# driver row is older than r6, zero exceptions.
 DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
-    "st01_stateful_stream_totals",
-    "m15_jpeg_color_decode_stats",
-    "u14_txlog_compaction",
-    "st02_stream_session_windows",
-    "t50_vocab_growth_heaps",
-    "x10_sprt_ab_monitor",
-    "u15_txlog_schema_evolution",
-    "u16_txlog_clustered_compaction",
-    "u17_txlog_deletion_vectors",
-    "st03_stream_stream_attribution",
-    "q86_mad_robust_outliers",
-    "g05_degree_assortativity",
-    # (b) changed this round (dedup-family resource/validation fixes;
-    # m14's encoder internals were refactored for the colour path —
-    # _encode_block/_dct_quantize extraction, byte-identical output)
-    "m14_jpeg_decode_stats",
-    "d03_dedup_minhash_lsh",
-    "d06_dedup_clusters",
-    "d07_dedup_resolution",
-    "g04_connected_components",
-    "p01_training_data_pipeline",
-    "t36_cluster_aware_split",
-    # (b2) the txlog family: the r10 schema-evolution fold changed the
-    # commit payloads, the state fold, and every read path
+    "u18_txlog_dv_vacuum",
+    "m16_jpeg_420_decode_stats",
+    # (b) changed this round: txlog commit-payload/fold changes
     "u06_txlog_merge_timetravel",
     "u07_txlog_incremental_rollup",
     "u08_txlog_forget_audit",
@@ -147,32 +121,48 @@ DRIVER_PRIORITY: list[str] = [
     "u11_retention_policy_simulator",
     "u12_layout_clustering_depth",
     "u13_txlog_object_store_roundtrip",
-    # (c) the r4-latest holdover tail, retired in full
-    "d04_dedup_simhash",
-    "s01_ann_cosine_topk",
-    "s03_ann_topk_blas",
-    "s06_ann_ivf_topk",
-    "s07_ann_pq_topk",
-    "u02_scd2_dimension",
-    "u03_snapshot_diff",
-    "u04_cdc_apply",
-    # (d) the r5-latest block, oldest-first rotation
-    "b01_bpe_merges",
-    "b02_bpe_token_stats",
-    "d04r_simhash_md5_pairs",
-    "d11r_semdedup_seeded_pairs",
-    "d16_cross_source_contamination",
-    "d17_quality_keeper_resolution",
-    "f01_seasonal_naive_backtest",
-    "g01_pagerank_knn_graph",
-    "g02_neardup_triangle_census",
-    "m01_multimodal_features",
-    "m06_phash_neardup",
-    "m08_png_phash_neardup",
-    "p03_incremental_refresh_pipeline",
-    "q37r_sketch_error_audit",
-    "q74_attribution_models",
-    "q75_position_attribution",
+    "u14_txlog_compaction",
+    "u15_txlog_schema_evolution",
+    "u16_txlog_clustered_compaction",
+    "u17_txlog_deletion_vectors",
+    # (b2) consumers of the generalized (subsampling-capable) decoder
+    "m14_jpeg_decode_stats",
+    "m15_jpeg_color_decode_stats",
+    # (c) the full r5-latest holdover tail, retired in one window
+    "q76_frequent_event_paths",
+    "q77_rolling_zscore_anomaly",
+    "q78_rfm_segmentation",
+    "q79_funnel_conversion",
+    "q80_activity_streaks",
+    "r01_bm25_topk",
+    "r02_item_cooccurrence_lift",
+    "r03_rrf_hybrid_topk",
+    "s02_ann_lsh_topk",
+    "s03r_ann_blas_rounded_topk",
+    "s06r_ann_ivf_seeded_topk",
+    "s07r_pq_code_histogram",
+    "s08r_pca_whiten_audit",
+    "s09r_knn_graph_rounded",
+    "s13_kmeans_lloyd_audit",
+    "s14_dim_truncation_recall",
+    "s15_ivfpq_serving_recall",
+    "s16_delta_index_merge",
+    "t20_tokenizer_fertility",
+    "t21_leakage_safe_split",
+    "t22_epoch_shuffle",
+    "t23_perplexity_filter",
+    "t24_quality_weighted_sample",
+    "t25_dedup_token_accounting",
+    "t26_substring_dedup_spans",
+    "t27_hashed_quality_classifier",
+    "t28_span_corruption_plan",
+    "t29_gopher_rules",
+    "t30_source_length_winsorize",
+    "t31_mixture_annealing_plan",
+    "t32_classifier_calibration",
+    "t33_chunk_dedup_reconstruct",
+    "t35_prefix_cache_audit",
+    "u05_bitemporal_asof",
 ]
 
 

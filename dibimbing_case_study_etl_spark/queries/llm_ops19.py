@@ -1,0 +1,207 @@
+"""Round-11 additions.
+
+- ``u18`` closes the deletion-vector retention seam (r10 verdict ask
+  #6): delete → compact → vacuum driver-checked end-to-end, pinning
+  live-set invariance across physical garbage collection plus the
+  sidecar/file lifecycle (1 DV sidecar on disk before vacuum, 0 after;
+  orphaned pre-compact data files collected in the same pass).
+- ``m16`` closes the 4:2:0 seam (r10 verdict ask #4): chroma-subsampled
+  JPEG — the layout most real crawl images arrive in — rendered and
+  decoded by the dependency-free built-in codec (generalized MCU walk,
+  box chroma upsampling), driver-checked by a codec-free oracle that
+  reproduces every pixel from ``doc_id`` (the m15 pattern carried
+  across the subsampled layout).
+
+Reference parity: the reference has no transactional storage or
+multimodal surface (`/root/reference/airflow/dags/`); these are
+beyond-reference rows (SURVEY.md §2 S9, m-family).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dibimbing_case_study_etl_spark.catalog import register
+from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum, sql_dsum
+from dibimbing_case_study_etl_spark.queries import query
+
+_U18_ORACLE = f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS sum_keys,
+               {sql_dsum('p', 2)} AS total_bal
+        FROM (SELECT c_custkey AS k, c_acctbal AS p FROM customer)
+        WHERE k % 5 <> 0
+    )
+    SELECT 'post_vacuum' AS phase, n_rows, sum_keys, total_bal,
+           CAST(0 AS BIGINT) AS dv_files_on_disk, FALSE AS garbage_on_disk
+    FROM s
+    UNION ALL
+    SELECT 'pre_vacuum', n_rows, sum_keys, total_bal,
+           CAST(1 AS BIGINT), TRUE
+    FROM s
+    ORDER BY phase
+"""
+
+
+@query(
+    "u18_txlog_dv_vacuum",
+    oracle=_U18_ORACLE,
+    tags=("warehouse", "acid", "merge-on-read", "retention"),
+)
+def u18_txlog_dv_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector RETENTION lifecycle (r10 verdict ask #6): a
+    merge-on-read delete writes a ``(file, key)`` sidecar (version 1),
+    compact physically applies and logically retires it (version 2),
+    and vacuum then collects BOTH the orphaned pre-compact data files
+    and the retired DV sidecar — while the live result set is
+    bit-identical before and after the physical cleanup. The builder
+    counts real files on disk: exactly one ``dv-*/\\*.parquet`` sidecar
+    before vacuum (``delete_where`` coalesces to 1), zero after;
+    ``garbage_on_disk`` compares the physical ``data-*`` parquet count
+    against the log's live set (strictly more before vacuum — the
+    pre-compact generation — equal after). Both phases are read through
+    the normal snapshot path and must hash to the same oracle state.
+
+    Scale: vacuum is driver-side log folding (O(commits) tiny JSON)
+    plus one object-store LIST and per-file deletes — no data is read
+    or moved, so the pass costs O(dead files), not O(table). The
+    ``min_file_age_s`` guard (exercised at 0 here, writers quiescent)
+    is what makes it safe to run concurrently with in-flight writers
+    at 100 TB (`operators/txlog.py` vacuum docstring)."""
+    from dibimbing_case_study_etl_spark.operators.txlog import TxLogTable
+
+    t = register(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_u18_")
+    try:
+        table = TxLogTable.create(root)
+        table.append(c, key_col="k", target_files=4)  # v0
+        table.delete_where(spark, F.col("k") % 5 == 0, "k")  # v1: sidecar
+        table.compact(spark, key_col="k", target_files=2)  # v2: retires DV
+
+        def disk_counts() -> tuple[int, int]:
+            data = sum(
+                1 for d in Path(root).glob("data-*") for _ in d.glob("*.parquet")
+            )
+            dv = sum(
+                1 for d in Path(root).glob("dv-*") for _ in d.glob("*.parquet")
+            )
+            return data, dv
+
+        def phase_row(phase: str) -> DataFrame:
+            n_data, n_dv = disk_counts()
+            n_live = len(table.live_files())
+            return (
+                table.read(spark)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("k").alias("sum_keys"),
+                    dsum(F.col("p"), 2).alias("total_bal"),
+                )
+                .select(
+                    F.lit(phase).alias("phase"),
+                    "*",
+                    F.lit(n_dv).cast("bigint").alias("dv_files_on_disk"),
+                    F.lit(n_data > n_live).alias("garbage_on_disk"),
+                )
+            )
+
+        pre = phase_row("pre_vacuum")
+        removed = table.vacuum(
+            as_of_retained=table.latest_version(), min_file_age_s=0
+        )
+        # the pass must collect both garbage classes in one sweep
+        assert any(r.startswith("dv-") for r in removed), removed
+        assert any(r.startswith("data-") for r in removed), removed
+        post = phase_row("post_vacuum")
+        result = (
+            pre.unionByName(post).orderBy("phase").localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+_M16_ORACLE = """
+    WITH geom AS (
+        SELECT doc_id,
+               1 + doc_id % 3        AS bw,
+               1 + (doc_id // 3) % 3 AS bh
+        FROM documents
+    ),
+    cell AS (  -- one row per 16x16 chroma region
+        SELECT doc_id, bw, bh,
+               UNNEST(generate_series(0, CAST(bw * bh AS BIGINT) - 1, 1)) AS b
+        FROM geom
+    ),
+    sub AS (   -- four 8x8 luma blocks per region
+        SELECT doc_id, bw, bh, b,
+               UNNEST(generate_series(0, 3, 1)) AS s
+        FROM cell
+    ),
+    lv AS (
+        SELECT doc_id, bw, bh,
+               (doc_id + 37 * (2 * (b // bw) + s // 2)
+                       + 11 * (2 * (b % bw) + s % 2)) % 256       AS yv,
+               (3 * doc_id + 59 * (b // bw) + 17 * (b % bw)) % 256 - 128 AS cbv,
+               (7 * doc_id + 23 * (b // bw) + 29 * (b % bw)) % 256 - 128 AS crv
+        FROM sub
+    ),
+    rgb AS (
+        SELECT doc_id, bw, bh,
+               LEAST(255, GREATEST(0, CAST(round_even(
+                   yv + 1.402 * crv, 0) AS BIGINT)))                      AS r,
+               LEAST(255, GREATEST(0, CAST(round_even(
+                   yv - 0.344136 * cbv - 0.714136 * crv, 0) AS BIGINT)))  AS g,
+               LEAST(255, GREATEST(0, CAST(round_even(
+                   yv + 1.772 * cbv, 0) AS BIGINT)))                      AS b
+        FROM lv
+    )
+    SELECT doc_id,
+           CAST(16 * MAX(bw) AS BIGINT) AS width,
+           CAST(16 * MAX(bh) AS BIGINT) AS height,
+           CAST(3 AS BIGINT)            AS channels,
+           CAST(64 * SUM(r) AS BIGINT)  AS r_sum,
+           CAST(64 * SUM(g) AS BIGINT)  AS g_sum,
+           CAST(64 * SUM(b) AS BIGINT)  AS b_sum
+    FROM rgb
+    GROUP BY doc_id
+"""
+
+
+@query(
+    "m16_jpeg_420_decode_stats",
+    oracle=_M16_ORACLE,
+    tags=("llm", "multimodal", "decode", "jpeg", "subsampled"),
+)
+def m16_jpeg_420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode on the built-in codec (r10
+    verdict ask #4): render id-derived fixtures whose luma is constant
+    per 8×8 block and whose chroma is constant per 16×16 region (so
+    decimation is exact and box upsampling inverts it), encode through
+    ``encode_jpeg_ycbcr_420`` (Y 2×2 + Cb/Cr 1×1 interleaved MCUs),
+    decode through the generalized ``decode_jpeg_color`` MCU walk, and
+    report geometry + per-channel pixel sums. Both hops are
+    Arrow-batched ``mapInPandas`` stages over the hash-spread doc_id
+    partitioning — one exchange total, the m14/m15 plan.
+
+    Scale: encode/decode are embarrassingly parallel per-row Python
+    stages; general (lossy) 4:2:0 round-trips are pinned in pytest with
+    the conformance tolerance (`tests/test_imaging.py`)."""
+    from dibimbing_case_study_etl_spark.operators.multimodal import (
+        decode_color_image_features,
+        synth_jpeg_420_table,
+    )
+
+    t = register(spark, sf_dir, ("documents",))
+    return decode_color_image_features(
+        synth_jpeg_420_table(t["documents"], "doc_id"), spread=False
+    )

@@ -333,9 +333,9 @@ def test_jpeg_pillow_interop():
     assert int(np.abs(theirs.astype(int) - a.astype(int)).max()) <= 1
 
 
-def _colour_baseline_jpeg_header() -> bytes:
-    """Minimal marker stream for a 3-component (YCbCr, 4:2:0-subsampled
-    luma) baseline JPEG — enough structure for a decoder to reach SOF0.
+def _colour_baseline_jpeg_header(hv_y: int = 0x22) -> bytes:
+    """Minimal marker stream for a 3-component YCbCr baseline JPEG —
+    enough structure for a decoder to reach SOF0 (no scan follows).
     Built from the public T.81 segment layout, no encoder involved."""
     import struct
 
@@ -343,7 +343,7 @@ def _colour_baseline_jpeg_header() -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     sof = struct.pack(">BHHB", 8, 16, 16, 3)
-    sof += b"\x01\x22\x00"  # Y: 2x2 sampling
+    sof += bytes([0x01, hv_y, 0x00])  # Y sampling per caller
     sof += b"\x02\x11\x01"  # Cb: 1x1
     sof += b"\x03\x11\x01"  # Cr: 1x1
     return b"\xff\xd8" + seg(0xFFC0, sof) + b"\xff\xd9"
@@ -425,17 +425,19 @@ def test_jpeg_decode_dispatch_and_colour_guards():
     assert decode_jpeg(c).shape == (9, 9, 3)
     with pytest.raises(ValueError, match="single-component"):
         decode_jpeg_color(encode_jpeg_gray(g))
-    with pytest.raises(ValueError, match="subsampled"):
-        decode_jpeg_color(_colour_baseline_jpeg_header())
+    # sampling factors beyond 2 stay out-of-subset (4:2:0/4:2:2 decode
+    # since r11; a 3x1 luma declaration still refuses loudly)
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg_color(_colour_baseline_jpeg_header(hv_y=0x31))
 
 
 def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
     """The r8 verdict's colour-JPEG contract on the shared dispatch:
     WITH Pillow importable, decode_image hands colour JPEG to libjpeg
     and returns an (h, w, 3) array; WITHOUT it, the built-in decoder
-    handles 4:4:4 colour itself (r10) and still raises loudly on
-    chroma-subsampled input — under no configuration do wrong pixels
-    come back."""
+    handles 4:4:4 AND 4:2:0 colour itself (r10/r11) and still raises
+    loudly on out-of-subset sampling factors — under no configuration
+    do wrong pixels come back."""
     from dibimbing_case_study_etl_spark.functions.imaging import decode_image
 
     try:
@@ -443,10 +445,18 @@ def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
 
         from PIL import Image  # type: ignore
     except ImportError:
-        # the guard header is 4:2:0-subsampled: built-in must refuse
-        with pytest.raises(ValueError, match="subsampled"):
-            decode_image(_colour_baseline_jpeg_header())
-        # 4:4:4 colour now decodes through the built-in codec
+        # out-of-subset (3x1 luma) declaration: built-in must refuse
+        with pytest.raises(ValueError, match="sampling factor"):
+            decode_image(_colour_baseline_jpeg_header(hv_y=0x31))
+        # 4:2:0 decodes through the built-in codec since r11
+        from dibimbing_case_study_etl_spark.functions.jpeg import (
+            encode_jpeg_ycbcr_420,
+        )
+
+        y420 = np.full((16, 16), 99, np.uint8)
+        c420 = np.full((8, 8), 64, np.uint8)
+        assert decode_image(encode_jpeg_ycbcr_420(y420, c420, c420)).shape == (16, 16, 3)
+        # 4:4:4 colour decodes through the built-in codec
         from dibimbing_case_study_etl_spark.functions.jpeg import encode_jpeg_rgb
 
         rgb = np.zeros((16, 16, 3), dtype=np.uint8)
@@ -461,3 +471,151 @@ def test_decode_image_colour_jpeg_routes_to_pillow_or_raises():
     Image.fromarray(rgb, mode="RGB").save(buf, format="JPEG")
     out = decode_image(buf.getvalue())
     assert out.shape == (16, 16, 3)
+
+
+def test_colour_decode_rejects_non_ycbcr_colour_spaces():
+    """The built-in colour decoder applies the JFIF YCbCr inverse
+    transform unconditionally, so streams declaring another colour
+    interpretation must raise rather than decode to wrong colours
+    (r10 ADVICE): Adobe APP14 transform=0 (untransformed RGB) and
+    non-JFIF component ids are refused; an explicit APP14 transform=1
+    (YCbCr) still decodes byte-identically."""
+    import numpy as np
+    import pytest
+
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    blob = encode_jpeg_rgb(img)
+    baseline = decode_jpeg_color(blob)
+
+    def with_app14(transform: int) -> bytes:
+        seg = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        app14 = b"\xff\xee" + (len(seg) + 2).to_bytes(2, "big") + seg
+        return blob[:2] + app14 + blob[2:]
+
+    # transform=1 (YCbCr) is what the decoder assumes: identical output
+    assert np.array_equal(decode_jpeg_color(with_app14(1)), baseline)
+    with pytest.raises(ValueError, match="APP14 transform=0"):
+        decode_jpeg_color(with_app14(0))
+    with pytest.raises(ValueError, match="APP14 transform=2"):
+        decode_jpeg_color(with_app14(2))
+
+    # non-JFIF component ids (no APP14 to disambiguate): refuse
+    sof = blob.find(b"\xff\xc0")
+    sos = blob.find(b"\xff\xda")
+    assert sof > 0 and sos > sof
+    mut = bytearray(blob)
+    for c in range(3):  # SOF0 component ids 1,2,3 -> 4,5,6
+        assert mut[sof + 10 + 3 * c] == c + 1
+        mut[sof + 10 + 3 * c] = c + 4
+    for c in range(3):  # SOS scan selectors follow suit
+        assert mut[sos + 5 + 2 * c] == c + 1
+        mut[sos + 5 + 2 * c] = c + 4
+    with pytest.raises(ValueError, match="component ids"):
+        decode_jpeg_color(bytes(mut))
+
+
+def test_jpeg_420_exact_subclass_and_general_roundtrip():
+    """4:2:0 decode (r11, r10 verdict ask #4): a fixture whose luma is
+    constant per 8×8 and whose chroma is constant per 8×8 IN THE
+    SUBSAMPLED DOMAIN round-trips exactly — DC-only blocks under unit
+    quantization, decimation the identity, box upsampling its inverse.
+    General content stays within the conformance tolerance, and 4:2:2
+    (2×1 luma) streams decode through the same generalized MCU walk."""
+    import struct
+
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        _decode_baseline,
+        decode_jpeg_color,
+        encode_jpeg_ycbcr_420,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(420)
+    one = np.ones((8, 8), np.uint8)
+    for h, w in [(16, 16), (24, 40), (17, 19), (8, 8), (15, 30)]:
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        y = np.kron(
+            rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8), dtype=np.uint8), one
+        )[:h, :w]
+        cb = np.kron(
+            rng.integers(0, 256, ((ch + 7) // 8, (cw + 7) // 8), dtype=np.uint8), one
+        )[:ch, :cw]
+        cr = np.kron(
+            rng.integers(0, 256, ((ch + 7) // 8, (cw + 7) // 8), dtype=np.uint8), one
+        )[:ch, :cw]
+        blob = encode_jpeg_ycbcr_420(y, cb, cr)
+        # SOF0 declares 4:2:0 (Y 2x2)
+        sof = blob.find(b"\xff\xc0")
+        assert blob[sof + 11] == 0x22
+        cbf = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w]
+        crf = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:h, :w]
+        planes = _decode_baseline(blob, gray_only=False)
+        assert np.array_equal(planes[0], y)
+        assert np.array_equal(planes[1], cbf)
+        assert np.array_equal(planes[2], crf)
+        exp = ycbcr_to_rgb(np.stack([y, cbf, crf], axis=-1))
+        assert np.array_equal(decode_jpeg_color(blob), exp)
+
+    # general (non-block-constant) luma: DCT round-trip tolerance holds
+    y = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    cb = rng.integers(0, 256, (17, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, (17, 24), dtype=np.uint8)
+    planes = _decode_baseline(encode_jpeg_ycbcr_420(y, cb, cr), gray_only=False)
+    assert np.abs(planes[0].astype(int) - y.astype(int)).max() <= 1
+
+    # 4:2:2: hand-build from the 4:2:0 stream is not possible, so craft
+    # one via the generalized decoder contract — encode per-MCU manually
+    # is overkill; instead pin that a (2,1) declaration walks the MCU
+    # grid without error on a synthetic stream produced by re-encoding:
+    # Y 2x1 means each MCU is 16x8 with two Y blocks + one Cb + one Cr.
+    from dibimbing_case_study_etl_spark.functions.jpeg import (
+        _BitWriter,
+        _dct_quantize,
+        _encode_block,
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+    )
+
+    h, w = 16, 32
+    q = np.ones((8, 8), dtype=np.int64)
+    y = np.kron(rng.integers(0, 256, (2, 4), dtype=np.uint8), one)
+    cbs = np.kron(rng.integers(0, 256, (2, 2), dtype=np.uint8), one)
+    crs = np.kron(rng.integers(0, 256, (2, 2), dtype=np.uint8), one)
+    zzy, zcb, zcr = _dct_quantize(y, q), _dct_quantize(cbs, q), _dct_quantize(crs, q)
+    bw_out = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(2):
+        for mx in range(2):  # mcux = 32 / 16 = 2 (Y h=2) ... w/(8*2)=2
+            for bx in range(2):
+                prev[0] = _encode_block(bw_out, zzy[my, 2 * mx + bx], prev[0])
+            prev[1] = _encode_block(bw_out, zcb[my, mx], prev[1])
+            prev[2] = _encode_block(bw_out, zcr[my, mx], prev[2])
+    bw_out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    blob += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x21\x00\x02\x11\x00\x03\x11\x00",  # Y 2x1: 4:2:2
+    )
+    blob += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    blob += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    blob += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    blob += bw_out.buf + b"\xff\xd9"
+    planes = _decode_baseline(bytes(blob), gray_only=False)
+    assert np.array_equal(planes[0], y)
+    assert np.array_equal(planes[1], np.repeat(cbs, 2, axis=1))  # h-only upsample
+    assert np.array_equal(planes[2], np.repeat(crs, 2, axis=1))

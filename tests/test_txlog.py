@@ -892,3 +892,91 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     removed = t.vacuum(as_of_retained=t.latest_version(), min_file_age_s=0)
     assert any(r.startswith("dv-") for r in removed)
     assert t.read(spark).count() == 91
+
+
+def test_double_delete_where_with_live_dvs(spark, tmp_path):
+    """Second delete_where with DVs already live (no compact between):
+    pins _metadata.file_path resolution after _apply_dvs has anti-joined
+    the scan against the sidecar parquet source, and that already-masked
+    rows cannot re-enter the new sidecar (r10 ADVICE)."""
+    t = TxLogTable.create(tmp_path / "t")
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"))
+    t.append(src, key_col="k", target_files=2)  # v0
+    t.delete_where(spark, F.col("k") % 10 == 0, "k")  # v1: masks 10 keys
+    t.delete_where(spark, F.col("k") % 7 == 0, "k")  # v2: DVs live during scan
+    # multiples of 7 in [0,100): 15, of which 0 and 70 were already masked
+    assert t.read(spark).count() == 100 - 10 - 13
+    assert t.read(spark, as_of=1).count() == 90  # time travel unaffected
+    _, _, _, dvs1, _ = t._fold_state(1)
+    _, _, _, dvs2, _ = t._fold_state(2)
+    (new_sidecar,) = set(dvs2) - set(dvs1)
+    masked = {
+        r["k"]
+        for r in spark.read.parquet(str(t.root / new_sidecar)).collect()
+    }
+    # minimal DV: rows already masked by v1 are not re-recorded
+    assert masked == {k for k in range(100) if k % 7 == 0} - {0, 70}
+
+
+def test_merge_retires_fully_covered_dv_sidecars(spark, tmp_path):
+    """A merge whose rewrite removes EVERY file a sidecar targets emits
+    dv_removed for it (the rewrite physically applied the mask), so
+    reads stop anti-joining dangling sidecars and vacuum can collect
+    them without waiting for a compact; a sidecar that also masks an
+    untouched file stays live (r10 ADVICE)."""
+    t = TxLogTable.create(tmp_path / "t")
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"))
+    t.append(src, key_col="k", target_files=1)  # v0: one file, all keys
+    t.delete_where(spark, F.col("k") < 10, "k")  # v1: sidecar targets it
+    t.merge(spark, spark.createDataFrame([(5, 9.9)], "k bigint, p double"), "k")
+    _, _, _, dvs, targets = t._fold_state()
+    assert dvs == {} and targets == {}  # fully-covered sidecar retired
+    out = t.read(spark)
+    assert out.count() == 91  # 90 survivors + re-inserted k=5
+    assert {r["k"] for r in out.filter(F.col("k") < 10).collect()} == {5}
+    removed = t.vacuum(as_of_retained=t.latest_version(), min_file_age_s=0)
+    assert any(r.startswith("dv-") for r in removed)  # no compact needed
+
+    # partial coverage: sidecar spanning two files survives a one-file merge
+    t2 = TxLogTable.create(tmp_path / "t2")
+    t2.append(src.repartitionByRange(2, "k"), key_col="k", target_files=None)
+    assert len(t2.live_files()) == 2
+    t2.delete_where(spark, F.col("k").isin(5, 95), "k")  # targets both files
+    t2.merge(spark, spark.createDataFrame([(6, 1.0)], "k bigint, p double"), "k")
+    _, _, _, dvs2, targets2 = t2._fold_state()
+    assert len(dvs2) == 1 and len(targets2) == 1  # still live for file 2
+    assert t2.read(spark).filter(F.col("k") == 95).count() == 0  # still masked
+
+
+def test_append_retry_revalidates_schema_evolution(spark, table):
+    """An append that loses the publish race to a writer that ADDED a
+    column must not republish its stale (narrower) schema at a higher
+    version — the last-writer-wins fold would silently hide the new
+    column's data. The retry re-validates and raises instead (r10
+    ADVICE, medium)."""
+    table.append(_rows(spark, [(1, "a")]), key_col="k", target_files=1)
+
+    real_publish = table._try_publish
+    raced = {"done": False}
+
+    def racing_publish(payload, version):
+        if not raced["done"]:
+            raced["done"] = True
+            # competitor lands first with an additive evolution (+w)
+            t2 = TxLogTable(table.root)
+            t2.append(
+                _rows(spark, [(2, "b")]).withColumn("w", F.lit(7)),
+                key_col="k",
+                target_files=1,
+            )
+        return real_publish(payload, version)
+
+    table._try_publish = racing_publish  # type: ignore[method-assign]
+    try:
+        with pytest.raises(ValueError, match="DROP column 'w'"):
+            table.append(_rows(spark, [(3, "c")]), key_col="k", target_files=1)
+    finally:
+        table._try_publish = real_publish  # type: ignore[method-assign]
+    # the winner's column survives; the loser published nothing
+    assert set(table.read(spark).columns) == {"k", "v", "w"}
+    assert _state(table, spark) == {1: "a", 2: "b"}
