@@ -138,7 +138,7 @@ DRIVER_PRIORITY: list[str] = [
     "r02_item_cooccurrence_lift",
     "r03_rrf_hybrid_topk",
     "s02_ann_lsh_topk",
-    "s03r_ann_blas_rounded_topk",
+    "s03_ann_topk_blas",  # r11: twin contract folded in, newly oracled
     "s06r_ann_ivf_seeded_topk",
     "s07r_pq_code_histogram",
     "s08r_pca_whiten_audit",

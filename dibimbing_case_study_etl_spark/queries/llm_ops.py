@@ -404,19 +404,55 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=10, nbits=32, bands=8)
 
 
+_CLAMPED_COS_S03 = (
+    "least(1.0, greatest(-1.0, list_cosine_similarity("
+    "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
 @query(
     "s03_ann_topk_blas",
-    oracle=None,  # BLAS reorders accumulation → not bitwise vs the oracle;
-    # ranking agreement with s01 asserted in tests
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {{cos_r}} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {{cos_r}} DESC, c.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 10
+    """.format(cos_r=sql_iround(_CLAMPED_COS_S03, 6)),
     tags=("llm", "similarity", "blas"),
 )
 def s03_ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 via Arrow-batched numpy GEMM — the serving-
-    throughput variant of s01 (one BLAS matmul per corpus batch instead of
-    per-pair JVM lambdas)."""
+    throughput variant of s01 (one BLAS matmul per corpus batch instead
+    of per-pair JVM lambdas).
+
+    r11 (r10 verdict ask #8, the s02/r5 pattern): the former audit twin
+    s03r's rounding contract is FOLDED INTO the primary, which retires
+    the twin and this query's rows-only status. The BLAS kernel is
+    unchanged — it scores a 5×-oversampled top-50 shortlist — and the
+    reported score/ranking round at 6 dp with an id tiebreak, making the
+    output engine-neutral: GEMM accumulation dust sits ~8 orders of
+    magnitude below the rounding grain, and a rounded-tie group would
+    have to span 40 unrounded ranks to perturb the final top-10, which a
+    continuous embedding distribution cannot do (exact duplicates tie
+    unrounded too and order by id either way)."""
+    from pyspark.sql import Window as W
+
     t = register(spark, sf_dir, ("embeddings",))
     e = t["embeddings"].select("vec_id", "embedding")
-    return cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=10)
+    base = cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=50)
+    w = W.partitionBy("query_id").orderBy(F.desc("__r"), F.asc("neighbor_id"))
+    return (
+        base.withColumn("__r", iround(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.col("__r").alias("cos_sim"), "rank")
+    )
 
 
 @query(

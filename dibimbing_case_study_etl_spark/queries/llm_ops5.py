@@ -6,7 +6,9 @@ outputs historically carried no SQL oracle — recall/rank-agreement pins
 lived only in pytest. These twins restore driver-hash-visible evidence by
 pinning the one non-SQL-expressible ingredient of each path:
 
-- ``s03r``: the BLAS GEMM scorer, oversampled then re-ranked on a 6-dp
+- ``s03r`` (RETIRED r11 — its rounding contract folded into the s03
+  primary, the s02/r5 pattern): the BLAS GEMM scorer, oversampled then
+  re-ranked on a 6-dp
   engine-neutral rounding (BLAS accumulation dust is ~1e-14, eight orders
   below the rounding grain, so the rounded ranking is deterministic).
 - ``s06r``: the IVF structure (cell partitioning, nprobe probing, in-cell
@@ -21,7 +23,7 @@ pinning the one non-SQL-expressible ingredient of each path:
 - ``d11r``: SemDeDup's cluster-then-compare structure with seeded
   centroids (only the Lloyd refinement excluded).
 - ``s09r``: the block-pair-GEMM k-NN graph re-ranked on the 6-dp
-  rounding (the s03r recipe, corpus↔corpus).
+  rounding (the s03 rounded-re-rank recipe, corpus↔corpus).
 - ``q37r`` / ``s08r``: contract audits — per-group/per-component
   BOOLEANS whose oracle asserts the invariant from the exact side alone
   (sketch error bounds; whitened-covariance ≈ identity). The pattern for
@@ -52,7 +54,6 @@ from dibimbing_case_study_etl_spark.catalog import register
 from dibimbing_case_study_etl_spark.functions.oracle_safe import iround, sql_iround
 from dibimbing_case_study_etl_spark.operators.dedup import simhash_pairs
 from dibimbing_case_study_etl_spark.operators.similarity import (
-    cosine_topk_blas,
     ivf_cosine_topk_seeded,
     knn_graph,
     pq_encode,
@@ -60,52 +61,6 @@ from dibimbing_case_study_etl_spark.operators.similarity import (
     semdedup_pairs_seeded,
 )
 from dibimbing_case_study_etl_spark.queries import query
-
-_CLAMPED_COS = (
-    "least(1.0, greatest(-1.0, list_cosine_similarity("
-    "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
-)
-
-
-@query(
-    "s03r_ann_blas_rounded_topk",
-    oracle=f"""
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {sql_iround(_CLAMPED_COS, 6)} AS cos_sim,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {sql_iround(_CLAMPED_COS, 6)} DESC, c.vec_id
-             ) AS INTEGER) AS rank
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
-    ) WHERE rank <= 10
-    """,
-    tags=("llm", "similarity", "blas", "audit"),
-)
-def s03r_ann_blas_rounded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-checkable twin of s03: the BLAS scorer's top-50 shortlist,
-    re-ranked on the 6-dp engine-neutral rounding with an id tiebreak.
-
-    GEMM reorders the accumulation, so raw BLAS scores differ from the
-    sequential-fold oracle in the last ~2 ulps; rounding at 6 dp (five
-    thousand ulps wide) collapses both to the same value, and the id
-    tiebreak makes the rounded ranking total. The 5× oversample means a
-    rounded-tie group would have to span 40 unrounded ranks to perturb
-    the final top-10 — vectors drawn from a continuous distribution
-    cannot do that (exact duplicates tie unrounded too, which the
-    shortlist already orders by id).
-    """
-    t = register(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"].select("vec_id", "embedding")
-    base = cosine_topk_blas(e.filter(F.col("vec_id") < 10), e, k=50)
-    w = W.partitionBy("query_id").orderBy(F.desc("__r"), F.asc("neighbor_id"))
-    return (
-        base.withColumn("__r", iround(F.col("cos_sim"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", F.col("__r").alias("cos_sim"), "rank")
-    )
 
 
 @query(
@@ -305,7 +260,7 @@ def s09r_knn_graph_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable twin of s09: the full block-pair-GEMM k-NN graph
     (every vector's neighbors, nothing broadcast or collected), built at
     k=10 and re-ranked to the top-5 on the 6-dp engine-neutral rounding
-    with an id tiebreak — the s03r recipe applied to the corpus↔corpus
+    with an id tiebreak — the s03 rounded-re-rank recipe applied to the corpus↔corpus
     graph. The 2× oversample absorbs GEMM-dust rank swaps at the cut."""
     t = register(spark, sf_dir, ("embeddings",))
     base = knn_graph(t["embeddings"].select("vec_id", "embedding"), k=10)
