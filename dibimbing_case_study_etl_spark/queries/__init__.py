@@ -113,6 +113,7 @@ DRIVER_PRIORITY: list[str] = [
     # (a) never driver-checked — registered this round
     "u18_txlog_dv_vacuum",
     "m16_jpeg_420_decode_stats",
+    "x11_ks_drift_test",
     # (b) changed this round: txlog commit-payload/fold changes
     "u06_txlog_merge_timetravel",
     "u07_txlog_incremental_rollup",

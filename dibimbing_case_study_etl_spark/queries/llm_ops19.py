@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dibimbing_case_study_etl_spark.catalog import register
-from dibimbing_case_study_etl_spark.functions.oracle_safe import dsum, sql_dsum
+from dibimbing_case_study_etl_spark.functions.oracle_safe import (
+    dsum,
+    iround,
+    sql_dsum,
+    sql_iround,
+)
 from dibimbing_case_study_etl_spark.queries import query
 
 _U18_ORACLE = f"""
@@ -204,4 +209,93 @@ def m16_jpeg_420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register(spark, sf_dir, ("documents",))
     return decode_color_image_features(
         synth_jpeg_420_table(t["documents"], "doc_id"), spread=False
+    )
+
+
+_X11_ORACLE = f"""
+    WITH pooled AS (
+        SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS src
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    n AS (
+        SELECT CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM pooled
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        FROM pooled GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(c_a) OVER w AS f_a, SUM(c_b) OVER w AS f_b
+        FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    d AS (
+        SELECT CAST(MAX(ABS(f_a * n.n_b - f_b * n.n_a)) AS BIGINT) AS d_scaled
+        FROM cum, n
+    )
+    SELECT n.n_a, n.n_b, d.d_scaled,
+           {{d_round}} AS d_stat,
+           {{crit_round}} AS crit_value_05,
+           {{d_round}} > {{crit_round}} AS drift_detected
+    FROM n, d
+"""
+_X11_D = "CAST(d.d_scaled AS DOUBLE) / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE))"
+_X11_CRIT = (
+    "1.358 * sqrt((CAST(n.n_a AS DOUBLE) + CAST(n.n_b AS DOUBLE))"
+    " / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE)))"
+)
+
+
+@query(
+    "x11_ks_drift_test",
+    oracle=_X11_ORACLE.format(
+        d_round=sql_iround(_X11_D, 6), crit_round=sql_iround(_X11_CRIT, 6)
+    ),
+    tags=("llm", "experimentation", "statistics", "drift"),
+)
+def x11_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test between the
+    ``view`` and ``purchase`` value distributions — the
+    distribution-shift gate a training-data pipeline runs between
+    ingestion epochs (no binning, no sketch: the EXACT statistic). The
+    global ECDF comes from :func:`operators.stats.ks_two_sample_scaled`
+    — groupBy-collapsed counts, a range shuffle, O(partitions) offsets,
+    and one Arrow-batched prefix-scan pass — NOT the single-task
+    unpartitioned window the naive implementation uses, so the operator
+    scales with partitions. Integer-scaled end-to-end:
+    ``D = d_scaled / (n_a*n_b)`` with one rounded division at the very
+    end; the α=0.05 decision compares the 6-dp-rounded statistic to the
+    6-dp-rounded asymptotic critical value (1.358·sqrt((n_a+n_b)/n_a·n_b)),
+    so both engines make the identical call.
+
+    Scale: two shuffles (combine + range) over per-DISTINCT-VALUE
+    counts, one bounded O(partitions) collect, one max-aggregate; state
+    is never more than the distinct pooled values, partitioned."""
+    from dibimbing_case_study_etl_spark.operators.stats import ks_two_sample_scaled
+
+    t = register(spark, sf_dir, ("events",))
+    ev = t["events"]
+    n_a, n_b, d_scaled = ks_two_sample_scaled(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    d = F.lit(d_scaled).cast("double") / (
+        F.lit(n_a).cast("double") * F.lit(n_b).cast("double")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.lit(n_a).cast("double") + F.lit(n_b).cast("double"))
+        / (F.lit(n_a).cast("double") * F.lit(n_b).cast("double"))
+    )
+    return spark.range(1).select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.lit(d_scaled).cast("bigint").alias("d_scaled"),
+        iround(d, 6).alias("d_stat"),
+        iround(crit, 6).alias("crit_value_05"),
+        (iround(d, 6) > iround(crit, 6)).alias("drift_detected"),
     )

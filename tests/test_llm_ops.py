@@ -1093,3 +1093,38 @@ def test_pointer_jump_cc_matches_propagation_on_random_graph(spark):
     }
     assert pj == prop and len(pj) == n + 50
     assert all(pj[i] == i for i in range(n, n + 50))  # isolated = self
+
+
+def test_ks_two_sample_exact_against_reference(spark):
+    """ks_two_sample_scaled (x11's kernel) against a sequential numpy
+    reference on a tied, skewed fixture — exact integer agreement, and
+    the distributed prefix-sum (range partitions + offsets) must not
+    depend on partition count."""
+    import numpy as np
+
+    from dibimbing_case_study_etl_spark.operators.stats import ks_two_sample_scaled
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.exponential(10.0, 400), 1)  # heavy ties at 1 dp
+    b = np.round(rng.exponential(12.0, 300), 1)
+
+    def ref(a, b):
+        vals = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), vals, side="right")
+        fb = np.searchsorted(np.sort(b), vals, side="right")
+        return int(np.max(np.abs(fa * len(b) - fb * len(a))))
+
+    da = spark.createDataFrame([(float(x),) for x in a], "value double")
+    db = spark.createDataFrame([(float(x),) for x in b], "value double")
+    for parts in (1, 3, 16):
+        n_a, n_b, d = ks_two_sample_scaled(da, db, "value", partitions=parts)
+        assert (n_a, n_b) == (400, 300)
+        assert d == ref(a, b), parts
+
+    # identical distributions -> D = 0; empty cohort -> loud
+    n_a, n_b, d = ks_two_sample_scaled(da, da, "value")
+    assert d == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_two_sample_scaled(da.filter("value < 0"), db, "value")
