@@ -100,7 +100,11 @@ def load_all() -> dict[str, QuerySpec]:
 # retention lifecycle: delete → compact → vacuum with live-set
 # invariance and physical sidecar/file counts, r10 verdict ask #6),
 # m16 (4:2:0 chroma-subsampled JPEG decode through the generalized
-# built-in MCU walk, ask #4); (b) the r11-changed queries — the FULL
+# built-in MCU walk, ask #4), x11 (exact two-sample KS drift test on a
+# distributed prefix-sum ECDF — no single-task global window), st04
+# (arbitrary-state sessionization with EVENT-TIME TIMEOUTS — per-key
+# timers flushing and removing open-session state, the state-lifecycle
+# mechanics st01–st03 don't cover); (b) the r11-changed queries — the FULL
 # txlog family again (the r11 ADVICE fixes changed commit payloads and
 # the fold: dv_targets recording in delete_where, dv_removed emission
 # in merge, per-retry schema re-validation in append, the 5-tuple
@@ -114,6 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     "u18_txlog_dv_vacuum",
     "m16_jpeg_420_decode_stats",
     "x11_ks_drift_test",
+    "st04_stream_timeout_sessions",
     # (b) changed this round: txlog commit-payload/fold changes
     "u06_txlog_merge_timetravel",
     "u07_txlog_incremental_rollup",
@@ -126,8 +131,10 @@ DRIVER_PRIORITY: list[str] = [
     "u15_txlog_schema_evolution",
     "u16_txlog_clustered_compaction",
     "u17_txlog_deletion_vectors",
-    # (b2) consumers of the generalized (subsampling-capable) decoder
-    "m14_jpeg_decode_stats",
+    # (b2) consumer of the generalized (subsampling-capable) decoder;
+    # m14 (greyscale, byte-identical, r10-green) sits at position 51 —
+    # just outside the 50-window — so all 34 holdovers fit; it re-enters
+    # in r12 if unchecked
     "m15_jpeg_color_decode_stats",
     # (c) the full r5-latest holdover tail, retired in one window
     "q76_frequent_event_paths",
@@ -164,6 +171,7 @@ DRIVER_PRIORITY: list[str] = [
     "t33_chunk_dedup_reconstruct",
     "t35_prefix_cache_audit",
     "u05_bitemporal_asof",
+    "m14_jpeg_decode_stats",
 ]
 
 

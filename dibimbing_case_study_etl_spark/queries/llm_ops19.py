@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -299,3 +300,101 @@ def x11_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         iround(crit, 6).alias("crit_value_05"),
         (iround(d, 6) > iround(crit, 6)).alias("drift_detected"),
     )
+
+
+_ST04_ORACLE = """
+    WITH e AS (SELECT user_id, ts FROM events),
+    mx AS (SELECT MAX(ts) AS max_ts FROM e),
+    lagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a JOIN last l USING (user_id), mx
+    WHERE a.sid < l.last_sid
+       OR a.session_end + INTERVAL 30 MINUTE < mx.max_ts
+"""
+
+
+@query(
+    "st04_stream_timeout_sessions",
+    oracle=_ST04_ORACLE,
+    tags=("streaming", "stateful", "timeout"),
+)
+def st04_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state sessionization with EVENT-TIME TIMEOUTS — the
+    fourth streaming driver row, covering the state-lifecycle mechanics
+    st01–st03 don't: per-key timers
+    (``GroupState.setTimeoutTimestamp`` + ``hasTimedOut``) that flush
+    and REMOVE open-session state once the watermark passes
+    ``last_event + gap``. The harness streams the events table in two
+    event-time-ordered micro-batches (median split, the st03 pattern);
+    sessions close in-stream when a later event exceeds the 30-minute
+    gap, and by timer otherwise — so the append-mode memory sink holds
+    every session EXCEPT each user's still-open final one (emitted only
+    if the final watermark strictly passed its horizon, Spark's strict
+    ``<`` timer-eviction rule). The oracle is batch gaps-and-islands
+    sessionization with exactly that closure rule.
+
+    Scale: state is O(OPEN sessions) — timers delete closed-session
+    state instead of letting it accumulate (the leak the timeout API
+    exists to prevent); output is append (no complete-mode snapshot),
+    keyed state shuffles once by user_id, and the strict-gap arithmetic
+    is integer microseconds on both engines."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.streaming.stateful import (
+        gap_timeout_sessions,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="st04_src_")
+    ckpt = tempfile.mkdtemp(prefix="st04_ckpt_")
+    sink = f"st04_sessions_{uuid.uuid4().hex[:10]}"
+    try:
+        split = events.agg(
+            F.expr("percentile(cast(ts as long), 0.5)").alias("m")
+        ).first()["m"]
+        events.filter(F.col("ts").cast("long") <= split).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+            src + "/*.parquet"
+        )
+        q = (
+            gap_timeout_sessions(stream.withWatermark("ts", "0 seconds"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: first half, timers armed
+            events.filter(F.col("ts").cast("long") > split).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()  # batch 2 + no-data batch: timers fire
+        finally:
+            q.stop()
+        result = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

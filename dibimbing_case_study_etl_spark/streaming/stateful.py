@@ -166,3 +166,97 @@ def user_type_census(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- event-time timeout sessionization (r11: st04) --------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_GAP_MIN = 30  # minutes; fixed so the operator and its oracle agree
+
+
+def _session_update(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary-state sessionizer with EVENT-TIME TIMEOUT — the state
+    lifecycle ``session_window`` hides, made explicit: a session closes
+    (and is emitted, append-style) either when a later event from the
+    same user arrives more than the gap after it IN-STREAM, or when the
+    WATERMARK passes ``last_event + gap`` (``hasTimedOut``) — at which
+    point the state is removed, which is exactly why state stays
+    O(open sessions), not O(stream). A gap of exactly the timeout does
+    NOT split (strict >), mirroring the strict ``<`` Spark applies when
+    firing event-time timers against the watermark."""
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    out_rows: list[tuple[int, int, int, int]] = []  # (uid, start, last, n)
+    uid = key[0]
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        out_rows.append((uid, start_us, last_us, n))
+        state.remove()
+    else:
+        start_us = last_us = None
+        n = 0
+        if state.exists:
+            start_us, last_us, n = state.get
+        ts_all = (
+            pd.concat([pdf["ts"] for pdf in pdfs])
+            .sort_values()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        for t in ts_all:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out_rows.append((uid, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # fire when the watermark passes the open session's horizon
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out_rows],
+                "session_start": pd.to_datetime(
+                    [r[1] for r in out_rows], unit="us"
+                ),
+                "session_end": pd.to_datetime([r[2] for r in out_rows], unit="us"),
+                "n_events": [r[3] for r in out_rows],
+            }
+        )
+
+
+def gap_timeout_sessions(events: DataFrame) -> DataFrame:
+    """CLOSED sessions per user (append output): 30-minute gap rule,
+    open sessions held as per-key state and flushed by event-time
+    timeout once the watermark passes ``last_event + gap``. The input
+    must carry a watermark (``withWatermark("ts", ...)``) for the
+    timers to fire."""
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
