@@ -1151,3 +1151,18 @@ def test_g05_assortativity_pruned_scan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_m16_420_codec_single_exchange_pruned_scan(spark, sf_dir):
+    """m16 carries the m14/m15 plan shape across the 4:2:0 path: render
+    → decode are the only Python stages, one exchange total (producer's
+    doc_id spread, consumer takes spread=False), no join, scan pruned
+    to doc_id."""
+    import re
+
+    plan = explain_str(spark, sf_dir, "m16_jpeg_420_decode_stats")
+    assert plan.count("Arguments: render(") == 1
+    assert plan.count("Arguments: decode(") == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
