@@ -104,7 +104,9 @@ def load_all() -> dict[str, QuerySpec]:
 # distributed prefix-sum ECDF — no single-task global window), st04
 # (arbitrary-state sessionization with EVENT-TIME TIMEOUTS — per-key
 # timers flushing and removing open-session state, the state-lifecycle
-# mechanics st01–st03 don't cover); (b) the r11-changed queries — the FULL
+# mechanics st01–st03 don't cover), st05 (dropDuplicatesWithinWatermark
+# as a registry row: cross-batch key-state dedup + late-drop suppressing
+# a full duplicate copy of the stream); (b) the r11-changed queries — the FULL
 # txlog family again (the r11 ADVICE fixes changed commit payloads and
 # the fold: dv_targets recording in delete_where, dv_removed emission
 # in merge, per-retry schema re-validation in append, the 5-tuple
@@ -119,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "m16_jpeg_420_decode_stats",
     "x11_ks_drift_test",
     "st04_stream_timeout_sessions",
+    "st05_stream_dedup_watermark",
     # (b) changed this round: txlog commit-payload/fold changes
     "u06_txlog_merge_timetravel",
     "u07_txlog_incremental_rollup",
@@ -131,11 +134,10 @@ DRIVER_PRIORITY: list[str] = [
     "u15_txlog_schema_evolution",
     "u16_txlog_clustered_compaction",
     "u17_txlog_deletion_vectors",
-    # (b2) consumer of the generalized (subsampling-capable) decoder;
-    # m14 (greyscale, byte-identical, r10-green) sits at position 51 —
-    # just outside the 50-window — so all 34 holdovers fit; it re-enters
-    # in r12 if unchecked
-    "m15_jpeg_color_decode_stats",
+    # (b2) m14/m15 (consumers of the generalized decoder, byte-identical
+    # output, r10-green, re-verified oracle-green in BOTH committed r11
+    # sweeps) sit at positions 51/52 — just outside the 50-window — so
+    # all 34 holdovers and the 5 new registrations fit; they lead r12
     # (c) the full r5-latest holdover tail, retired in one window
     "q76_frequent_event_paths",
     "q77_rolling_zscore_anomaly",
@@ -171,6 +173,7 @@ DRIVER_PRIORITY: list[str] = [
     "t33_chunk_dedup_reconstruct",
     "t35_prefix_cache_audit",
     "u05_bitemporal_asof",
+    "m15_jpeg_color_decode_stats",
     "m14_jpeg_decode_stats",
 ]
 

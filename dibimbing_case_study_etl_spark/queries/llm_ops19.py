@@ -398,3 +398,69 @@ def st04_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+_ST05_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+"""
+
+
+@query(
+    "st05_stream_dedup_watermark",
+    oracle=_ST05_ORACLE,
+    tags=("streaming", "dedup", "watermark"),
+)
+def st05_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a DRIVER ROW (completing the streaming
+    family's registry surface): the events table streams TWICE — copy A
+    as micro-batch 1, copy B as micro-batch 2 — through
+    ``dropDuplicatesWithinWatermark``, the unbounded-input form of d01:
+    plain ``dropDuplicates`` would keep every key forever, while the
+    watermark variant ages key state out once event time passes
+    ``ts + delay`` — bounded state on an unbounded feed, correct
+    whenever duplicates (retries, at-least-once upstream redelivery)
+    arrive within the watermark of the original. Copy B is suppressed
+    through BOTH mechanisms at once: rows still inside the watermark
+    hit live key state (the cross-batch dedup path), rows behind it are
+    dropped as late — either way exactly copy A is emitted, value-hashed
+    against the distinct batch answer.
+
+    Scale: state is O(keys within the watermark window), not O(stream);
+    one shuffle on the dedup keys per micro-batch."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.streaming.events_stream import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="st05_src_")
+    ckpt = tempfile.mkdtemp(prefix="st05_ckpt_")
+    sink = f"st05_dedup_{uuid.uuid4().hex[:10]}"
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    try:
+        events.write.mode("overwrite").parquet(src)  # copy A
+        stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
+        q = (
+            dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: copy A, all distinct
+            events.write.mode("append").parquet(src)  # copy B: all dups
+            q.processAllAvailable()  # batch 2: suppressed end-to-end
+        finally:
+            q.stop()
+        result = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
