@@ -25,7 +25,6 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
-from pyspark.storagelevel import StorageLevel
 
 from dibimbing_case_study_etl_spark.functions.text import tokens, word_shingles
 
@@ -123,21 +122,33 @@ def _spread_partitions(df: DataFrame) -> int:
 
 
 def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Persist and force an intermediate that the downstream DAG references
+    """Materialize an intermediate that the downstream DAG references
     more than once (self-joins, verify-after-candidates). Without this,
     every reference re-executes the full upstream — shingle explode +
     hashing ran 3-4× in the LSH pipeline. At cluster scale the same
     pattern holds: materialize once, reuse across consumers.
 
-    ``eager=False`` skips the forcing count — correct ONLY when some
-    other eager action upstream of every multi-consumer fan-out is
-    guaranteed to populate the cache first (otherwise two sibling stages
-    of one job can scan the unpopulated cache CONCURRENTLY and compute
-    the whole subtree twice — the reason the count exists)."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
-        df.count()
-    return df
+    Implementation (r11): ``localCheckpoint``, NOT ``persist``. A persist
+    registers the frame in the session CacheManager keyed by its
+    CANONICALIZED LOGICAL PLAN, and these helpers never unpersist (the
+    consumer's action runs after the builder returns) — so a second
+    invocation of the same query in the same session (bench pass 2/3, or
+    a sweep query sharing a subplan with an earlier one) silently READ
+    THE PREVIOUS RUN'S MATERIALIZED DATA instead of recomputing
+    ("Asked to cache already cached data" warnings in the r10 sweep
+    logs). That made per-query bench minima partially cache-subsidized —
+    a measurement-integrity bug, not a speedup. ``localCheckpoint``
+    stores blocks against the invocation's own RDD, so reuse stays
+    within one build and a fresh build recomputes from the source;
+    blocks are reclaimed by the ContextCleaner when the RDD goes out of
+    scope (the dedup loops additionally nudge GC every 8 rounds).
+
+    ``eager=False`` defers materialization to the first consuming action
+    — correct ONLY when some eager action upstream of every
+    multi-consumer fan-out is guaranteed to populate the blocks first
+    (otherwise two sibling stages of one job can compute the subtree
+    concurrently — the reason eager is the default)."""
+    return df.localCheckpoint(eager=eager)
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -938,7 +949,7 @@ def dedup_clusters(
         F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
     )
     labels = _materialize(labels)
-    initial_labels = labels  # unpersisted after round 1 replaces it
+    initial_labels = labels  # reference dropped after round 1 replaces it
 
     for it in range(max_iterations):
         neighbor = (
@@ -960,10 +971,12 @@ def dedup_clusters(
         changed = new_labels.filter(F.col("__improved")).count()
         labels = new_labels.drop("__improved")
         if it == 0:
-            # round 1's checkpoint replaced it; short runs (<8 rounds)
-            # never hit the GC nudge, so drop the persist explicitly
-            # instead of leaving it to an eventual ContextCleaner pass
-            initial_labels.unpersist()
+            # round 1's checkpoint replaced it; _materialize is now a
+            # localCheckpoint (no CacheManager entry to unpersist), so
+            # dropping the last reference is what lets the
+            # ContextCleaner reclaim its blocks — short runs (<8
+            # rounds) never hit the GC nudge, hence the eager del.
+            del initial_labels
         if changed == 0:
             break
         if it % 8 == 7:
