@@ -789,13 +789,23 @@ def minhash_lsh_pairs(
     # string verify runs unchanged — bench/driver plans are byte
     # -identical to r6; the count is free (``_materialize`` already ran
     # it, the second ``count()`` reads the persisted blocks).
-    shing = reps.select(
-        F.col(id_col).alias("__sid"),
-        word_shingles(F.col(text_col), k).alias("__sh"),
+    # ONE rep-info frame carries BOTH verify and expansion payloads
+    # (shingle set + member list) so each candidate side joins ONCE —
+    # r11: this was four joins over four scans of the groups table (two
+    # shingle attaches, then two member-expansion joins after the
+    # threshold filter); projecting everything a pair needs from one scan
+    # halves the join/scan count with identical output (guide §2.3/§2.4:
+    # fewer passes, project before the join). Members ride along through
+    # the verify filter — candidate rows are pair-count-proportional
+    # either way, and failed candidates are dropped before any explode.
+    rep_info = groups.select(
+        "__rep",
+        "__members",
+        word_shingles(F.col("__gtext"), k).alias("__sh"),
     ).filter(F.size("__sh") >= 1)
     if candidates.count() > _HASH_VERIFY_MIN_CANDIDATES:
         cert = (
-            shing.select(F.explode("__sh").alias("__s"))
+            rep_info.select(F.explode("__sh").alias("__s"))
             .agg(
                 F.countDistinct("__s").alias("d"),
                 F.countDistinct(F.xxhash64("__s")).alias("dh"),
@@ -803,30 +813,37 @@ def minhash_lsh_pairs(
             .collect()[0]  # bounded: one row
         )
         if cert["d"] == cert["dh"]:
-            shing = shing.select(
-                "__sid", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+            rep_info = rep_info.select(
+                "__rep",
+                "__members",
+                F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
             )
-    with_sets = (
-        candidates.join(
-            shing.select(F.col("__sid").alias("doc_a"), F.col("__sh").alias("__sa")),
-            "doc_a",
-        )
-        .join(
-            shing.select(F.col("__sid").alias("doc_b"), F.col("__sh").alias("__sb")),
-            "doc_b",
-        )
+    with_sets = candidates.join(
+        rep_info.select(
+            F.col("__rep").alias("doc_a"),
+            F.col("__sh").alias("__sa"),
+            F.col("__members").alias("__ma"),
+        ),
+        "doc_a",
+    ).join(
+        rep_info.select(
+            F.col("__rep").alias("doc_b"),
+            F.col("__sh").alias("__sb"),
+            F.col("__members").alias("__mb"),
+        ),
+        "doc_b",
     )
     rep_pairs = (
         with_sets.select(
-            "doc_a",
-            "doc_b",
+            "__ma",
+            "__mb",
             F.size(F.array_intersect("__sa", "__sb")).alias("__nc"),
             F.size("__sa").alias("__na"),
             F.size("__sb").alias("__nb"),
         )
         .select(
-            "doc_a",
-            "doc_b",
+            "__ma",
+            "__mb",
             (F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))).alias(
                 "jaccard"
             ),
@@ -839,18 +856,8 @@ def minhash_lsh_pairs(
     # representatives' Jaccard (identical texts ⇒ identical shingle sets).
     # least/greatest restores the doc_a < doc_b output contract (group
     # membership does not respect the representatives' order).
-    members = groups.select("__rep", "__members")
     cross = (
-        rep_pairs.join(
-            members.withColumnRenamed("__members", "__ma"),
-            rep_pairs["doc_a"] == members["__rep"],
-        )
-        .drop("__rep", "doc_a")
-        .join(
-            members.withColumnRenamed("__members", "__mb"),
-            F.col("doc_b") == members["__rep"],
-        )
-        .select(F.explode("__ma").alias("__a"), "__mb", "jaccard")
+        rep_pairs.select(F.explode("__ma").alias("__a"), "__mb", "jaccard")
         .select("__a", F.explode("__mb").alias("__b"), "jaccard")
         .select(
             F.least("__a", "__b").alias("doc_a"),
