@@ -53,6 +53,7 @@ from dibimbing_case_study_etl_spark.functions.oracle_safe import (
     sql_iround,
 )
 from dibimbing_case_study_etl_spark.queries import query
+from dibimbing_case_study_etl_spark.streaming import scaled_state_partitions
 
 _ST01_ORACLE = """
     WITH per_user AS (
@@ -107,22 +108,26 @@ def st01_stateful_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src)
         stream_schema = "user_id bigint, value double"
         stream = spark.readStream.schema(stream_schema).parquet(src + "/*.parquet")
-        q = (
-            user_running_totals(stream)
-            .writeStream.outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # micro-batch 1: even event_ids
-            events.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
-                "append"
-            ).parquet(src)
-            q.processAllAvailable()  # micro-batch 2: odd ids update state
-        finally:
-            q.stop()
+        # state shards sized to the input, not the core count (see
+        # streaming.stream_state_partitions — per-store fixed cost
+        # dominates small micro-batches at every measured SF)
+        with scaled_state_partitions(spark, events):
+            q = (
+                user_running_totals(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # micro-batch 1: even event_ids
+                events.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
+                    "append"
+                ).parquet(src)
+                q.processAllAvailable()  # micro-batch 2: odd ids update state
+            finally:
+                q.stop()
         # final state per user = the cumulative emission with max n_events
         final = (
             spark.table(sink)
@@ -377,20 +382,21 @@ def st02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # micro-batch 1: even event_ids
-            events.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
-                "append"
-            ).parquet(src)
-            q.processAllAvailable()  # micro-batch 2: sessions merge
-        finally:
-            q.stop()
+        with scaled_state_partitions(spark, events):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # micro-batch 1: even event_ids
+                events.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
+                    "append"
+                ).parquet(src)
+                q.processAllAvailable()  # micro-batch 2: sessions merge
+            finally:
+                q.stop()
         final = spark.table(sink).select(
             "user_id",
             F.col("win.start").alias("session_start"),
@@ -1067,22 +1073,23 @@ def st03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
         views = stream.filter(F.col("event_type") == "view")
         purchases = stream.filter(F.col("event_type") == "purchase")
-        q = (
-            view_purchase_attribution(views, purchases, horizon="30 minutes")
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # micro-batch 1: first half by event time
-            events.filter(F.col("ts").cast("long") > split).write.mode(
-                "append"
-            ).parquet(src)
-            q.processAllAvailable()  # micro-batch 2: cross-batch matches
-        finally:
-            q.stop()
+        with scaled_state_partitions(spark, events):
+            q = (
+                view_purchase_attribution(views, purchases, horizon="30 minutes")
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # micro-batch 1: first half by event time
+                events.filter(F.col("ts").cast("long") > split).write.mode(
+                    "append"
+                ).parquet(src)
+                q.processAllAvailable()  # micro-batch 2: cross-batch matches
+            finally:
+                q.stop()
         final = (
             spark.table(sink)
             .groupBy("user_id")

@@ -35,6 +35,7 @@ from dibimbing_case_study_etl_spark.functions.oracle_safe import (
     sql_iround,
 )
 from dibimbing_case_study_etl_spark.queries import query
+from dibimbing_case_study_etl_spark.streaming import scaled_state_partitions
 
 _U18_ORACLE = f"""
     WITH s AS (
@@ -376,22 +377,23 @@ def st04_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
             src + "/*.parquet"
         )
-        q = (
-            gap_timeout_sessions(stream.withWatermark("ts", "0 seconds"))
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # batch 1: first half, timers armed
-            events.filter(F.col("ts").cast("long") > split).write.mode(
-                "append"
-            ).parquet(src)
-            q.processAllAvailable()  # batch 2 + no-data batch: timers fire
-        finally:
-            q.stop()
+        with scaled_state_partitions(spark, events):
+            q = (
+                gap_timeout_sessions(stream.withWatermark("ts", "0 seconds"))
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # batch 1: first half, timers armed
+                events.filter(F.col("ts").cast("long") > split).write.mode(
+                    "append"
+                ).parquet(src)
+                q.processAllAvailable()  # batch 2 + no-data batch: timers fire
+            finally:
+                q.stop()
         result = spark.table(sink).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(sink)
@@ -444,20 +446,21 @@ def st05_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         events.write.mode("overwrite").parquet(src)  # copy A
         stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
-        q = (
-            dedup_stream(stream, keys=("event_id",), watermark="1 hour")
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # batch 1: copy A, all distinct
-            events.write.mode("append").parquet(src)  # copy B: all dups
-            q.processAllAvailable()  # batch 2: suppressed end-to-end
-        finally:
-            q.stop()
+        with scaled_state_partitions(spark, events):
+            q = (
+                dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # batch 1: copy A, all distinct
+                events.write.mode("append").parquet(src)  # copy B: all dups
+                q.processAllAvailable()  # batch 2: suppressed end-to-end
+            finally:
+                q.stop()
         result = spark.table(sink).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(sink)

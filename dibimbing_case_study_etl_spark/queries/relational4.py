@@ -208,20 +208,26 @@ def q52_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dibimbing_case_study_etl_spark.streaming.events_stream import EVENTS_SCHEMA
     from dibimbing_case_study_etl_spark.streaming.stateful import user_running_totals
 
+    from dibimbing_case_study_etl_spark.streaming import scaled_state_partitions
+
     tmp = tempfile.mkdtemp(prefix="q52_stateful_")
     src = f"{tmp}/events"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
-    q = (
-        user_running_totals(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("q52_running_totals")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state shards sized to the input, not the core count (see
+    # streaming.stream_state_partitions)
+    with scaled_state_partitions(spark, events):
+        q = (
+            user_running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("q52_running_totals")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # cumulative emissions: the max-n_events row per user is the final one
     got = spark.table("q52_running_totals")
     return (

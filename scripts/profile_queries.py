@@ -57,11 +57,9 @@ def main() -> None:
                 results[name] = {"error": f"warmup: {type(exc).__name__}: {exc}"}
                 continue
         best = None
-        jobs = stages = 0
+        samples = []
         for _ in range(passes):
             sc.setJobDescription(f"profile:{name}")
-            j0 = tracker.getJobIdsForGroup(None)
-            nj0 = len(sc._jsc.sc().statusTracker().getJobIdsForGroup())
             t0 = time.perf_counter()
             try:
                 spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -69,11 +67,10 @@ def main() -> None:
                 results[name] = {"error": f"{type(exc).__name__}: {exc}"}
                 break
             dt = time.perf_counter() - t0
-            nj1 = len(sc._jsc.sc().statusTracker().getJobIdsForGroup())
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
-            jobs = nj1 - nj0
         else:
-            results[name] = {"sec": round(best, 3), "jobs": jobs}
+            results[name] = {"sec": round(best, 3), "samples": samples}
             print(json.dumps({"q": name, **results[name]}), flush=True)
             continue
         print(json.dumps({"q": name, **results[name]}), flush=True)
