@@ -23,8 +23,12 @@ _STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"
 # null legs 6.5/11.4 s at 32 stores; probe: q52 2.5–3.1 s at 32 stores
 # vs 1.8–2.3 s at 4–8), so shard count must track DATA, not the core
 # count: a constant `cores` under-shards big batches (hot stores) and
-# over-shards small ones (all fixed cost).
-_STATE_TARGET_BYTES = 1 << 20
+# over-shards small ones (all fixed cost). 256 KiB/shard, not larger:
+# Python-per-key stateful operators (applyInPandasWithState) parallelize
+# their per-key constant cost across shards, and the r11 family probe
+# found the joint optimum there (st04 13.1 s at 2 shards -> 6.4 s at 8;
+# the store-bound topologies moved < 1 s either way).
+_STATE_TARGET_BYTES = 256 << 10
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -47,7 +51,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 def stream_state_partitions(source: DataFrame) -> int:
     """Scale-adaptive shuffle/state partition count for a streaming query
     fed (per micro-batch) by roughly the data in ``source``: one state
-    shard per ~1 MiB of input, clamped to [2, 4 × defaultParallelism].
+    shard per ~256 KiB of input, clamped to [2, 4 × defaultParallelism].
     Data-proportional, never a constant tuned to either local mode or a
     cluster — small batches collapse to a few shards (fixed per-store
     cost dominates), large ones fan out past the core count until the

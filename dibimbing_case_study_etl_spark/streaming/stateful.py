@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -50,9 +51,12 @@ def _update(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # pandas .round is numpy rint (half-even) — matches the engine-wide
-        # rint/round_even convention in functions.oracle_safe
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # np.rint is half-even — matches the engine-wide rint/round_even
+        # convention in functions.oracle_safe (and pandas' .round, whose
+        # per-Series overhead this numpy form avoids: the function runs
+        # once per KEY per micro-batch, so constant per-call cost is the
+        # operator's dominant term at high key cardinality — guide §4.2)
+        cents += int(np.rint(pdf["value"].to_numpy() * 100).astype(np.int64).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -203,46 +207,73 @@ def _session_update(
     NOT split (strict >), mirroring the strict ``<`` Spark applies when
     firing event-time timers against the watermark."""
     gap_us = _GAP_MIN * 60 * 1_000_000
-    out_rows: list[tuple[int, int, int, int]] = []  # (uid, start, last, n)
     uid = key[0]
 
     if state.hasTimedOut:
         start_us, last_us, n = state.get
-        out_rows.append((uid, start_us, last_us, n))
         state.remove()
-    else:
-        start_us = last_us = None
-        n = 0
-        if state.exists:
-            start_us, last_us, n = state.get
-        ts_all = (
-            pd.concat([pdf["ts"] for pdf in pdfs])
-            .sort_values()
-            .astype("datetime64[us]")
-            .astype("int64")
-        )
-        for t in ts_all:
-            t = int(t)
-            if last_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                out_rows.append((uid, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                last_us, n = t, n + 1
-        state.update((start_us, last_us, n))
-        # fire when the watermark passes the open session's horizon
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-
-    if out_rows:
         yield pd.DataFrame(
             {
-                "user_id": [r[0] for r in out_rows],
-                "session_start": pd.to_datetime(
-                    [r[1] for r in out_rows], unit="us"
-                ),
-                "session_end": pd.to_datetime([r[2] for r in out_rows], unit="us"),
-                "n_events": [r[3] for r in out_rows],
+                "user_id": np.array([uid], dtype=np.int64),
+                "session_start": np.array([start_us], dtype="datetime64[us]"),
+                "session_end": np.array([last_us], dtype="datetime64[us]"),
+                "n_events": np.array([n], dtype=np.int64),
+            }
+        )
+        return
+
+    # Vectorized sessionization (r11, guide §4.2): the function runs once
+    # per KEY per micro-batch, so the old per-event Python loop and the
+    # pandas sort/convert chain were the operator's dominant per-trigger
+    # cost at high key cardinality. Same strict-gap semantics, now as one
+    # numpy pass: session boundaries are positions where the gap to the
+    # previous event EXCEEDS gap_us (strict >), segment stats come from
+    # boundary indexing, and the carried-in open session either absorbs
+    # the first segment (gap <= gap_us) or closes ahead of it.
+    chunks = [pdf["ts"].to_numpy() for pdf in pdfs]
+    ts = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+    ts = np.sort(ts.astype("datetime64[us]").astype(np.int64))
+    bounds = np.empty(len(ts), dtype=bool)
+    bounds[0] = True
+    np.greater(ts[1:] - ts[:-1], gap_us, out=bounds[1:])
+    pos = np.flatnonzero(bounds)  # start index of each in-batch segment
+    seg_start = ts[pos]
+    seg_end = ts[np.append(pos[1:] - 1, len(ts) - 1)]
+    seg_n = np.diff(np.append(pos, len(ts))).astype(np.int64)
+
+    closed_start: np.ndarray
+    closed_end: np.ndarray
+    closed_n: np.ndarray
+    if state.exists:
+        start0, last0, n0 = state.get
+        if ts[0] - last0 > gap_us:
+            # carried session closes before the batch's first event
+            closed_start = np.append(np.int64(start0), seg_start[:-1])
+            closed_end = np.append(np.int64(last0), seg_end[:-1])
+            closed_n = np.append(np.int64(n0), seg_n[:-1])
+        else:
+            # first segment continues the carried session
+            seg_start[0] = start0
+            seg_n[0] += n0
+            closed_start, closed_end, closed_n = (
+                seg_start[:-1],
+                seg_end[:-1],
+                seg_n[:-1],
+            )
+    else:
+        closed_start, closed_end, closed_n = seg_start[:-1], seg_end[:-1], seg_n[:-1]
+
+    state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])))
+    # fire when the watermark passes the open session's horizon
+    state.setTimeoutTimestamp((int(seg_end[-1]) + gap_us) // 1000)
+
+    if len(closed_n):
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(closed_n), uid, dtype=np.int64),
+                "session_start": closed_start.astype("datetime64[us]"),
+                "session_end": closed_end.astype("datetime64[us]"),
+                "n_events": closed_n,
             }
         )
 
