@@ -89,14 +89,22 @@ def learn_bpe(
     rank 1 first and ``words`` is the POST-merge word-frequency table
     ``(s, n)`` (wrapped-symbol strings) — the tokenizer's full state, from
     which application stats (fertility, vocab size, compression) derive
-    without re-scanning the corpus. Caller owns ``words``' checkpoint
-    (``unpersist`` when done).
+    without re-scanning the corpus. ``words`` carries a LAZY
+    localCheckpoint — the caller's first action materializes it; blocks
+    are reclaimed by the ContextCleaner when the frame goes out of scope.
 
     Ties on pair count break lexicographically on (pa, pb) ascending —
     total and engine-neutral (symbols are lowercase ASCII, so binary and
     collation order agree)."""
     # wrap each character: "ab" -> "\x01a\x02\x01b\x02"
-    words = wrap_word_vocab(df, text_col).localCheckpoint(eager=True)
+    #
+    # Checkpoints are LAZY throughout the merge loop (r11): each rank's
+    # table has exactly ONE downstream consumer before the next
+    # checkpoint — the top-pair collect of the following rank — so that
+    # collect both materializes the blocks and truncates the lineage;
+    # an eager checkpoint per rank doubled the loop's job count (2 jobs
+    # per merge instead of 1) for a working table that is O(word vocab).
+    words = wrap_word_vocab(df, text_col).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -120,20 +128,18 @@ def learn_bpe(
         merges.append((rank, pa, pb, cnt))
         pat = F.lit(SEP_L + pa + SEP_R + SEP_L + pb + SEP_R)
         rep = F.lit(SEP_L + pa + pb + SEP_R)
-        new_words = words.select(
+        words = words.select(
             F.replace(F.col("s"), pat, rep).alias("s"), "n"
-        ).localCheckpoint(eager=True)
-        words.unpersist()
-        words = new_words
+        ).localCheckpoint(eager=False)
     return merges, words
 
 
 def learn_bpe_merges(
     df: DataFrame, text_col: str, n_merges: int = 6
 ) -> list[tuple[int, str, str, int]]:
-    """Merge table only (see :func:`learn_bpe`); releases the word state."""
-    merges, words = learn_bpe(df, text_col, n_merges)
-    words.unpersist()
+    """Merge table only (see :func:`learn_bpe`); the final word table's
+    lazy checkpoint is simply never materialized."""
+    merges, _ = learn_bpe(df, text_col, n_merges)
     return merges
 
 

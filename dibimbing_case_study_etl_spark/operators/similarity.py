@@ -564,6 +564,109 @@ def ivf_cosine_topk_seeded(
     )
 
 
+# Row-strip bound for the in-cell pair scorer below — same discipline as
+# dedup's bucket-pair kernel: peak per-task memory is O(strip × m) cells,
+# never the full m×m pair matrix of a degenerate cell.
+_CELL_STRIP_ELEMS = 1 << 24  # 16M float64 cells ≈ 128 MB peak per strip
+_CELL_EMIT_ROWS = 1 << 21
+
+
+def _cell_pair_scores(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Exact in-cell pair cosine scores for the SemDeDup family:
+    ``assigned`` is (__id, __v, cell); output is every in-cell pair
+    (__ra < __rb) with ``cos_sim >= threshold``.
+
+    r11 (guide §4.2): this replaces a per-pair JVM higher-order-function
+    cosine inside the cell self-join — HOFs are CodegenFallback
+    (interpreted, boxing every element), and the in-cell pair count is
+    quadratic, which made d11r the single most expensive registry entry
+    (~166 s at sf0.1 for ~2M interpreted 64-dim cosines). One shuffle
+    keyed by cell collects each cell's (m × dim) matrix once (vectors
+    travel per CELL MEMBERSHIP, not per pair — nprobe rows each, strictly
+    less data movement than the join shipped), and the kernel computes
+    the pair scores vectorized with SEQUENTIAL-IN-K accumulation:
+    ``S += M[:,k]·M[:,k]ᵀ`` accumulates each pair's dot product in element
+    order, one IEEE double add per k — operation-for-operation the fold
+    `functions.vector.dot` evaluates and DuckDB's
+    ``list_cosine_similarity`` loop — so scores (and threshold
+    membership) are BITWISE-identical to the join form. Zero-norm
+    vectors raise, matching the engine's ANSI divide-by-zero contract
+    (`functions.vector.clamp_unit` docstring).
+
+    Parallelism is ncells tasks (ncells grows ~√n at scale); per-task
+    memory is O(strip × m) via row strips, and emission streams through
+    Arrow in bounded flushes (the d03 bucket-kernel pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    cells = (
+        assigned.groupBy("cell")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("rows"))
+        .filter(F.size("rows") > 1)
+    )
+
+    def score(batches):
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_n = 0
+
+        def drain():
+            nonlocal out_a, out_b, out_s, out_n
+            df_out = pd.DataFrame(
+                {
+                    "__ra": np.concatenate(out_a),
+                    "__rb": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+            out_a, out_b, out_s, out_n = [], [], [], 0
+            return df_out
+
+        for pdf in batches:
+            for rows in pdf["rows"]:
+                ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                M = np.array([r["__v"] for r in rows], dtype=np.float64)[order]
+                m, d = M.shape
+                # per-vector norms, sequential in k (== functions.vector.norm)
+                nsq = np.zeros(m)
+                for k in range(d):
+                    col = M[:, k]
+                    nsq += col * col
+                nrm = np.sqrt(nsq)
+                if (nrm == 0.0).any():
+                    raise ValueError(
+                        "zero-norm embedding in cell pair scoring — filter "
+                        "degenerate vectors upstream (ANSI fail-fast contract)"
+                    )
+                strip = max(1, _CELL_STRIP_ELEMS // max(m, 1))
+                for r0 in range(0, m - 1, strip):
+                    r1 = min(r0 + strip, m - 1)
+                    S = np.zeros((r1 - r0, m))
+                    for k in range(d):
+                        col = M[:, k]
+                        S += col[r0:r1, None] * col[None, :]
+                    cos = S / (nrm[r0:r1, None] * nrm[None, :])
+                    np.minimum(cos, 1.0, out=cos)
+                    np.maximum(cos, -1.0, out=cos)
+                    allowed = (
+                        np.arange(m)[None, :] > np.arange(r0, r1)[:, None]
+                    ) & (cos >= threshold)
+                    li, ju = np.nonzero(allowed)
+                    out_a.append(ids[li + r0])
+                    out_b.append(ids[ju])
+                    out_s.append(cos[li, ju])
+                    out_n += len(ju)
+                    if out_n >= _CELL_EMIT_ROWS:
+                        yield drain()
+        if out_a:
+            yield drain()
+
+    return cells.mapInPandas(score, schema="__ra long, __rb long, cos_sim double")
+
+
 def semdedup_pairs_seeded(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -620,26 +723,12 @@ def semdedup_pairs_seeded(
         .filter(F.col("__crank") <= nprobe)
         .select("__id", "__v", "cell")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    # broadcast one side of the in-cell self-join: an exchange keyed by
-    # ≤ncells cell ids has at most ncells non-empty partitions (and AQE
-    # coalesces the bytes-tiny rest), which would serialize the quadratic
-    # in-cell scoring onto a handful of tasks; the broadcast keeps the
-    # stream side's _spread partitioning, and the distinct-representative
-    # table is small BY CONSTRUCTION (it is the audit twin's bounded
-    # input — production-scale corpora run d11's semdedup_pairs).
-    rep_pairs = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("__ra"),
-            F.col("b.__id").alias("__rb"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["__ra", "__rb"])
+    # in-cell scoring via the strip-bounded sequential-accumulation numpy
+    # kernel (bitwise-equal to the former per-pair JVM cosine join — see
+    # _cell_pair_scores); a pair probing two shared cells scores
+    # identically in both, so the dedup keeps exact values
+    rep_pairs = _cell_pair_scores(assigned, threshold).dropDuplicates(
+        ["__ra", "__rb"]
     )
 
     members = groups.select("__rep", "__members")
@@ -965,17 +1054,14 @@ def semdedup_pairs(
     reps_ck = groups.select(F.col("__rep").alias(id_col), F.col("__v").alias(vec_col))
     cents = ivf_fit_centroids(reps_ck, id_col, vec_col, ncells=ncells)
 
-    # The in-cell scoring join reads a FRESH lineage, not the checkpoint:
-    # a LogicalRDD has no catalyst stats, which demotes the cell self-join
-    # from broadcast-hash to sort-merge on a ≤ncells-key exchange — AQE
-    # then coalesces the post-join pair explosion onto ONE task (measured
-    # 8× regression at sf0.1). The _spread after the canonicalization
-    # matters for the same reason: the distinct-vector table is BYTES-tiny
-    # after its groupBy, so AQE would coalesce it to one partition, and
-    # the broadcast cell join inherits its parallelism from exactly this
-    # side — the explicit repartition keeps the quadratic in-cell scoring
-    # fanned across the cluster. One extra canonicalization shuffle, one
-    # pass, inside the same job.
+    # Assignment reads a FRESH lineage (not the checkpoint) spread across
+    # the cluster: the distinct-vector table is BYTES-tiny after its
+    # groupBy, so AQE would coalesce it to one partition and serialize
+    # the numpy assignment pass — the explicit repartition keeps it
+    # fanned. One extra canonicalization shuffle, one pass, inside the
+    # same job. (In-cell pair scoring itself now lives in
+    # _cell_pair_scores — one cell-keyed shuffle into the strip-bounded
+    # kernel, parallelism = ncells, which grows ~√n at scale.)
     assigned = _assign_cells(
         _spread(
             build_groups().select(F.col("__rep").alias("__id"), F.col("__v")),
@@ -984,16 +1070,12 @@ def semdedup_pairs(
         cents,
         nprobe=nprobe,
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    rep_pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(
-            F.col("a.__id").alias("__ra"),
-            F.col("b.__id").alias("__rb"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["__ra", "__rb"])  # nprobe>1 can meet in two cells
+    # in-cell scoring via the strip-bounded sequential-accumulation numpy
+    # kernel (bitwise-equal to the former per-pair JVM cosine join — see
+    # _cell_pair_scores); nprobe>1 pairs meeting in two cells score
+    # identically in both, so the dedup keeps exact values
+    rep_pairs = _cell_pair_scores(assigned, threshold).dropDuplicates(
+        ["__ra", "__rb"]
     )
 
     members = groups.select("__rep", "__members")

@@ -619,9 +619,9 @@ def b03_bpe_heldout_generalization(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("oov_occ").cast("double") / F.col("h_tok"), 6
             ).alias("oov_token_rate"),
         )
-        .localCheckpoint(eager=True)  # materialize before releasing train state
     )
-    words.unpersist()
+    # words/h carry lazy checkpoints; the caller's action materializes
+    # them and the ContextCleaner reclaims the blocks
     return out
 
 

@@ -387,11 +387,9 @@ def b02_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     layers and aggregates the final layer."""
     t = register(spark, sf_dir, ("documents",))
     merges, words = learn_bpe(t["documents"], "text", _BPE_MERGES)
-    out = bpe_token_stats(words)
-    # materialize before releasing the checkpointed word state
-    out = out.localCheckpoint(eager=True)
-    words.unpersist()
-    return out
+    # words is a lazy checkpoint; the caller's action materializes it and
+    # the ContextCleaner reclaims it — no eager copy of the result needed
+    return bpe_token_stats(words)
 
 
 @query(

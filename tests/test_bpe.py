@@ -56,7 +56,6 @@ def test_token_stats_hand_computed(spark):
     df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id bigint, text string")
     merges, words = learn_bpe(df, "text", n_merges=2)
     row = bpe_token_stats(words).collect()[0]
-    words.unpersist()
     assert (
         row["n_words"],
         row["word_occurrences"],
