@@ -133,21 +133,39 @@ def decode_png(blob: bytes) -> np.ndarray:
     return img[:, :, 0] if channels == 1 else img
 
 
+_PIL_IMAGE = None  # resolved once per process — see decode_image
+
+
+def _pil_image():
+    """Resolve Pillow ONCE per process (r12): a failed ``from PIL import
+    Image`` is NOT cached by Python, so the old per-call try/except paid a
+    full sys.path probe for every decoded image on Pillow-less deployments
+    — pure per-row overhead in the hottest multimodal kernels (guide §4.5:
+    heavyweight init once per task, not per row)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:  # soft dependency — absent in this container, present in deploys
+            from PIL import Image  # type: ignore
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = False
+    return _PIL_IMAGE
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode image bytes to a uint8 numpy array: Pillow when importable
     (any format Pillow knows), else the built-in subset codecs dispatched
     on magic bytes — PNG here, baseline greyscale + 4:4:4 colour JPEG in
     ``functions/jpeg.py`` (chroma-subsampled JPEG still needs Pillow and
     raises loudly without it)."""
-    try:  # soft dependency — absent in this container, present in deploys
+    Image = _pil_image()
+    if Image:
         import io
 
-        from PIL import Image  # type: ignore
-
         return np.asarray(Image.open(io.BytesIO(blob)))
-    except ImportError:
-        if blob[:2] == b"\xff\xd8":
-            from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg
+    if blob[:2] == b"\xff\xd8":
+        from dibimbing_case_study_etl_spark.functions.jpeg import decode_jpeg
 
-            return decode_jpeg(blob)
-        return decode_png(blob)
+        return decode_jpeg(blob)
+    return decode_png(blob)

@@ -626,6 +626,28 @@ def decode_features_arrow(blobs: DataFrame, stub: bool = True) -> DataFrame:
 # --- perceptual-hash near-duplicate detection ------------------------------
 
 
+def _ahash_int_array(w) -> tuple[int, int]:
+    """64-bit aHash over an int64 'pixel' array, as two 32-bit halves —
+    the EXACT integer arithmetic :func:`phash_cols` defines (bit j set iff
+    ``chunk_sum * L >= total_sum * chunk_len`` with bounds ``(j*L)//64``),
+    vectorized: bounds via integer floor division, chunk sums from one
+    cumsum, bits packed with a dot against 2^j. Values stay inside int64
+    for any plausible input (cs·L ≤ max_val·L² < 2^63). Shared by the
+    real-decode path (:func:`decode_phash`, pixels) and the codepoint
+    stand-in path (:func:`phash_neardup_pairs`)."""
+    import numpy as np
+
+    pow2 = (1 << np.arange(32, dtype=np.int64)).astype(np.int64)
+    w = w.reshape(-1).astype(np.int64)
+    length = int(w.size)
+    total = int(w.sum())
+    cum = np.concatenate(([0], np.cumsum(w)))
+    bounds = (np.arange(65, dtype=np.int64) * length) // 64
+    cs = cum[bounds[1:]] - cum[bounds[:-1]]
+    bits = (cs * length >= total * np.diff(bounds)).astype(np.int64)
+    return int(bits[:32] @ pow2), int(bits[32:] @ pow2)
+
+
 def phash_cols(col_name: str, n_chunks: int = 64) -> Column:
     """64-bit aHash over the content's codepoint sequence, packed as
     ``struct<h1:bigint, h2:bigint>`` (two 32-bit halves — keeps every value
@@ -691,18 +713,49 @@ def phash_neardup_pairs(
     d04 (xxhash64 has no oracle twin), the hash here is pure integer
     arithmetic, so the WHOLE operator is exact-oracled including the hash
     itself.
+
+    r12 (guide §4.2): the signature stage is the numpy aHash kernel
+    :func:`decode_phash` already runs on decoded pixels, applied to the
+    codepoint sequence (vectorized via the UTF-32 byte view — codepoint
+    extraction with no per-character Python loop). The former JVM
+    expression (:func:`phash_cols`) evaluated 64 slice-``aggregate``
+    higher-order functions per row — CodegenFallback, interpreted,
+    boxing every element — and was the whole operator's CPU bottleneck
+    (~90 % of m06's wall). Chunk bounds, integer comparisons, and bit
+    packing are the same exact arithmetic, so every hash value — and
+    therefore every pair — is unchanged.
     """
-    # The 64-chunk hash expression is the CPU bottleneck, and a small
-    # parquet input arrives as ONE split — without a spread the whole
-    # signature stage runs on a single core (observed: 13s of m06's 13.1s
-    # at sf0.1 in one task). The narrow-row shuffle is orders of magnitude
-    # cheaper than the per-row work it parallelizes.
+    # A small parquet input arrives as ONE split — without a spread the
+    # whole (CPU-heavy) signature stage runs on a single core. The
+    # narrow-row shuffle is orders of magnitude cheaper than the per-row
+    # work it parallelizes.
     from dibimbing_case_study_etl_spark.operators.dedup import _spread
 
-    sig = _spread(df.filter(F.length(text_col) >= min_len), id_col).select(
-        F.col(id_col).cast("bigint").alias("doc_id"), phash_cols(text_col).alias("ph")
+    src = _spread(df.filter(F.length(text_col) >= min_len), id_col).select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("__t")
     )
-    sig = sig.select("doc_id", F.col("ph.h1").alias("h1"), F.col("ph.h2").alias("h2"))
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = [
+                _ahash_int_array(
+                    np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                        np.int64
+                    )
+                )
+                for t in pdf["__t"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h1": [h[0] for h in hashes],
+                    "h2": [h[1] for h in hashes],
+                }
+            )
+
+    sig = src.mapInPandas(hash_batch, schema="doc_id bigint, h1 bigint, h2 bigint")
     return band_hamming_pairs(sig, max_hamming=max_hamming, n_bands=n_bands)
 
 
@@ -1202,26 +1255,8 @@ def decode_phash(images: DataFrame, spread: bool = True) -> DataFrame:
         )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        pow2 = (1 << np.arange(32, dtype=np.int64)).astype(np.int64)
-
-        def ahash(blob: bytes) -> tuple[int, int]:
-            # Vectorized over the 64 chunks: bounds via integer floor
-            # division, chunk sums from one cumsum, bits packed with a
-            # dot against 2^j. Values stay inside int64 for any image up
-            # to ~10^8 pixels: cs·L ≤ 255·L² < 2^63.
-            w = decode_image(blob).reshape(-1).astype(np.int64)
-            length = int(w.size)
-            total = int(w.sum())
-            cum = np.concatenate(([0], np.cumsum(w)))
-            bounds = (np.arange(65, dtype=np.int64) * length) // 64
-            cs = cum[bounds[1:]] - cum[bounds[:-1]]
-            bits = (cs * length >= total * np.diff(bounds)).astype(np.int64)
-            return int(bits[:32] @ pow2), int(bits[32:] @ pow2)
-
         for pdf in batches:
-            hashes = [ahash(b) for b in pdf["content"]]
+            hashes = [_ahash_int_array(decode_image(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

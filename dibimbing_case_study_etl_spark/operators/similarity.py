@@ -503,6 +503,95 @@ def ivf_cosine_topk(
     )
 
 
+def _assign_cells_seeded(
+    vecs: DataFrame, cent_rows: list, nprobe: int, id_name: str, vec_name: str
+) -> DataFrame:
+    """Nearest-``nprobe``-centroid assignment for the SEEDED twins (d11r /
+    s06r) with selection EXACTLY equal to the former
+    ``cosine(vec, cent)`` broadcast join + ``row_number`` window
+    (``__csim`` desc, ``cell`` asc) — r12, guide §4.2: the JVM
+    higher-order-function cosine is CodegenFallback (interpreted, boxing
+    every element), so the assign step paid ncells × n interpreted
+    64-dim folds plus a window shuffle of the n × ncells scored rows.
+    One Arrow batch kernel replaces both: dots and norms accumulate
+    SEQUENTIAL-IN-K (operation-for-operation the `functions.vector`
+    fold, so every cosine is bitwise-identical), the clamp matches
+    ``clamp_unit``, zero-norm vectors raise (ANSI divide-by-zero
+    contract), and the per-row top-``nprobe`` uses the window's exact
+    total order via lexsort on (cos desc, cell asc). ``cent_rows`` is
+    the collected (cell_id, vector) seed list — ncells rows of model
+    state, the same driver-side footprint `ivf_fit_centroids` already
+    carries for the production path."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    ncells, d = C.shape
+    ncsq = np.zeros(ncells)
+    for k in range(d):
+        col = C[:, k]
+        ncsq += col * col
+    cnrm = np.sqrt(ncsq)
+    if (cnrm == 0.0).any():
+        raise ValueError(
+            "zero-norm seed centroid — filter degenerate vectors upstream "
+            "(ANSI fail-fast contract)"
+        )
+    k_take = min(nprobe, ncells)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf[vec_name]), dtype=np.float64)
+            n = len(pdf)
+            D = np.zeros((n, ncells))
+            nsq = np.zeros(n)
+            for k in range(d):
+                mc = M[:, k]
+                D += mc[:, None] * C[:, k][None, :]
+                nsq += mc * mc
+            nrm = np.sqrt(nsq)
+            if (nrm == 0.0).any():
+                raise ValueError(
+                    "zero-norm embedding in centroid assignment — filter "
+                    "degenerate vectors upstream (ANSI fail-fast contract)"
+                )
+            cos = D / (nrm[:, None] * cnrm[None, :])
+            np.minimum(cos, 1.0, out=cos)
+            np.maximum(cos, -1.0, out=cos)
+            # row_number over (desc __csim, asc cell): lexsort is ascending
+            # on the LAST key first — (-cos primary, cell secondary)
+            order = np.lexsort(
+                (np.broadcast_to(cell_ids, (n, ncells)), -cos), axis=1
+            )[:, :k_take]
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(pdf[id_name].to_numpy(), k_take),
+                    vec_name: [v for v in pdf[vec_name] for _ in range(k_take)],
+                    "cell": cell_ids[order].reshape(-1),
+                }
+            )
+
+    return vecs.mapInPandas(
+        assign, schema=f"{id_name} long, {vec_name} array<double>, cell long"
+    )
+
+
+def _collect_seed_cents(
+    corpus: DataFrame, id_col: str, vec_col: str, ncells: int
+) -> list:
+    """The ``ncells`` lowest-id corpus vectors as driver-side model state
+    (one top-k job — the same bounded collect `ivf_fit_centroids` does)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(F.col(id_col).cast("long"), as_double(F.col(vec_col)))
+        .collect()
+    )
+
+
 def ivf_cosine_topk_seeded(
     queries: DataFrame,
     corpus: DataFrame,
@@ -528,23 +617,20 @@ def ivf_cosine_topk_seeded(
     """
     from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(ncells)
-        .select(F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("__cent"))
-    )
+    cent_rows = _collect_seed_cents(corpus, id_col, vec_col, ncells)
 
     def assign(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
-        ).join(F.broadcast(cents), F.lit(True)).withColumn(
-            "__csim", cosine(F.col(vec_alias), F.col("__cent"))
-        )
-        w = W.partitionBy(id_alias).orderBy(F.desc("__csim"), F.asc("cell"))
-        return (
-            scored.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= probes)
-            .select(id_alias, vec_alias, "cell")
+        # r12 (guide §4.2): numpy kernel with the window's exact total
+        # order — see _assign_cells_seeded; selection and downstream
+        # scores are unchanged (assignment cosines are bitwise-equal)
+        return _assign_cells_seeded(
+            df.select(
+                F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
+            ),
+            cent_rows,
+            probes,
+            id_alias,
+            vec_alias,
         )
 
     c = assign(_spread(corpus, id_col), "neighbor_id", "__cv", 1)
@@ -569,9 +655,24 @@ def ivf_cosine_topk_seeded(
 # never the full m×m pair matrix of a degenerate cell.
 _CELL_STRIP_ELEMS = 1 << 24  # 16M float64 cells ≈ 128 MB peak per strip
 _CELL_EMIT_ROWS = 1 << 21
+# Row budget for one collected sub-block (r12): a cell larger than this is
+# salted into ceil(m / budget) hash sub-blocks and scored block-pair-wise,
+# so no single collect_list row — and no single Arrow cell — ever scales
+# with cell size (a degenerate hot cell at 100 TB would otherwise blow the
+# 2 GB row/batch limit before the kernel ran). 8192 rows × 64 dims × 8 B
+# ≈ 4 MB per block row; override for very wide embeddings.
+_CELL_BLOCK_ROWS = 8192
 
 
-def _cell_pair_scores(assigned: DataFrame, threshold: float) -> DataFrame:
+def _cell_block_rows() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CELL_BLOCK_ROWS", str(_CELL_BLOCK_ROWS)))
+
+
+def _cell_pair_scores(
+    assigned: DataFrame, threshold: float, block_rows: int | None = None
+) -> DataFrame:
     """Exact in-cell pair cosine scores for the SemDeDup family:
     ``assigned`` is (__id, __v, cell); output is every in-cell pair
     (__ra < __rb) with ``cos_sim >= threshold``.
@@ -580,30 +681,76 @@ def _cell_pair_scores(assigned: DataFrame, threshold: float) -> DataFrame:
     cosine inside the cell self-join — HOFs are CodegenFallback
     (interpreted, boxing every element), and the in-cell pair count is
     quadratic, which made d11r the single most expensive registry entry
-    (~166 s at sf0.1 for ~2M interpreted 64-dim cosines). One shuffle
-    keyed by cell collects each cell's (m × dim) matrix once (vectors
-    travel per CELL MEMBERSHIP, not per pair — nprobe rows each, strictly
-    less data movement than the join shipped), and the kernel computes
-    the pair scores vectorized with SEQUENTIAL-IN-K accumulation:
-    ``S += M[:,k]·M[:,k]ᵀ`` accumulates each pair's dot product in element
-    order, one IEEE double add per k — operation-for-operation the fold
-    `functions.vector.dot` evaluates and DuckDB's
-    ``list_cosine_similarity`` loop — so scores (and threshold
-    membership) are BITWISE-identical to the join form. Zero-norm
-    vectors raise, matching the engine's ANSI divide-by-zero contract
-    (`functions.vector.clamp_unit` docstring).
+    (~166 s at sf0.1 for ~2M interpreted 64-dim cosines). The kernel
+    computes the pair scores vectorized with SEQUENTIAL-IN-K
+    accumulation: ``S += col_a·col_bᵀ`` accumulates each pair's dot
+    product in element order, one IEEE double add per k —
+    operation-for-operation the fold `functions.vector.dot` evaluates
+    and DuckDB's ``list_cosine_similarity`` loop — so scores (and
+    threshold membership) are BITWISE-identical to the join form
+    (float multiply is commutative, so block orientation cannot flip a
+    bit). Zero-norm vectors raise, matching the engine's ANSI
+    divide-by-zero contract (`functions.vector.clamp_unit` docstring).
 
-    Parallelism is ncells tasks (ncells grows ~√n at scale); per-task
-    memory is O(strip × m) via row strips, and emission streams through
-    Arrow in bounded flushes (the d03 bucket-kernel pattern)."""
+    r12 (guide §2.5/§5 — bound the row, not just the compute): a cell
+    used to collect into ONE ``collect_list`` row of O(m × dim) — per-
+    task *compute* was strip-bounded but a degenerate hot cell (skewed
+    assignment, near-duplicate-heavy corpus) scaled that single row with
+    the cell and would blow the 2 GB row/Arrow limit at 100 TB. Cells
+    now salt into ``ceil(m / block_rows)`` deterministic hash sub-blocks
+    (``pmod(xxhash64(__id), nsub)`` — the d03 bucket-kernel discipline);
+    every sub-block PAIR (lo ≤ hi) becomes one bounded group — each row
+    ships once per sub-block, key ``(cell, lo, hi)`` — and the kernel
+    scores the A×B cross (or the within-block upper triangle on the
+    diagonal). Pair coverage is exact: each unordered in-cell pair lands
+    in exactly one block pair. Physical shape: one window count per cell
+    (exchange on cell) + one exchange on (cell, lo, hi) into MapInPandas;
+    parallelism now scales with Σ nsub² per cell instead of stalling on
+    the hottest cell. Per-task memory stays O(strip × m) via row strips,
+    and emission streams through Arrow in bounded flushes."""
     import numpy as np
     import pandas as pd
 
-    cells = (
-        assigned.groupBy("cell")
-        .agg(F.collect_list(F.struct("__id", "__v")).alias("rows"))
-        .filter(F.size("rows") > 1)
+    budget = int(block_rows or _cell_block_rows())
+    if budget < 2:
+        raise ValueError(f"block_rows must be >= 2, got {budget}")
+
+    m_cnt = F.count(F.lit(1)).over(W.partitionBy("cell"))
+    nsub = F.ceil(F.col("__m") / F.lit(budget)).cast("int")
+    memb = (
+        assigned.withColumn("__m", m_cnt)
+        .filter(F.col("__m") > 1)
+        .withColumn("__nsub", nsub)
+        .withColumn(
+            "__sub", F.pmod(F.xxhash64("__id"), F.col("__nsub").cast("bigint")).cast("int")
+        )
+        .select(
+            "cell",
+            "__id",
+            "__v",
+            "__sub",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nsub") - 1),
+                    lambda l: F.struct(
+                        F.least(F.col("__sub"), l).alias("lo"),
+                        F.greatest(F.col("__sub"), l).alias("hi"),
+                    ),
+                )
+            ).alias("bp"),
+        )
+        .select(
+            "cell",
+            F.col("bp.lo").alias("__lo"),
+            F.col("bp.hi").alias("__hi"),
+            F.struct(
+                "__id", "__v", (F.col("__sub") == F.col("bp.lo")).alias("__a")
+            ).alias("entry"),
+        )
     )
+    blocks = memb.groupBy("cell", "__lo", "__hi").agg(
+        F.collect_list("entry").alias("rows")
+    ).select("rows", (F.col("__lo") == F.col("__hi")).alias("same"))
 
     def score(batches):
         out_a: list[np.ndarray] = []
@@ -623,48 +770,81 @@ def _cell_pair_scores(assigned: DataFrame, threshold: float) -> DataFrame:
             out_a, out_b, out_s, out_n = [], [], [], 0
             return df_out
 
+        def norms(M: np.ndarray) -> np.ndarray:
+            # per-vector norms, sequential in k (== functions.vector.norm)
+            nsq = np.zeros(M.shape[0])
+            for k in range(M.shape[1]):
+                col = M[:, k]
+                nsq += col * col
+            nrm = np.sqrt(nsq)
+            if (nrm == 0.0).any():
+                raise ValueError(
+                    "zero-norm embedding in cell pair scoring — filter "
+                    "degenerate vectors upstream (ANSI fail-fast contract)"
+                )
+            return nrm
+
         for pdf in batches:
-            for rows in pdf["rows"]:
-                ids = np.array([r["__id"] for r in rows], dtype=np.int64)
-                order = np.argsort(ids)
-                ids = ids[order]
-                M = np.array([r["__v"] for r in rows], dtype=np.float64)[order]
-                m, d = M.shape
-                # per-vector norms, sequential in k (== functions.vector.norm)
-                nsq = np.zeros(m)
-                for k in range(d):
-                    col = M[:, k]
-                    nsq += col * col
-                nrm = np.sqrt(nsq)
-                if (nrm == 0.0).any():
-                    raise ValueError(
-                        "zero-norm embedding in cell pair scoring — filter "
-                        "degenerate vectors upstream (ANSI fail-fast contract)"
-                    )
-                strip = max(1, _CELL_STRIP_ELEMS // max(m, 1))
-                for r0 in range(0, m - 1, strip):
-                    r1 = min(r0 + strip, m - 1)
-                    S = np.zeros((r1 - r0, m))
-                    for k in range(d):
-                        col = M[:, k]
-                        S += col[r0:r1, None] * col[None, :]
-                    cos = S / (nrm[r0:r1, None] * nrm[None, :])
-                    np.minimum(cos, 1.0, out=cos)
-                    np.maximum(cos, -1.0, out=cos)
-                    allowed = (
-                        np.arange(m)[None, :] > np.arange(r0, r1)[:, None]
-                    ) & (cos >= threshold)
-                    li, ju = np.nonzero(allowed)
-                    out_a.append(ids[li + r0])
-                    out_b.append(ids[ju])
-                    out_s.append(cos[li, ju])
-                    out_n += len(ju)
-                    if out_n >= _CELL_EMIT_ROWS:
-                        yield drain()
+            for rows, same in zip(pdf["rows"], pdf["same"]):
+                if same:
+                    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+                    order = np.argsort(ids)
+                    ids = ids[order]
+                    M = np.array([r["__v"] for r in rows], dtype=np.float64)[order]
+                    m, d = M.shape
+                    nrm = norms(M)
+                    strip = max(1, _CELL_STRIP_ELEMS // max(m, 1))
+                    for r0 in range(0, m - 1, strip):
+                        r1 = min(r0 + strip, m - 1)
+                        S = np.zeros((r1 - r0, m))
+                        for k in range(d):
+                            col = M[:, k]
+                            S += col[r0:r1, None] * col[None, :]
+                        cos = S / (nrm[r0:r1, None] * nrm[None, :])
+                        np.minimum(cos, 1.0, out=cos)
+                        np.maximum(cos, -1.0, out=cos)
+                        allowed = (
+                            np.arange(m)[None, :] > np.arange(r0, r1)[:, None]
+                        ) & (cos >= threshold)
+                        li, ju = np.nonzero(allowed)
+                        out_a.append(ids[li + r0])
+                        out_b.append(ids[ju])
+                        out_s.append(cos[li, ju])
+                        out_n += len(ju)
+                        if out_n >= _CELL_EMIT_ROWS:
+                            yield drain()
+                else:
+                    side = np.array([bool(r["__a"]) for r in rows])
+                    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+                    M = np.array([r["__v"] for r in rows], dtype=np.float64)
+                    A, B = M[side], M[~side]
+                    ida, idb = ids[side], ids[~side]
+                    if not len(A) or not len(B):
+                        continue
+                    nra, nrb = norms(A), norms(B)
+                    d = M.shape[1]
+                    nb = len(B)
+                    strip = max(1, _CELL_STRIP_ELEMS // max(nb, 1))
+                    for r0 in range(0, len(A), strip):
+                        r1 = min(r0 + strip, len(A))
+                        S = np.zeros((r1 - r0, nb))
+                        for k in range(d):
+                            S += A[r0:r1, k][:, None] * B[:, k][None, :]
+                        cos = S / (nra[r0:r1, None] * nrb[None, :])
+                        np.minimum(cos, 1.0, out=cos)
+                        np.maximum(cos, -1.0, out=cos)
+                        li, ju = np.nonzero(cos >= threshold)
+                        pa, pb = ida[li + r0], idb[ju]
+                        out_a.append(np.minimum(pa, pb))
+                        out_b.append(np.maximum(pa, pb))
+                        out_s.append(cos[li, ju])
+                        out_n += len(ju)
+                        if out_n >= _CELL_EMIT_ROWS:
+                            yield drain()
         if out_a:
             yield drain()
 
-    return cells.mapInPandas(score, schema="__ra long, __rb long, cos_sim double")
+    return blocks.mapInPandas(score, schema="__ra long, __rb long, cos_sim double")
 
 
 def semdedup_pairs_seeded(
@@ -699,11 +879,7 @@ def semdedup_pairs_seeded(
     from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
     from dibimbing_case_study_etl_spark.operators.dedup import _materialize
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(ncells)
-        .select(F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("__cent"))
-    )
+    cent_rows = _collect_seed_cents(corpus, id_col, vec_col, ncells)
     vecs = _spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
@@ -714,15 +890,9 @@ def semdedup_pairs_seeded(
         )
     )
     reps = _spread(groups.select(F.col("__rep").alias("__id"), "__v"), "__id")
-    scored = reps.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "__csim", cosine(F.col("__v"), F.col("__cent"))
-    )
-    w = W.partitionBy("__id").orderBy(F.desc("__csim"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= nprobe)
-        .select("__id", "__v", "cell")
-    )
+    # r12 (guide §4.2): numpy kernel with the window's exact total order —
+    # see _assign_cells_seeded; cell membership is unchanged
+    assigned = _assign_cells_seeded(reps, cent_rows, nprobe, "__id", "__v")
     # in-cell scoring via the strip-bounded sequential-accumulation numpy
     # kernel (bitwise-equal to the former per-pair JVM cosine join — see
     # _cell_pair_scores); a pair probing two shared cells scores

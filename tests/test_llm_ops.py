@@ -323,6 +323,90 @@ def test_semdedup_precision_exact_and_recall_pinned(spark):
         assert (a, b) in found
 
 
+def test_cell_pair_scores_block_bounded(spark):
+    """r12: _cell_pair_scores salts oversized cells into hash sub-blocks so
+    no collect_list row scales with cell size. The (pair, score) set must
+    be IDENTICAL (bitwise scores included) between a block budget that
+    splits every cell several ways and one that keeps each cell whole."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.vector import as_double
+    from dibimbing_case_study_etl_spark.operators.similarity import (
+        _assign_cells_seeded,
+        _cell_pair_scores,
+        _collect_seed_cents,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _collect_seed_cents(emb, "vec_id", "embedding", 4)
+    assigned = _assign_cells_seeded(
+        emb.select(
+            F.col("vec_id").alias("__id"),
+            as_double(F.col("embedding")).alias("__v"),
+        ),
+        cents,
+        2,
+        "__id",
+        "__v",
+    )
+    whole = {
+        (r["__ra"], r["__rb"]): r["cos_sim"]
+        for r in _cell_pair_scores(assigned, 0.3, block_rows=10**9).collect()
+    }
+    split = {
+        (r["__ra"], r["__rb"]): r["cos_sim"]
+        for r in _cell_pair_scores(assigned, 0.3, block_rows=8).collect()
+    }
+    assert whole and split == whole  # same pairs, bitwise-same scores
+
+
+def test_assign_cells_seeded_matches_window_form(spark):
+    """r12: the numpy seeded-assignment kernel must pick EXACTLY the cells
+    the former cosine-join + row_number window picked (cos desc, cell asc
+    tie order), per row."""
+    from dibimbing_case_study_etl_spark.catalog import load_table
+    from dibimbing_case_study_etl_spark.functions.vector import as_double, cosine
+    from dibimbing_case_study_etl_spark.operators.similarity import (
+        _assign_cells_seeded,
+        _collect_seed_cents,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents_df = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cell"), as_double(F.col("embedding")).alias("__cent"))
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("__id"), as_double(F.col("embedding")).alias("__v")
+    ).join(F.broadcast(cents_df), F.lit(True)).withColumn(
+        "__csim", cosine(F.col("__v"), F.col("__cent"))
+    )
+    w = W.partitionBy("__id").orderBy(F.desc("__csim"), F.asc("cell"))
+    ref = (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= 3)
+        .select("__id", "cell")
+    )
+    want = {(r["__id"], r["cell"]) for r in ref.collect()}
+    got = {
+        (r["__id"], r["cell"])
+        for r in _assign_cells_seeded(
+            emb.select(
+                F.col("vec_id").alias("__id"),
+                as_double(F.col("embedding")).alias("__v"),
+            ),
+            _collect_seed_cents(emb, "vec_id", "embedding", 8),
+            3,
+            "__id",
+            "__v",
+        ).collect()
+    }
+    assert got == want
+
+
 def test_d12_exact_under_boilerplate_skew(spark, tmp_path):
     """Boilerplate-heavy corpus (one hot trigram in 60% of docs — the
     guaranteed-at-scale skew d12's semi-join shape exists for): output must
