@@ -19,6 +19,15 @@ last; min reported, all samples in ``calibration_runs``) so uniform
 hypervisor throttles — and their within-session drift — are separable
 from plan regressions in round-over-round reads.
 
+r12 additions (both JSON lines, outside every timed region):
+``default_parallelism`` / ``shuffle_partitions`` prove the effective core
+count (the r11 scaling block could not distinguish "env ignored" from
+"queries too small to show cores"), and the full line's
+``cpu_probe_*`` fields time one fixed CPU-bound pipeline at 1 partition
+vs ``defaultParallelism`` partitions — in-artifact evidence that the
+session engages its cores even when every sf0.1 query is overhead-bound.
+No existing field changed; the timed methodology is untouched.
+
 Each query is materialized with the no-op sink (full computation, no
 result serialization cost); timings exclude session startup but include
 planning.
@@ -146,6 +155,40 @@ def main() -> None:
         pass_totals.append(round(pass_total, 3))
     _timed_calibration()  # closing sample: drift across the whole suite
 
+    # Parallelism proof (r12 verdict ask): the r11 driver's 8-vs-32-core
+    # ratios read ≈1 on every sub-3s query (overhead-bound at sf0.1) and
+    # the scaling block flagged "suspect_cpus_ignored" — refutable only if
+    # the artifact itself carries the effective core count and a probe
+    # with enough work to split. Both JSON lines now carry the session's
+    # effective parallelism; the FULL line adds a fixed-work CPU probe
+    # (same sha2 pipeline at 1 partition vs defaultParallelism partitions,
+    # untimed region, after the passes) whose ratio shows how much of the
+    # advertised core count the engine actually engages.
+    default_parallelism = spark.sparkContext.defaultParallelism
+    eff_shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _cpu_probe(partitions: int) -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 12_000_000, 1, partitions)
+            .select(
+                (F.xxhash64(F.sha2(F.col("id").cast("string"), 256)) % 1_000_003).alias("h")
+            )
+            .groupBy()
+            .agg(F.sum("h"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        _cpu_probe(default_parallelism)  # JIT warm, untimed
+        probe_parallel = _cpu_probe(default_parallelism)
+        probe_serial = _cpu_probe(1)
+    except Exception:  # noqa: BLE001 — the probe must never cost the headline
+        probe_parallel = probe_serial = 0.0
+
     calibration_sec = round(min(cal_times), 3)
     mean = {n: round(s / runs, 3) for n, s in acc.items()}
     median = {
@@ -174,6 +217,15 @@ def main() -> None:
         "calibration_runs": cal_times,
         "sf": sf,
         "calibration_sec": calibration_sec,
+        "default_parallelism": default_parallelism,
+        "shuffle_partitions": eff_shuffle_parts,
+        # fixed CPU-bound work at 1 partition vs defaultParallelism
+        # partitions — the in-artifact proof that the session engages its
+        # cores (ratio ≈ cores on an unthrottled box; the per-query sf0.1
+        # timings stay overhead-bound and CANNOT show this)
+        "cpu_probe_serial_sec": probe_serial,
+        "cpu_probe_parallel_sec": probe_parallel,
+        "cpu_probe_speedup": round(probe_serial / max(probe_parallel, 1e-9), 2),
     }
     # Full per-query line first (may exceed the driver's 2000-char tail
     # window; preserved verbatim in _scale/bench_full_last.json) …
@@ -198,6 +250,9 @@ def main() -> None:
         "calibration_runs": cal_times,
         "sf": sf,
         "calibration_sec": calibration_sec,
+        "default_parallelism": default_parallelism,
+        "shuffle_partitions": eff_shuffle_parts,
+        "cpu_probe_speedup": round(probe_serial / max(probe_parallel, 1e-9), 2),
         "nqueries": len(best),
         "queries": best,
     }
