@@ -50,6 +50,7 @@ def test_prefilter_dataframe_keeps_members(spark):
     assert len(kept_ids - member_ids) < 10_000 * 0.03
 
 
+@pytest.mark.slow
 def test_d13_output_equals_d09(spark, sf_dir):
     from dibimbing_case_study_etl_spark.queries import load_all
 

@@ -4,6 +4,8 @@ assumption the oracle rests on."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from dibimbing_case_study_etl_spark.operators.bpe import (
@@ -16,6 +18,7 @@ from dibimbing_case_study_etl_spark.operators.bpe import (
 )
 
 
+@pytest.mark.slow
 def test_greedy_left_to_right_merge(spark):
     # "aaaa" under an (a,a) merge must become [aa][aa] (greedy non-overlap),
     # never [aa] a a. Pair counting counts every adjacent position: 3 per
@@ -66,6 +69,7 @@ def test_token_stats_hand_computed(spark):
     ) == (1, 2, 2, 1, 1.0, 4.0)
 
 
+@pytest.mark.slow
 def test_oracle_layers_match_spark_at_depth(spark, tmp_path):
     # Deeper than the registry's 8 merges: at depth 12 merged symbols
     # re-merge (multi-char pairs), exercising the representation the
@@ -84,6 +88,7 @@ def test_oracle_layers_match_spark_at_depth(spark, tmp_path):
     assert [tuple(m) for m in merges] == duck
 
 
+@pytest.mark.slow
 def test_exhausted_merges_keep_oracle_layers_alive(spark, tmp_path):
     # A corpus so tiny the train split exhausts merge pairs before
     # n_merges: the layers past exhaustion are empty-argmax no-ops, not

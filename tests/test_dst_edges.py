@@ -51,6 +51,7 @@ def _l2_ts(spark, cfg, ds, times):
     return rows
 
 
+@pytest.mark.slow
 def test_spring_forward_gap_shifts_and_collides(spark, cfg):
     # 2025-03-09 02:00 America/New_York does not exist (EST->EDT jump).
     times = [f"2025-03-09T0{h}:00" for h in range(5)]  # 00..04 local

@@ -15,6 +15,7 @@ def pairs(df, a="doc_a", b="doc_b"):
     return {(r[a], r[b]) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     """The LSH path must reproduce the exact-Jaccard answer on this data
     (that's why it shares d02's oracle)."""
@@ -858,6 +859,7 @@ def test_t22_epoch_shuffle_is_deterministic_and_epochs_differ(spark, sf_dir):
     assert sorted(o3a) == sorted(o4)  # same corpus, different permutation
 
 
+@pytest.mark.slow
 def test_d08_salt_cells_preserve_pair_set_on_degenerate_block(spark):
     """The 2D salt (build cell × probe chunk) must not change the emitted
     pair set: on a corpus whose every doc shares ONE (prefix16, lenband)
@@ -1002,6 +1004,7 @@ def test_lsh_strip_kernel_invariant_to_strip_size(spark, sf_dir, monkeypatch):
     assert baseline == tiny and len(baseline) > 0
 
 
+@pytest.mark.slow
 def test_lsh_giant_bucket_star_downgrade(spark):
     """The r7 verdict's one perf-weak item: a degenerate LSH bucket with
     1e5 DISTINCT near-identical members must complete under a fixed
@@ -1148,6 +1151,7 @@ def test_pointer_jump_cc_converges_in_log_rounds_on_long_path(spark):
     assert all(r["cluster_id"] == 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_pointer_jump_cc_matches_propagation_on_random_graph(spark):
     """On an arbitrary (seeded) sparse graph the doubling algorithm and
     d06's propagation must produce identical components, and isolated

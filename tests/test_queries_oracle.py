@@ -10,8 +10,21 @@ from dibimbing_case_study_etl_spark.testing import compare_frames, run_oracle
 
 REGISTRY = load_all()
 
+# The BPE family runs an iterative merge loop (many jobs per build) and is
+# the oracle gate's heavy tail even at sf0.001 (b03 ~31 s, b01/b02 ~12-16 s
+# — ~60 s of the file's ~360 s); slow-tier them so the default run fits the
+# driver's verify window. Coverage is kept by the driver's own sf0.01 gate
+# and the round sweeps, and by `-m slow` runs.
+_SLOW_ORACLE = ("b01_", "b02_", "b03_", "b04_")
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+
+def _param(name: str):
+    if name.startswith(_SLOW_ORACLE):
+        return pytest.param(name, marks=pytest.mark.slow)
+    return name
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in sorted(REGISTRY)])
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.build(spark, sf_dir)

@@ -237,6 +237,7 @@ def test_structured_streaming_foreach_batch_exactly_once(spark, table, tmp_path)
     assert _state(table, spark) == {0: "seed", 1: "a", 2: "b"}
 
 
+@pytest.mark.slow
 def test_compact_is_data_identical_and_preserves_history(spark, table):
     for i in range(3):
         table.append(_rows(spark, [(i, f"v{i}")]), key_col="k", target_files=1)
@@ -280,6 +281,7 @@ _ops_strategy = st.lists(_op, min_size=1, max_size=5)
 
 @_SLOW
 @given(ops=_ops_strategy)
+@pytest.mark.slow
 def test_txlog_random_ops_match_model_at_every_version(
     spark, tmp_path_factory, ops
 ):
@@ -364,6 +366,7 @@ def test_checkpoint_fold_equals_full_replay(spark, tmp_path_factory):
     assert table.last_txn_batch("app-a") == 9
 
 
+@pytest.mark.slow
 def test_checkpoint_bounds_commit_replay(spark, tmp_path_factory, monkeypatch):
     """After a checkpoint at version 8, reading the tip must replay only
     the commits after it — the unbounded-log problem the checkpoint
@@ -398,6 +401,7 @@ def test_checkpoint_race_is_harmless(spark, tmp_path_factory):
     assert {r["k"] for r in table.read(spark).collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_multiprocess_writers_serialize(spark, table):
     """THE multi-writer claim, process-grade: three separate driver
     PROCESSES (own JVMs — nothing shared but the filesystem) append to
@@ -720,6 +724,7 @@ def test_s3_commit_store_read_side_contract(tmp_path):
     assert store.read(log / "00000002.json") == b"{}"
 
 
+@pytest.mark.slow
 def test_txlog_round_trips_entirely_through_s3_store(spark, tmp_path):
     """Verdict-r8 ask #4: the LOG lives only in the injected store — commit,
     read, time-travel, txn watermark, and checkpoint replay all go through
@@ -853,6 +858,7 @@ def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     assert got.agg(F.sum("k")).first()[0] == sum(range(1000))
 
 
+@pytest.mark.slow
 def test_deletion_vectors_merge_on_read(spark, tmp_path):
     """r10 merge-on-read deletes: delete_where writes a (file, key)
     sidecar instead of rewriting data files — the live set is unchanged,
@@ -918,6 +924,7 @@ def test_double_delete_where_with_live_dvs(spark, tmp_path):
     assert masked == {k for k in range(100) if k % 7 == 0} - {0, 70}
 
 
+@pytest.mark.slow
 def test_merge_retires_fully_covered_dv_sidecars(spark, tmp_path):
     """A merge whose rewrite removes EVERY file a sidecar targets emits
     dv_removed for it (the rewrite physically applied the mask), so
@@ -948,6 +955,7 @@ def test_merge_retires_fully_covered_dv_sidecars(spark, tmp_path):
     assert t2.read(spark).filter(F.col("k") == 95).count() == 0  # still masked
 
 
+@pytest.mark.slow
 def test_append_retry_revalidates_schema_evolution(spark, table):
     """An append that loses the publish race to a writer that ADDED a
     column must not republish its stale (narrower) schema at a higher
