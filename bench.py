@@ -184,8 +184,10 @@ def main() -> None:
 
     try:
         _cpu_probe(default_parallelism)  # JIT warm, untimed
-        probe_parallel = _cpu_probe(default_parallelism)
-        probe_serial = _cpu_probe(1)
+        # min of 2 per leg: a single straggler task (hypervisor burst)
+        # otherwise understates the ratio
+        probe_parallel = min(_cpu_probe(default_parallelism) for _ in range(2))
+        probe_serial = min(_cpu_probe(1) for _ in range(2))
     except Exception:  # noqa: BLE001 — the probe must never cost the headline
         probe_parallel = probe_serial = 0.0
 
